@@ -1,0 +1,70 @@
+"""Text-stage Spark surfaces.
+
+Tokenization (reference tokenizer.py:9-44) is pure Column expressions —
+JVM-side, whole-stage-codegen'd, no Python in the hot path. The only
+scalar-code stage, HTML→text extraction (reference
+index_construction.py:125-127), is an Arrow-vectorized pandas UDF that
+delegates to the normative pycore implementation (byte-parity with the
+single-node oracle by construction).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from searchengine_spark.pycore.textextract import extract_links, extract_text
+
+
+def tokens_sql(text_expr: str) -> str:
+    """SQL expression producing array<string> of normative tokens.
+
+    Equivalent to pycore.tokenize (see tokenizer.py spec): lowercase,
+    split on any char outside [a-z0-9'], strip ' and space, drop empties
+    and >10000-char tokens. Kept as a SQL string so the exact same
+    expression is usable from selectExpr, spark.sql and DuckDB-oracle
+    construction.
+    """
+    return (
+        f"filter(transform(split(lower({text_expr}), \"[^a-z0-9']+\"), "
+        f"t -> trim(BOTH \" '\" FROM t)), "
+        f"t -> t != '' AND length(t) <= 10000)"
+    )
+
+
+def tokens_col(text: Column | str) -> Column:
+    name = text if isinstance(text, str) else None
+    if name is None:
+        raise ValueError("tokens_col needs a column *name*; use tokens_sql for expressions")
+    return F.expr(tokens_sql(name))
+
+
+@F.pandas_udf(StringType())
+def extract_text_udf(html: pd.Series) -> pd.Series:
+    """F1 — normative HTML→binary→text; Arrow-batched, no per-row Python
+    at the API surface (input_hint mandate)."""
+    return html.map(extract_text)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def extract_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    """Scraper contract (README.md:105-111): absolute defragged outlinks."""
+    return pd.Series(
+        [extract_links(h, u) for h, u in zip(html, url)], dtype="object"
+    )
+
+
+def lemma_apply(tokens: Column, lemma_map: dict[str, str] | None) -> Column:
+    """F3 — lemmatization as a broadcast literal map lookup with identity
+    fallback (WordNet unavailable; documented capability-equivalent,
+    SURVEY.md §2.8 F3). Pure Column exprs — no UDF."""
+    if not lemma_map:
+        return tokens
+    pairs: list[Column] = []
+    for k, v in sorted(lemma_map.items()):
+        pairs.append(F.lit(k))
+        pairs.append(F.lit(v))
+    m = F.create_map(*pairs)
+    return F.transform(tokens, lambda t: F.coalesce(m[t], t))

@@ -1,0 +1,93 @@
+"""Boolean OR-of-ANDs (DNF) ranked retrieval over the postings DataFrame.
+
+Reference semantics reproduced exactly (SURVEY.md §2 J1/J2/T2):
+  * AND (retrieve_query.py:82-86, the *correct* multithreaded variant —
+    the single-threaded one at :46-54 always returns [] and is a
+    documented reference bug): seed with the FIRST term's postings,
+    intersect on doc_id (Posting.__eq__/__hash__ are doc_id-only,
+    index_construction.py:50-54) — so the surviving Posting, and hence
+    the ranking score, is the FIRST term's tf_idf.
+  * OR (retrieve_query.py:136-140): set.union keeps the element already
+    present — first conjunct (in parse order) wins per doc_id.
+  * Ranking (T2): sort by tf_idf ASCENDING — faithful quirk
+    (retrieve_query.py:54,86,142: sorted(..., key=tf_idf), no reverse) —
+    take MAX_LINKS_SHOWN=5 (retrieve_query.py:14,186-187). doc_id is the
+    deterministic tie-break (the reference inherits arbitrary set order;
+    we pin it).
+  * Query parse (F11, retrieve_query.py:89-111): whitespace split, 'AND'
+    skipped (implicit), 'OR' flushes the conjunct, terms lowercased.
+
+Scale notes: each conjunct is one token-pruned scan (predicate
+`token IN (...)` pushes to parquet/Iceberg min-max stats thanks to the
+token-sorted index layout) + one groupBy(doc_id) — no cross joins, no
+collect. The k-term intersection is count-distinct==k, not k chained
+joins, so it's a single shuffle regardless of term count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_LINKS_SHOWN = 5  # retrieve_query.py:14
+
+
+def parse_query(query: str) -> list[list[str]]:
+    """F11 — DNF list-of-conjuncts (retrieve_query.py:89-111)."""
+    result: list[list[str]] = []
+    cur: list[str] = []
+    for w in query.split():
+        if w == "AND":
+            continue
+        if w == "OR":
+            result.append(cur)
+            cur = []
+        else:
+            cur.append(w.lower())
+    result.append(cur)
+    return result
+
+
+def and_query(postings: DataFrame, terms: list[str]) -> DataFrame:
+    """J1 — docs containing ALL terms; score = first term's tf_idf."""
+    if not terms:
+        return postings.select("doc_id", "tf_idf").limit(0)
+    uniq = list(dict.fromkeys(terms))
+    hits = (
+        postings.filter(F.col("token").isin(uniq))
+        .groupBy("doc_id")
+        .agg(F.count_distinct("token").alias("k"))
+        .filter(F.col("k") == len(uniq))
+        .select("doc_id")
+    )
+    first = postings.filter(F.col("token") == terms[0]).select("doc_id", "tf_idf")
+    return first.join(hits, "doc_id").select("doc_id", "tf_idf")
+
+
+def dnf_query(postings: DataFrame, conjuncts: list[list[str]]) -> DataFrame:
+    """J2 — OR across conjuncts; first conjunct (parse order) wins on
+    collision (set.union first-seen semantics, retrieve_query.py:138-140)."""
+    parts = []
+    for i, terms in enumerate(conjuncts):
+        if terms:
+            parts.append(and_query(postings, terms).withColumn("conj", F.lit(i)))
+    if not parts:
+        return postings.select("doc_id", "tf_idf").limit(0)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    w = Window.partitionBy("doc_id").orderBy("conj")
+    return (
+        u.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "tf_idf")
+    )
+
+
+def rank_topk(results: DataFrame, k: int = MAX_LINKS_SHOWN) -> DataFrame:
+    """T2 — tf_idf ASC (faithful quirk), doc_id tie-break, top k."""
+    return results.orderBy(F.col("tf_idf").asc(), F.col("doc_id").asc()).limit(k)
+
+
+def search(postings: DataFrame, query: str, k: int = MAX_LINKS_SHOWN) -> DataFrame:
+    return rank_topk(dnf_query(postings, parse_query(query)), k)

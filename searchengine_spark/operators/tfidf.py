@@ -1,0 +1,125 @@
+"""Inverted-index construction as one declarative DataFrame DAG.
+
+Reference pipeline (index_construction.py __main__, traced SURVEY.md §3 E1):
+scan → extract → tokenize → per-doc tf → df → idf → tf·idf postings →
+token-sorted sink. The reference does this with Pool.map + driver-side
+dicts; here the whole thing is a lazy Catalyst plan:
+
+  documents → tokens (Column exprs, codegen) → explode →
+  groupBy(doc_id, token).count ÷ size(tokens)  [tf, A1]
+  → groupBy(token).count                        [df, A2]
+  → idf = ln(N/df)                              [A4, index_construction.py:193]
+  → join                                        [J3]
+  → tf_idf = tf·idf                             [A5]
+
+Scale notes (100 TB): total-terms is computed as size(tokens) BEFORE the
+explode, so tf needs only the one (doc_id, token) shuffle; the idf side
+is a per-token aggregate joined back — broadcastable when the dictionary
+is small, shuffled-hash otherwise (AQE decides; both sides are already
+partitioned by token from the df agg, so the join reuses the exchange).
+
+Faithful quirks kept: tf is *relative* frequency count/total_terms
+(helpers.py:21-27); idf is ln(N/df), natural log, no smoothing
+(index_construction.py:191-194).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.text import lemma_apply, tokens_sql
+
+
+def doc_tokens(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lemma_map: dict[str, str] | None = None,
+) -> DataFrame:
+    """(doc_id, tokens array<string>, n_terms) — tokenize is pure Column
+    exprs (F2); lemmatization is a broadcast-literal map (F3)."""
+    toks = F.expr(tokens_sql(text_col))
+    toks = lemma_apply(toks, lemma_map)
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("tokens"),
+    ).withColumn("n_terms", F.size("tokens"))
+
+
+def term_frequencies(tokens_df: DataFrame) -> DataFrame:
+    """A1 — (doc_id, token, tf) with tf = count/total_terms
+    (helpers.py:24-25). Empty-token docs are dropped (P3,
+    index_construction.py:130-131)."""
+    return (
+        tokens_df.filter(F.col("n_terms") > 0)
+        .select("doc_id", "n_terms", F.explode("tokens").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("cnt"), F.first("n_terms").alias("n_terms"))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("cnt") / F.col("n_terms")).alias("tf"),
+        )
+    )
+
+
+def doc_frequencies(tf_df: DataFrame) -> DataFrame:
+    """A2 — (token, df); tf_df is already distinct per (doc, token), so a
+    plain count (no countDistinct shuffle-explosion) suffices."""
+    return tf_df.groupBy("token").agg(F.count("*").alias("df"))
+
+
+def idf_table(df_counts: DataFrame, n_docs: int) -> DataFrame:
+    """A4 — idf = ln(N/df) (index_construction.py:191-194)."""
+    return df_counts.select(
+        "token", F.log(F.lit(float(n_docs)) / F.col("df")).alias("idf")
+    )
+
+
+def build_postings(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lemma_map: dict[str, str] | None = None,
+    broadcast_idf: bool = False,
+) -> DataFrame:
+    """Full index: (doc_id, token, tf, idf, tf_idf).
+
+    broadcast_idf=True hints the idf dimension as broadcast (J3) — right
+    when the token dictionary fits in executors; default lets AQE pick
+    (the join reuses the token-hash exchange from the df aggregate).
+    """
+    toks = doc_tokens(documents, id_col, text_col, lemma_map)
+    tf = term_frequencies(toks)
+    n_docs = toks.filter(F.col("n_terms") > 0).count()  # A3
+    idf = idf_table(doc_frequencies(tf), n_docs)
+    if broadcast_idf:
+        idf = F.broadcast(idf)
+    return tf.join(idf, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "idf",
+        (F.col("tf") * F.col("idf")).alias("tf_idf"),
+    )
+
+
+def index_analytics(postings: DataFrame) -> DataFrame:
+    """A7 — doc count + unique tokens (index_construction.py:247-250)."""
+    return postings.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("token").alias("n_tokens"),
+        F.count("*").alias("n_postings"),
+    )
+
+
+def write_sorted_index(postings: DataFrame, path: str) -> None:
+    """S4 — token-sorted columnar sink (reference writes a text file
+    sorted by token, index_construction.py:215-216,238-240; parquet
+    sorted-within-partitions + token-range partitioning gives the same
+    seek property via min/max stats, replacing the hand-rolled
+    index-of-index T4)."""
+    postings.repartitionByRange(32, "token").sortWithinPartitions(
+        "token", "doc_id"
+    ).write.mode("overwrite").parquet(path)

@@ -1,0 +1,121 @@
+"""A1-A7 + J1/J2/T2 against hand-computed values and the reference's own
+mini inverted index (retrieve_query.py:23-32, FIXTURES.md §6)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.query import (
+    and_query,
+    dnf_query,
+    parse_query,
+    rank_topk,
+    search,
+)
+from searchengine_spark.operators.tfidf import (
+    build_postings,
+    doc_frequencies,
+    doc_tokens,
+    index_analytics,
+    term_frequencies,
+)
+
+DOCS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat"),
+    (2, "cat dog cat"),
+    (3, "...!!!"),  # tokenizes to nothing → dropped (P3)
+]
+
+
+@pytest.fixture(scope="module")
+def postings(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    return build_postings(df).cache()
+
+
+def test_tf_hand_computed(spark):
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    tf = {
+        (r["doc_id"], r["token"]): r["tf"]
+        for r in term_frequencies(doc_tokens(df)).collect()
+    }
+    assert tf[(0, "the")] == pytest.approx(2 / 6)
+    assert tf[(0, "cat")] == pytest.approx(1 / 6)
+    assert tf[(1, "sat")] == pytest.approx(1 / 3)
+    assert tf[(2, "cat")] == pytest.approx(2 / 3)
+    assert (3, "") not in tf
+
+
+def test_df_idf_tfidf(postings):
+    rows = {(r["doc_id"], r["token"]): r for r in postings.collect()}
+    n_docs = 3  # doc 3 dropped
+    # 'cat' appears in docs 0 and 2 → df=2
+    assert rows[(0, "cat")]["idf"] == pytest.approx(math.log(n_docs / 2))
+    # 'mat' only doc 0
+    assert rows[(0, "mat")]["idf"] == pytest.approx(math.log(n_docs / 1))
+    r = rows[(2, "cat")]
+    assert r["tf_idf"] == pytest.approx((2 / 3) * math.log(3 / 2))
+    # A7 analytics
+    [a] = index_analytics(postings).collect()
+    assert a["n_docs"] == 3
+    assert a["n_tokens"] == 6  # the cat sat on mat dog
+
+
+def test_parse_query():
+    # F11 semantics (retrieve_query.py:89-111)
+    assert parse_query("cat AND dog") == [["cat", "dog"]]
+    assert parse_query("cat dog") == [["cat", "dog"]]
+    assert parse_query("cat OR dog") == [["cat"], ["dog"]]
+    assert parse_query("Big Cat OR dog AND run") == [["big", "cat"], ["dog", "run"]]
+
+
+def test_and_query_first_term_score(postings):
+    # docs with both cat and sat: only doc 0; score = tf_idf of 'cat' in doc 0
+    got = {r["doc_id"]: r["tf_idf"] for r in and_query(postings, ["cat", "sat"]).collect()}
+    assert set(got) == {0}
+    assert got[0] == pytest.approx((1 / 6) * math.log(3 / 2))
+    # reversed term order → same doc, score from 'sat'
+    got2 = {r["doc_id"]: r["tf_idf"] for r in and_query(postings, ["sat", "cat"]).collect()}
+    assert got2[0] == pytest.approx((1 / 6) * math.log(3 / 2))
+
+
+def test_or_first_conjunct_wins(postings):
+    # 'cat' matches docs 0,2 ; 'dog' matches 1,2 — doc 2 takes conjunct-0 score
+    res = {r["doc_id"]: r["tf_idf"] for r in dnf_query(postings, [["cat"], ["dog"]]).collect()}
+    assert set(res) == {0, 1, 2}
+    assert res[2] == pytest.approx((2 / 3) * math.log(3 / 2))  # cat's score
+
+
+def test_rank_ascending_quirk(postings):
+    ranked = rank_topk(dnf_query(postings, [["cat"], ["dog"], ["the"]]), 5).collect()
+    scores = [r["tf_idf"] for r in ranked]
+    assert scores == sorted(scores)  # ascending (faithful T2 quirk)
+
+
+def test_reference_mini_index(spark):
+    # retrieve_query.py:23-32 fixture: tf_idf=3 everywhere
+    mini = [
+        ("hello", d, 2.0, 3.0) for d in (2, 3, 4, 1, 5)
+    ] + [
+        ("run", 2, 2.0, 3.0),
+        ("walk", 3, 2.0, 3.0),
+        ("live", 4, 2.0, 3.0),
+        ("exist", 5, 2.0, 3.0),
+        ("believe", 5, 2.0, 3.0),
+        ("goodbye", 6, 2.0, 3.0),
+    ]
+    p = spark.createDataFrame(
+        [Row(token=t, doc_id=d, tf=tf, tf_idf=ti) for t, d, tf, ti in mini]
+    )
+    assert {r["doc_id"] for r in and_query(p, ["hello", "run"]).collect()} == {2}
+    assert {r["doc_id"] for r in and_query(p, ["exist", "believe"]).collect()} == {5}
+    assert and_query(p, ["hello", "goodbye"]).count() == 0
+    got = {r["doc_id"] for r in search(p, "hello AND run OR goodbye", 5).collect()}
+    assert got == {2, 6}
+    # MAX_LINKS_SHOWN=5 cap
+    assert search(p, "hello", 5).count() == 5
