@@ -1,0 +1,52 @@
+"""Crawl configuration (reference utils/config.py:4-19 + README.md:33-55).
+
+The reference reads an ini file (user agent, thread count, save file,
+seed urls, politeness ``time_delay``); the rebuild carries the same knobs
+as a dataclass plus the distributed-execution knobs the north rule adds
+(salts, partitions, bloom sizing, virtual-clock round duration).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class CrawlConfig:
+    seeds: list[str] = field(default_factory=list)
+    # P4 domain restriction (README.md:209-212; the reference pins
+    # *.ics.uci.edu etc — the domain set is config in our engine).
+    allowed_host_re: str | None = None
+
+    # ---- politeness (ST2): virtual clock, one round = round_duration
+    # virtual seconds; host h may fetch floor(round_duration/delay_h)
+    # urls per round (token bucket refilled each round), capped.
+    round_duration: float = 4.0
+    default_crawl_delay: float = 0.5  # reference POLITENESS time_delay
+    max_per_host_per_round: int = 16
+
+    # ---- skew + shuffle (ST3, north rule): explicit repartitioning by
+    # (host, salt) between dedup → politeness-group → fetch stages.
+    n_salts: int = 4
+    n_partitions: int = 8
+
+    # ---- URL-seen bloom segments (J5 fast path): fixed-size so round
+    # deltas OR-merge; size per segment for the expected partition load
+    n_bloom_segments: int = 16
+    bloom_m_bits: int = 1 << 17
+
+    # ---- dedup gates
+    ngram_threshold: float = 0.65  # J7 (reference ngrams.py:11)
+    ngram_n: int = 3
+    trap_threshold: float = 0.85  # J6 (reference link_similarity.py:12)
+
+    def quota(self, crawl_delay: float | None) -> int:
+        d = crawl_delay if crawl_delay and crawl_delay > 0 else self.default_crawl_delay
+        return max(1, min(self.max_per_host_per_round, int(self.round_duration / d)))
+
+
+def frontier_score(round_added: int) -> float:
+    """Deterministic frontier priority: seeds 1.0, halving per discovery
+    depth (score-ordered queue, north rule; BFS-equivalent total order
+    with tie-break canon_url asc)."""
+    return 2.0 ** (-round_added)

@@ -1,0 +1,380 @@
+"""Frontier micro-batch round loop (ST1-ST5) — the crawler core.
+
+One round = one deterministic batch job over snapshot tables (reference
+worker cycle README.md:196-203 lifted to set semantics):
+
+  1. politeness quota slice (ST2/T3): per-host token bucket on the
+     virtual clock — quota(host) = floor(round_duration / crawl_delay),
+     computed BEFORE salting (a hot host must never exceed its budget);
+     within a host the score-ordered priority queue picks the batch
+     (score desc, canon_url asc — deterministic total order).
+  2. explicit repartition by (host, salt) → fetch stage (north rule:
+     salted host-hash partitioning kills hot-host skew — the reference
+     corpus put 58% of pages on one host, SURVEY.md §0).
+  3. fetch: lookup html by canonical url in the `pages` table (the
+     sandbox stand-in for HTTP GET, utils/download.py:7-21); missing
+     page → ERROR row (status-code gate P5/ST5).
+  4. extract text (F1, Arrow UDF — byte-identical per url to the
+     normative extractor) + tokenize (F2, Column exprs) + 3-gram
+     fingerprint (A9/A10).
+  5. J7 content near-dup gate: dup pages stay FETCHED but are not
+     scraped and not fingerprint-registered (ngrams.py:142-164 contract).
+  6. scrape links (scraper contract README.md:105-111) → canonicalize
+     (F8) → is_valid (P4) → robots deny (J8) → batch-distinct →
+     explicit repartition (dedup stage) → J6 trap gate → J5 URL-seen
+     (bloom fast path + exact anti-join backstop).
+  7. commit: frontier flips + new QUEUED rows, url_seen append, bloom
+     segments, fingerprints, extracted text, metrics — one atomic
+     snapshot per round (ST4: resume = read latest committed round).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from searchengine_spark.crawler import gates, urlseen
+from searchengine_spark.crawler.config import CrawlConfig, frontier_score
+from searchengine_spark.crawler.tableio import TableIO
+from searchengine_spark.functions.text import extract_links_udf, extract_text_udf, tokens_sql
+from searchengine_spark.functions.urls import canonicalize_udf, is_valid_sql
+from searchengine_spark.pycore.urltools import canonicalize
+
+FRONTIER_SCHEMA = (
+    "canon_url string, url_hash bigint, host string, score double, "
+    "status string, round_added int, round_fetched int, error string"
+)
+URL_SEEN_SCHEMA = (
+    "url_hash bigint, canon_url string, scheme string, host string, "
+    "parent_dir string, n_parts int, last_charset array<string>, round_added int"
+)
+FP_SCHEMA = "url_hash bigint, canon_url string, fp array<bigint>, round_added int"
+EXTRACTED_SCHEMA = "url_hash bigint, canon_url string, text string, round_fetched int"
+METRICS_SCHEMA = (
+    "round int, batch_size bigint, fetched_ok bigint, errors bigint, "
+    "dup_pages bigint, candidates bigint, new_urls bigint, queued_remaining bigint"
+)
+
+
+def _seen_projection(df: DataFrame, round_no: int) -> DataFrame:
+    return df.select(
+        "url_hash", "canon_url", "scheme", "host", "parent_dir", "n_parts",
+        "last_charset", F.lit(round_no).alias("round_added"),
+    )
+
+
+def init_crawl(
+    spark: SparkSession, io: TableIO, cfg: CrawlConfig, robots_df: DataFrame
+) -> None:
+    """Round 0: admit canonical seeds to frontier + url_seen, stage the
+    robots cache, build the initial bloom segments, commit."""
+    canon_seeds = sorted({c for c in (canonicalize(s) for s in cfg.seeds) if c})
+    seeds_df = spark.createDataFrame(
+        [(u,) for u in canon_seeds], "canon_url string"
+    )
+    keyed = gates.with_trap_cols(seeds_df).withColumn(
+        "url_hash", F.xxhash64("canon_url")
+    )
+    frontier0 = keyed.select(
+        "canon_url", "url_hash", "host",
+        F.lit(frontier_score(0)).alias("score"),
+        F.lit("QUEUED").alias("status"),
+        F.lit(0).alias("round_added"),
+        F.lit(-1).alias("round_fetched"),
+        F.lit(None).cast("string").alias("error"),
+    )
+    io.stage("frontier", frontier0, 0)
+    io.stage("url_seen", _seen_projection(keyed, 0), 0, mode="append")
+    io.stage("robots", robots_df, 0)
+    io.stage(
+        "bloom",
+        urlseen.build_segments(
+            _seen_projection(keyed, 0), cfg.n_bloom_segments, cfg.bloom_m_bits
+        ),
+        0,
+    )
+    io.stage("fingerprints", spark.createDataFrame([], FP_SCHEMA), 0, mode="append")
+    io.stage("extracted", spark.createDataFrame([], EXTRACTED_SCHEMA), 0, mode="append")
+    io.stage("metrics", spark.createDataFrame([], METRICS_SCHEMA), 0, mode="append")
+    io.commit_round(0)
+
+
+def run_round(
+    spark: SparkSession,
+    io: TableIO,
+    cfg: CrawlConfig,
+    pages: DataFrame,
+    round_no: int,
+) -> int:
+    """Execute one frontier round; returns the number of QUEUED urls
+    remaining after the round (0 ⇒ crawl complete, ST1 termination)."""
+    profile = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
+    _t = [time.perf_counter()]
+
+    def _mark(label: str) -> None:
+        if profile:
+            now = time.perf_counter()
+            print(f"    [round {round_no}] {label}: {now - _t[0]:.2f}s")
+            _t[0] = now
+
+    frontier = io.read("frontier", round_no - 1)
+    url_seen = io.read("url_seen", round_no - 1)
+    fps = io.read("fingerprints", round_no - 1)
+    robots = io.read("robots", round_no - 1)
+    segments = io.read("bloom", round_no - 1)
+
+    rb = F.broadcast(robots)  # J8: robots cache is a broadcast dim
+
+    # ---- 1. politeness quota + priority slice (quota BEFORE salting)
+    queued = frontier.filter(F.col("status") == "QUEUED")
+    w_host = Window.partitionBy("host").orderBy(
+        F.col("score").desc(), F.col("canon_url").asc()
+    )
+    # bounded batch ⇒ the global-order window is single-partition by
+    # design (it ranks ≤ Σ quotas rows, not the frontier)
+    w_batch = Window.orderBy(F.col("score").desc(), F.col("canon_url").asc())
+    batch = (
+        queued.join(rb.select("host", "crawl_delay"), "host", "left")
+        .withColumn(
+            "quota",
+            F.greatest(
+                F.lit(1),
+                F.least(
+                    F.lit(cfg.max_per_host_per_round),
+                    F.floor(
+                        F.lit(cfg.round_duration)
+                        / F.coalesce("crawl_delay", F.lit(cfg.default_crawl_delay))
+                    ),
+                ),
+            ),
+        )
+        .withColumn("rk", F.row_number().over(w_host))
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("canon_url", "url_hash", "host", "score", "round_added")
+        .withColumn("batch_rank", F.row_number().over(w_batch))
+    )
+
+    # ---- 2. explicit repartition: politeness-group → fetch (north rule)
+    batch = batch.withColumn(
+        "salt", F.pmod(F.col("url_hash"), F.lit(cfg.n_salts))
+    ).repartition(cfg.n_partitions, "host", "salt")
+
+    # ---- 3. fetch (simulated GET: html by canonical url)
+    fetched = batch.join(
+        pages.select(F.col("url").alias("canon_url"), "html"), "canon_url", "left"
+    ).persist()
+    _mark("plan:fetch")
+
+    ok = (
+        fetched.filter(F.col("html").isNotNull())
+        .withColumn("text", extract_text_udf("html"))
+        .withColumn("tokens", F.expr(tokens_sql("text")))
+        .withColumn("fp", F.expr(gates.fingerprint_sql("tokens", cfg.ngram_n)))
+        .select("canon_url", "url_hash", "host", "batch_rank", "html", "text", "fp")
+        .persist()
+    )
+
+    # ---- 5. J7 content near-dup gate
+    flagged = gates.content_dup_flags(
+        ok.select("url_hash", "canon_url", "batch_rank", "fp"),
+        fps,
+        cfg.ngram_threshold,
+    ).persist()
+    _mark("plan:j7")
+    clean = ok.join(
+        flagged.filter(F.col("is_dup")).select("url_hash"), "url_hash", "left_anti"
+    ).persist()
+
+    # ---- 6. scrape → candidate pipeline
+    links = clean.select(
+        F.explode(extract_links_udf("html", "canon_url")).alias("raw_url")
+    )
+    cands = (
+        links.select(canonicalize_udf("raw_url").alias("canon_url"))
+        .filter(F.col("canon_url").isNotNull())
+        .filter(F.expr(is_valid_sql("canon_url", cfg.allowed_host_re)))
+    )
+    cands = gates.with_trap_cols(cands)
+    cands = (
+        cands.withColumn(
+            "path", F.expr("coalesce(parse_url(canon_url, 'PATH'), '')")
+        )
+        .join(rb.select("host", "deny_prefixes"), "host", "left")
+        .filter(
+            "deny_prefixes IS NULL OR "
+            "NOT exists(deny_prefixes, p -> startswith(path, p))"
+        )
+        .drop("deny_prefixes", "path")
+        .dropDuplicates(["canon_url"])
+        .withColumn("url_hash", F.xxhash64("canon_url"))
+    )
+    # explicit repartition: dedup stage on (host, salt) (north rule)
+    cands = cands.withColumn(
+        "salt", F.pmod(F.col("url_hash"), F.lit(cfg.n_salts))
+    ).repartition(cfg.n_partitions, "host", "salt")
+
+    cands = gates.trap_reject(cands, url_seen, cfg.trap_threshold)  # J6
+    new_urls = urlseen.filter_new(  # J5: bloom fast path + exact backstop
+        cands, url_seen, segments, cfg.n_bloom_segments
+    ).persist()
+
+    # ---- 7. assemble + commit next snapshots
+    new_score = frontier_score(round_no)
+    new_frontier_rows = new_urls.select(
+        "canon_url", "url_hash", "host",
+        F.lit(new_score).alias("score"),
+        F.lit("QUEUED").alias("status"),
+        F.lit(round_no).alias("round_added"),
+        F.lit(-1).alias("round_fetched"),
+        F.lit(None).cast("string").alias("error"),
+    )
+    updated_batch = (
+        fetched.select(
+            "canon_url", "url_hash", "host", "score", "round_added",
+            F.when(F.col("html").isNotNull(), "FETCHED")
+            .otherwise("ERROR")
+            .alias("status"),
+            F.lit(round_no).alias("round_fetched"),
+            F.when(F.col("html").isNull(), "HTTP 404")
+            .otherwise(F.lit(None).cast("string"))
+            .alias("error"),
+        )
+    )
+    frontier_next = (
+        frontier.join(batch.select("url_hash"), "url_hash", "left_anti")
+        .select(*[c for c in frontier.columns])
+        .unionByName(updated_batch.select(*frontier.columns))
+        .unionByName(new_frontier_rows.select(*frontier.columns))
+    ).persist()
+
+    # append-mode snapshots: each round writes only its DELTA (Iceberg
+    # append-files shape — a round is O(new rows), never O(table))
+    _mark("plans")
+    if profile:
+        fetched.count()
+        _mark("mat:fetched")
+        ok.count()
+        _mark("mat:extract")
+        flagged.count()
+        _mark("mat:j7")
+        clean.count()
+        _mark("mat:clean")
+        new_urls.count()
+        _mark("mat:candidates+j6+j5")
+    io.stage("frontier", frontier_next, round_no)
+    _mark("stage:frontier")
+    io.stage(
+        "url_seen", _seen_projection(new_urls, round_no), round_no, mode="append"
+    )
+    _mark("stage:url_seen")
+    io.stage(
+        "fingerprints",
+        clean.select(
+            "url_hash", "canon_url", "fp", F.lit(round_no).alias("round_added")
+        ),
+        round_no,
+        mode="append",
+    )
+    io.stage(
+        "extracted",
+        clean.select(
+            "url_hash", "canon_url", "text", F.lit(round_no).alias("round_fetched")
+        ),
+        round_no,
+        mode="append",
+    )
+    _mark("stage:fps+extracted")
+    # incremental bloom: build segments over the delta, OR-merge with prev
+    delta_segs = urlseen.build_segments(
+        _seen_projection(new_urls, round_no), cfg.n_bloom_segments, cfg.bloom_m_bits
+    )
+    io.stage("bloom", urlseen.merge_segments(segments, delta_segs), round_no)
+    _mark("stage:bloom")
+
+    # single-job metrics: one action over the persisted round DataFrames
+    # (crossJoin of four 1-row aggregates) instead of four count() jobs
+    counts = (
+        fetched.agg(
+            F.count("*").alias("batch_size"), F.count("html").alias("fetched_ok")
+        )
+        .crossJoin(
+            flagged.agg(
+                F.coalesce(F.sum(F.col("is_dup").cast("long")), F.lit(0)).alias(
+                    "dup_pages"
+                )
+            )
+        )
+        .crossJoin(new_urls.agg(F.count("*").alias("n_new")))
+        .crossJoin(
+            frontier_next.agg(
+                F.sum((F.col("status") == "QUEUED").cast("long")).alias(
+                    "queued_remaining"
+                )
+            )
+        )
+        .collect()[0]
+    )
+    batch_size, fetched_ok = counts["batch_size"], counts["fetched_ok"]
+    queued_remaining = counts["queued_remaining"]
+    io.stage(
+        "metrics",
+        spark.createDataFrame(
+            [
+                (
+                    round_no, batch_size, fetched_ok, batch_size - fetched_ok,
+                    counts["dup_pages"], None, counts["n_new"], queued_remaining,
+                )
+            ],
+            METRICS_SCHEMA,
+        ),
+        round_no,
+        mode="append",
+    )
+    io.commit_round(round_no)
+    _mark("metrics+commit")
+
+    for df in (fetched, ok, flagged, clean, new_urls, frontier_next):
+        df.unpersist()
+    return queued_remaining
+
+
+def crawl(
+    spark: SparkSession,
+    io: TableIO,
+    cfg: CrawlConfig,
+    pages: DataFrame,
+    robots_df: DataFrame | None = None,
+    max_rounds: int = 50,
+) -> int:
+    """Run (or RESUME — ST4) the crawl until the frontier drains or
+    max_rounds is hit; returns the last executed round number."""
+    if io.latest_round() is None:
+        assert robots_df is not None, "first run needs the robots table"
+        init_crawl(spark, io, cfg, robots_df)
+    r = io.latest_round()
+    while r < max_rounds:
+        r += 1
+        remaining = run_round(spark, io, cfg, pages, r)
+        if remaining == 0:
+            break
+    return io.latest_round()
+
+
+def crawl_order(io: TableIO, round_no: int | None = None) -> list[str]:
+    """The deterministic crawl-order record: fetched urls sorted by
+    (round_fetched, score desc, canon_url) — the parity surface vs the
+    single-node oracle."""
+    frontier = io.read("frontier", round_no)
+    rows = (
+        frontier.filter(F.col("round_fetched") >= 0)
+        .select("round_fetched", "score", "canon_url")
+        .orderBy(
+            F.col("round_fetched").asc(), F.col("score").desc(),
+            F.col("canon_url").asc(),
+        )
+        .collect()
+    )
+    return [r["canon_url"] for r in rows]

@@ -1,0 +1,175 @@
+"""URL-seen dedup: bloom-segment fast path + exact anti-join backstop (J5).
+
+Reference semantics: the frontier must never re-admit a seen URL
+(README.md:166-169), keyed by a url hash (utils/__init__.py:25-30 —
+rebuilt as xxhash64(canon_url), SURVEY.md §2.8 F7). The north rule makes
+the *mechanism* explicit at 10^10 scale: per-partition bloom filter
+segments built and probed inside vectorized Arrow UDFs, checkpointed per
+round, with the exact anti-join as the correctness oracle — a bloom
+false positive must never drop a URL, so the bloom only short-circuits
+definite-new URLs and every "maybe seen" falls back to the exact
+anti-join.
+
+Segmentation: segment_id = pmod(url_hash, n_segments) — the same hash
+partitioning the frontier tables use, so at cluster scale each executor
+builds/probes only its co-located segments. Bits are double-hashed
+(Kirsch-Mitzenmacher: pos_i = h1 + i*h2 mod m) from the 64-bit url hash;
+all arithmetic is vectorized numpy inside Arrow batches — no per-row
+Python (input_hint mandate).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_K = 8  # hash functions; with 16 bits/item → FP ≈ 5e-4
+
+SEGMENT_SCHEMA = "segment_id int, bloom binary, n_items bigint, m_bits bigint"
+
+
+def _h1h2(url_hash: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    h = url_hash.astype(np.int64).view(np.uint64)
+    h1 = h
+    h2 = (h * np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)  # odd stride
+    return h1, h2
+
+
+def _set_bits(bits: np.ndarray, h1: np.ndarray, h2: np.ndarray, m: int) -> None:
+    for i in range(_K):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        np.bitwise_or.at(bits, (idx >> np.uint64(3)).astype(np.int64),
+                         (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8)))
+
+
+def _test_bits(bits: np.ndarray, h1: np.ndarray, h2: np.ndarray, m: int) -> np.ndarray:
+    out = np.ones(len(h1), dtype=bool)
+    for i in range(_K):
+        idx = (h1 + np.uint64(i) * h2) % np.uint64(m)
+        byte = bits[(idx >> np.uint64(3)).astype(np.int64)]
+        out &= (byte & (np.uint8(1) << (idx & np.uint64(7)).astype(np.uint8))) != 0
+    return out
+
+
+DEFAULT_M_BITS = 1 << 17  # 16 KiB/segment; sized per expected partition load
+
+
+def build_segments(
+    url_seen: DataFrame, n_segments: int = 16, m_bits: int = DEFAULT_M_BITS
+) -> DataFrame:
+    """url_seen(url_hash, ...) → (segment_id, bloom, n_items, m_bits); one
+    FIXED-SIZE bloom per hash segment, built in applyInPandas
+    (per-partition at cluster scale — segments co-located with their
+    frontier partition). Fixed m ⇒ segments from different rounds are
+    OR-mergeable (merge_segments), so each round builds only the DELTA
+    over its new urls — an O(new) incremental checkpoint, never O(seen)."""
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["segment_id"].iloc[0])
+        hashes = pdf["url_hash"].to_numpy()
+        bits = np.zeros(m_bits // 8, dtype=np.uint8)
+        h1, h2 = _h1h2(hashes)
+        _set_bits(bits, h1, h2, m_bits)
+        return pd.DataFrame(
+            {
+                "segment_id": [seg],
+                "bloom": [bits.tobytes()],
+                "n_items": [len(hashes)],
+                "m_bits": [m_bits],
+            }
+        )
+
+    return (
+        url_seen.select(
+            F.pmod(F.col("url_hash"), F.lit(n_segments)).cast("int").alias("segment_id"),
+            "url_hash",
+        )
+        .groupBy("segment_id")
+        .applyInPandas(_build, schema=SEGMENT_SCHEMA)
+    )
+
+
+def merge_segments(prev: DataFrame, delta: DataFrame) -> DataFrame:
+    """OR-merge two fixed-size segment sets by segment_id (grouped-map
+    over the union — per-partition at cluster scale)."""
+
+    def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        seg = int(pdf["segment_id"].iloc[0])
+        m = int(pdf["m_bits"].max())
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        for blob in pdf["bloom"]:
+            bits |= np.frombuffer(blob, dtype=np.uint8)
+        return pd.DataFrame(
+            {
+                "segment_id": [seg],
+                "bloom": [bits.tobytes()],
+                "n_items": [int(pdf["n_items"].sum())],
+                "m_bits": [m],
+            }
+        )
+
+    return (
+        prev.unionByName(delta)
+        .groupBy("segment_id")
+        .applyInPandas(_merge, schema=SEGMENT_SCHEMA)
+    )
+
+
+def probe_maybe_seen(
+    candidates: DataFrame, segments: DataFrame, n_segments: int = 16
+) -> DataFrame:
+    """Adds boolean `maybe_seen` to candidates(url_hash, ...). False ⇒
+    definitely new (bloom has no false negatives). Segments are broadcast
+    (n_segments × ~KB–MB blobs — tiny next to the candidate stream)."""
+    seg_rows = segments.collect()
+    blooms = {
+        int(r["segment_id"]): (
+            np.frombuffer(r["bloom"], dtype=np.uint8),
+            int(r["m_bits"]),
+        )
+        for r in seg_rows
+    }
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast(blooms)
+
+    @F.pandas_udf("boolean")
+    def _probe(url_hash: pd.Series) -> pd.Series:
+        table = bc.value
+        h = url_hash.to_numpy()
+        segs = (h % n_segments + n_segments) % n_segments
+        out = np.zeros(len(h), dtype=bool)
+        for seg in np.unique(segs):
+            entry = table.get(int(seg))
+            if entry is None:
+                continue
+            bits, m = entry
+            mask = segs == seg
+            h1, h2 = _h1h2(h[mask])
+            out[mask] = _test_bits(bits, h1, h2, m)
+        return pd.Series(out)
+
+    return candidates.withColumn("maybe_seen", _probe(F.col("url_hash")))
+
+
+def filter_new(
+    candidates: DataFrame,
+    url_seen: DataFrame,
+    segments: DataFrame | None = None,
+    n_segments: int = 16,
+) -> DataFrame:
+    """Rows of `candidates` whose url_hash is NOT in url_seen.
+
+    With segments: bloom gates the fast path (definite-new rows skip the
+    shuffle entirely); only `maybe_seen` rows pay the exact anti-join.
+    Identical output to the plain anti-join by construction (tested)."""
+    if segments is None:
+        return candidates.join(url_seen.select("url_hash"), "url_hash", "left_anti")
+    probed = probe_maybe_seen(candidates, segments, n_segments)
+    definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
+    suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed_new = suspects.join(
+        url_seen.select("url_hash"), "url_hash", "left_anti"
+    )
+    return definite_new.unionByName(confirmed_new)

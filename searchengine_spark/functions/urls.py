@@ -68,5 +68,8 @@ def is_valid_sql(url_expr: str, allowed_host_re: str | None = None) -> str:
         f" AND NOT ({path} RLIKE '{ext_pattern}')"
     )
     if allowed_host_re:
-        cond += f" AND {host} RLIKE '{allowed_host_re}'"
+        # same escaping rule as ext_pattern: the SQL string literal
+        # consumes one backslash level
+        sql_re = allowed_host_re.replace("\\", "\\\\")
+        cond += f" AND {host} RLIKE '{sql_re}'"
     return cond

@@ -99,7 +99,9 @@ def test_is_valid_sql_parity(spark):
     got = [
         r["v"]
         for r in df.select(
-            F.expr(is_valid_sql("url", r"\\.ics\\.uci\\.edu$")).alias("v")
+            # same plain regex string as the Python side — is_valid_sql
+            # handles the SQL string-literal escaping itself
+            F.expr(is_valid_sql("url", r"\.ics\.uci\.edu$")).alias("v")
         ).collect()
     ]
     assert got == [is_valid_url(u, r"\.ics\.uci\.edu$") for u in raw]
