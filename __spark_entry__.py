@@ -22,7 +22,11 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from searchengine_spark.operators import dedup as DD
+from searchengine_spark.operators import multimodal as MM
 from searchengine_spark.operators import query as Q
+from searchengine_spark.operators import simsearch as SS
+from searchengine_spark.operators import textstats as TS
 from searchengine_spark.operators import tfidf as TF
 
 
@@ -154,6 +158,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    # ---- training-data pipeline operators (SURVEY.md §2 + dedup/ANN/
+    # text-analysis/multimodal suite) ---------------------------------
+
+    def q_exact_dedup(spark, sf):
+        return DD.exact_dedup(_docs(spark, sf))
+
+    def q_ngram_pairs(spark, sf):
+        return _r(DD.ngram_dup_pairs(_docs(spark, sf), 0.7), "j")
+
+    def q_minhash_pairs(spark, sf):
+        # LSH-proposed, exact-verified: output equals the exact pair set
+        # (recall tuned so P[miss | j≥0.7] < 1e-9; oracle = exact SQL)
+        return _r(DD.minhash_lsh_pairs(_docs(spark, sf), 0.7), "j")
+
+    def q_simhash_pairs(spark, sf):
+        return DD.simhash_dup_pairs(_docs(spark, sf), 3)
+
+    def q_embed_pairs(spark, sf):
+        return _r(
+            DD.embedding_dup_pairs(
+                spark.read.parquet(os.path.join(sf, "embeddings.parquet")), 0.3
+            ),
+            "cosine",
+        )
+
+    def _query_vec(spark, sf):
+        row = (
+            spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+            .filter(F.col("vec_id") == 0)
+            .select("embedding")
+            .collect()
+        )
+        return [float(x) for x in row[0]["embedding"]]
+
+    def q_ann_topk(spark, sf):
+        emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        return _r(SS.brute_topk(emb, _query_vec(spark, sf), 10), "cosine")
+
+    def q_ann_lsh(spark, sf):
+        emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        return _r(SS.lsh_topk(emb, _query_vec(spark, sf), 10), "cosine")
+
+    def q_token_stats(spark, sf):
+        return _r(TS.token_stats(_docs(spark, sf)), "mean_token_len")
+
+    def q_quality(spark, sf):
+        return _r(
+            TS.quality_scores(_docs(spark, sf)),
+            "alnum_ratio",
+            "stop_ratio",
+            "quality",
+        )
+
+    def q_lang_id(spark, sf):
+        return TS.lang_id(_docs(spark, sf))
+
+    def q_fingerprint(spark, sf):
+        return TS.doc_fingerprint(_docs(spark, sf))
+
+    def q_media_features(spark, sf):
+        media = MM.media_table(_docs(spark, sf))
+        return MM.byte_histogram_features(media).select(
+            "media_id", "n_bytes", F.round("entropy", 9).alias("entropy")
+        )
+
+    def q_frame_sample(spark, sf):
+        return MM.frame_sample(MM.media_table(_docs(spark, sf)))
+
+    def q_seen_antijoin(spark, sf):
+        # J5 shape on driver tables: "candidate not in seen-set" =
+        # customers that never appear as an event actor (non-empty:
+        # events covers a small user_id prefix of the customer keyspace)
+        cust = spark.read.parquet(os.path.join(sf, "customer.parquet"))
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return cust.select("c_custkey").join(
+            ev.select(F.col("user_id").alias("c_custkey")),
+            "c_custkey",
+            "left_anti",
+        )
+
     return {
         "tf": q_tf,
         "doc_freq": q_doc_freq,
@@ -164,7 +248,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk": q_topk,
         "index_analytics": q_analytics,
         "window_quota": q_window_quota,
+        "exact_dedup": q_exact_dedup,
+        "ngram_pairs": q_ngram_pairs,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "embed_pairs": q_embed_pairs,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "token_stats": q_token_stats,
+        "quality": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
+        "seen_antijoin": q_seen_antijoin,
     }
+
+
+# Order-preserving token list as a DuckDB list expression (no unnest —
+# keeps document order for the rolling fingerprint); identical semantics
+# to tokens_sql / pycore.tokenize.
+_DUCK_TL = (
+    "list_filter(list_transform(regexp_split_to_array(lower(text), "
+    "'[^a-z0-9'']+'), t -> trim(t, ' ''')), "
+    "t -> t <> '' AND length(t) <= 10000)"
+)
+
+# distinct word-3-gram strings (stride 3, ragged tail kept) — the string
+# form of the fingerprint (hash-free: Jaccard over gram strings equals
+# Jaccard over xxhash64 gram hashes absent 64-bit collisions)
+_DUCK_GRAMS = (
+    "list_distinct(list_transform(range(CAST(ceil(len(tl)/3.0) AS BIGINT)), "
+    "i -> array_to_string(tl[i*3+1 : i*3+3], '')))"
+)
+
+_DUCK_NGRAM_PAIRS = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+g AS (SELECT doc_id, {_DUCK_GRAMS} AS gs FROM toks)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.gs, b.gs))), 9) AS j
+FROM g a JOIN g b ON a.doc_id < b.doc_id
+WHERE len(list_intersect(a.gs, b.gs)) > 0
+  AND CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7"""
+
+_DUCK_COS = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+_DUCK_QCOS = (
+    "CASE WHEN list_dot_product(q.qv, q.qv) = 0.0 OR "
+    "list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) = 0.0 "
+    "THEN 0.0 ELSE "
+    "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) / "
+    "(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(q.qv, q.qv))) END"
+)
+
+_EN = ", ".join(f"'{w}'" for w in TS.STOPWORDS["en"])
+_LANG_HITS = ", ".join(
+    "len(list_filter(tl, t -> t IN ("
+    + ", ".join(f"'{w}'" for w in TS.STOPWORDS[lang])
+    + f"))) AS h_{lang}"
+    for lang in TS.LANG_ORDER
+)
+_LANG_BEST = "greatest(" + ", ".join(f"h_{lang}" for lang in TS.LANG_ORDER) + ")"
+_LANG_CASE = (
+    "CASE WHEN " + _LANG_BEST + " = 0 THEN 'und' "
+    + " ".join(
+        f"WHEN h_{lang} = {_LANG_BEST} THEN '{lang}'" for lang in TS.LANG_ORDER
+    )
+    + " END"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -233,4 +391,62 @@ WITH ranked AS (
 )
 SELECT event_type, event_id, round(value, 9) AS value, rk
 FROM ranked WHERE rk <= 5""",
+        "exact_dedup": (
+            "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, "
+            "count(*) AS n_dups FROM documents GROUP BY md5(text)"
+        ),
+        "ngram_pairs": _DUCK_NGRAM_PAIRS,
+        # minhash_pairs is LSH-proposed but exact-verified, and the band
+        # parameters make a miss at j≥0.7 cryptographically unlikely —
+        # its oracle IS the exact pair set
+        "minhash_pairs": _DUCK_NGRAM_PAIRS,
+        "embed_pairs": f"""
+SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, round({_DUCK_COS}, 9) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_DUCK_COS} >= 0.3""",
+        "ann_topk": f"""
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id, round({_DUCK_QCOS}, 9) AS cosine
+FROM embeddings e, q
+ORDER BY {_DUCK_QCOS} DESC, e.vec_id ASC LIMIT 10""",
+        "token_stats": f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents)
+SELECT doc_id, len(tl) AS n_tokens, len(list_distinct(tl)) AS n_distinct_tokens,
+  round(CASE WHEN len(tl) = 0 THEN 0.0
+    ELSE CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      list_transform(tl, t -> CAST(length(t) AS BIGINT))), (a, x) -> a + x) AS DOUBLE)
+      / len(tl) END, 9) AS mean_token_len
+FROM toks""",
+        "quality": f"""
+WITH toks AS (SELECT doc_id, text, {_DUCK_TL} AS tl FROM documents),
+b AS (SELECT doc_id, length(text) AS n_chars,
+  CASE WHEN length(text) = 0 THEN 0.0
+    ELSE CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS DOUBLE)
+      / length(text) END AS alnum_ratio,
+  CASE WHEN len(tl) = 0 THEN 0.0
+    ELSE CAST(len(list_filter(tl, t -> t IN ({_EN}))) AS DOUBLE) / len(tl)
+  END AS stop_ratio,
+  len(tl) AS nt FROM toks)
+SELECT doc_id, n_chars, round(alnum_ratio, 9) AS alnum_ratio,
+  round(stop_ratio, 9) AS stop_ratio,
+  round(0.4*alnum_ratio + 0.4*least(1.0, 5.0*stop_ratio)
+        + 0.2*least(1.0, CAST(nt AS DOUBLE)/256.0), 9) AS quality
+FROM b""",
+        "lang_id": f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+h AS (SELECT doc_id, {_LANG_HITS} FROM toks)
+SELECT doc_id, {_LANG_CASE} AS lang_pred FROM h""",
+        "fingerprint": f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents)
+SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+  list_transform(tl, t -> CAST(length(t)*31 + ascii(substring(t,1,1)) AS BIGINT))),
+  (acc, x) -> (acc * 131 + x) % 1000000007) AS fingerprint
+FROM toks""",
+        "seen_antijoin": (
+            "SELECT c_custkey FROM customer "
+            "WHERE c_custkey NOT IN (SELECT user_id FROM events)"
+        ),
+        # simhash_pairs / ann_lsh / media_features / frame_sample are
+        # deliberately rows-only: they depend on xxhash64 / seeded
+        # hyperplanes / binary payload processing DuckDB cannot replicate
     }

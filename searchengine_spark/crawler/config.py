@@ -35,6 +35,10 @@ class CrawlConfig:
     n_bloom_segments: int = 16
     bloom_m_bits: int = 1 << 17
 
+    # ---- per-round metrics: full (counts per stage) or light (only the
+    # queued-remaining count needed for loop control) — the bench path
+    light_metrics: bool = False
+
     # ---- dedup gates
     ngram_threshold: float = 0.65  # J7 (reference ngrams.py:11)
     ngram_n: int = 3

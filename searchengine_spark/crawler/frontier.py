@@ -264,7 +264,7 @@ def run_round(
         _mark("mat:clean")
         new_urls.count()
         _mark("mat:candidates+j6+j5")
-    io.stage("frontier", frontier_next, round_no)
+    io.stage("frontier", frontier_next, round_no, n_files=cfg.n_partitions)
     _mark("stage:frontier")
     io.stage(
         "url_seen", _seen_projection(new_urls, round_no), round_no, mode="append"
@@ -285,6 +285,8 @@ def run_round(
         ),
         round_no,
         mode="append",
+        n_files=cfg.n_partitions,  # the text corpus is the big payload —
+        # writers must scale with the cluster, not the compaction floor
     )
     _mark("stage:fps+extracted")
     # incremental bloom: build segments over the delta, OR-merge with prev
@@ -293,6 +295,26 @@ def run_round(
     )
     io.stage("bloom", urlseen.merge_segments(segments, delta_segs), round_no)
     _mark("stage:bloom")
+
+    if cfg.light_metrics:
+        # bench path: one count for loop control, metrics row minimal
+        queued_remaining = frontier_next.filter(
+            F.col("status") == "QUEUED"
+        ).count()
+        io.stage(
+            "metrics",
+            spark.createDataFrame(
+                [(round_no, None, None, None, None, None, None, queued_remaining)],
+                METRICS_SCHEMA,
+            ),
+            round_no,
+            mode="append",
+        )
+        io.commit_round(round_no)
+        _mark("metrics+commit")
+        for df in (fetched, ok, flagged, clean, new_urls, frontier_next):
+            df.unpersist()
+        return queued_remaining
 
     # single-job metrics: one action over the persisted round DataFrames
     # (crossJoin of four 1-row aggregates) instead of four count() jobs

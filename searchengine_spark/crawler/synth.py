@@ -79,6 +79,7 @@ def gen_corpus(
     seed: int = 42,
     n_hosts: int | None = None,
     body_scale: int = 1,
+    body_repeat: int = 1,
 ):
     """Returns (pages, robots, seeds):
     pages:  list[(url, warc_ts, html: bytes, text, lang)]
@@ -92,6 +93,14 @@ def gen_corpus(
     (bench corpora use heavier pages so extraction dominates overhead).
     """
     rng = random.Random(seed)
+
+    def body(n: int) -> str:
+        # body_repeat tiles one random base paragraph: page bytes (and
+        # extraction/tokenize work) scale with repeat while the distinct
+        # n-gram set stays bounded — heavy pages, cheap generation
+        base = _para(rng, n)
+        return " ".join([base] * body_repeat) if body_repeat > 1 else base
+
     if n_hosts is None:
         weights = HOST_WEIGHTS
     else:
@@ -132,7 +141,7 @@ def gen_corpus(
             ("/private/admin", "admin"),
         ]
         pages[root(host)] = _page_html(
-            rng, f"{host} home", _para(rng, 60 * body_scale), root_links
+            rng, f"{host} home", body(60 * body_scale), root_links
         )
 
         # section index pages (canonical url has no trailing slash)
@@ -156,7 +165,7 @@ def gen_corpus(
                 sl.append((f"/sec{s + 1}/", "next section"))
             sl.append(("/", "home"))
             pages[f"{root(host)}/sec{s}"] = _page_html(
-                rng, f"{host} sec{s}", _para(rng, 40 * body_scale), sl
+                rng, f"{host} sec{s}", body(40 * body_scale), sl
             )
 
         # leaf pages
@@ -171,7 +180,7 @@ def gen_corpus(
                 if rng.random() < 0.05:
                     links.append((f"/missing/x{hi}-{s}-{i}", "dangling"))
                 pages[purl] = _page_html(
-                    rng, f"{host} sec{s} p{i}", _para(rng, rng.randrange(40, 120) * body_scale), links
+                    rng, f"{host} sec{s} p{i}", body(rng.randrange(40, 120) * body_scale), links
                 )
 
     h0 = hosts[0]
@@ -197,7 +206,7 @@ def gen_corpus(
     # ---- near-duplicate pair: /dup/near is ~95% the text of sec0/p0 and
     # holds the ONLY link to /dup/orphan (unreachable iff J7 fires).
     donor_url = f"{root(h0)}/sec0/p0"
-    donor_body = _para(rng, 200 * body_scale)
+    donor_body = body(200 * body_scale)
     pages[donor_url] = _page_html(
         rng, "donor", donor_body, [("/dup/near", "shadow"), ("/", "home")]
     )
@@ -250,10 +259,10 @@ ROBOTS_SCHEMA = "host string, deny_prefixes array<string>, crawl_delay double"
 
 def pages_df(
     spark, n_pages: int = 500, seed: int = 42,
-    n_hosts: int | None = None, body_scale: int = 1,
+    n_hosts: int | None = None, body_scale: int = 1, body_repeat: int = 1,
 ):
     """(pages_df, robots_df, seeds) as Spark DataFrames."""
-    rows, robots, seeds = gen_corpus(n_pages, seed, n_hosts, body_scale)
+    rows, robots, seeds = gen_corpus(n_pages, seed, n_hosts, body_scale, body_repeat)
     pdf = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
     rdf = spark.createDataFrame(robots, schema=ROBOTS_SCHEMA)
     return pdf, rdf, seeds

@@ -1,0 +1,325 @@
+"""Document deduplication suite — the training-data-pipeline operators a
+100 TB corpus needs (exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine), each over the `documents` / `embeddings` tables.
+
+Lineage: the crawler's J7 gate (reference ngrams.py:80-101) generalized
+from a crawl-time filter to corpus-scale batch operators. All pair
+outputs are canonical (doc_a < doc_b) and deterministic.
+
+Scale notes:
+  * exact dedup is one hash-groupBy (map-side partial agg, single
+    shuffle on the content hash);
+  * n-gram Jaccard uses the exact prefix-filter pre-join from
+    crawler/gates.py (rarest-⌊(1-t)|fp|⌋+1-gram probing + size filter)
+    — never all-pairs;
+  * MinHash+LSH is the sub-quadratic scale path: banded signature
+    buckets → candidate pairs → EXACT Jaccard verify, so false
+    positives cost only a verify and the output is exact-Jaccard-true
+    (recall is the tunable; 64 perms / 32 bands × 2 rows keeps
+    P[miss | J≥0.7] < 1e-9);
+  * SimHash buckets by 16-bit bands of the 64-bit signature (a pair
+    within Hamming distance 3 must agree on ≥1 of 4 bands — exact by
+    pigeonhole);
+  * embedding near-dup joins only within coarse LSH buckets at scale;
+    the sandbox-scale form verifies all-pairs cosine exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from searchengine_spark.crawler.gates import _prefix_grams, fingerprint_sql
+from searchengine_spark.functions.text import tokens_sql
+
+# Mersenne-31 modulus: keeps a·x + b inside int64 (Spark 4 runs ANSI —
+# a 61-bit modulus would overflow bigint multiplication and throw)
+_MERSENNE = (1 << 31) - 1
+
+
+def doc_fingerprints(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, fp array<bigint>) — distinct hashes of non-overlapping
+    word n-grams of the normative tokens (A9/A10)."""
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(fingerprint_sql(tokens_sql(text_col), n)).alias("fp"),
+    )
+
+
+# ------------------------------------------------------------ exact dedup
+
+
+def exact_dedup(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact duplicate groups by content hash: (text_md5, keep_id,
+    n_dups). keep_id = min doc_id (deterministic representative). md5 is
+    used (not xxhash64) so the DuckDB oracle computes the identical key.
+    One hash-groupBy — partial aggregation map-side, single shuffle."""
+    return (
+        documents.select(F.col(id_col).alias("doc_id"), F.md5(text_col).alias("text_md5"))
+        .groupBy("text_md5")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+# ----------------------------------------------------- n-gram Jaccard pairs
+
+_PAIR_JACCARD = (
+    "CASE WHEN size(array_union(fp_a, fp_b)) = 0 THEN CAST(0.0 AS double) "
+    "ELSE CAST(size(array_intersect(fp_a, fp_b)) AS double) "
+    "/ size(array_union(fp_a, fp_b)) END"
+)
+
+
+def _verify_pairs(pairs: DataFrame, fps: DataFrame, threshold: float) -> DataFrame:
+    """(doc_a, doc_b) candidates → exact-Jaccard-verified pairs with j."""
+    out = (
+        pairs.join(
+            fps.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a")),
+            "doc_a",
+        )
+        .join(
+            fps.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b")),
+            "doc_b",
+        )
+        .withColumn("j", F.expr(_PAIR_JACCARD))
+        .filter(F.col("j") >= threshold)
+        .select("doc_a", "doc_b", "j")
+    )
+    return out
+
+
+def ngram_dup_pairs(
+    documents: DataFrame,
+    threshold: float = 0.7,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """All pairs (doc_a < doc_b) with n-gram-set Jaccard ≥ threshold —
+    EXACT, via the prefix-filter pre-join (no all-pairs scan)."""
+    fps = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(fingerprint_sql(tokens_sql(text_col), n)).alias("fp"),
+    ).persist()
+    left = fps.select(F.col("doc_id").alias("url_hash"), "fp")
+    lg = _prefix_grams(left, threshold).select(
+        F.col("url_hash").alias("doc_a"), "gram"
+    )
+    rg = fps.select(F.col("doc_id").alias("doc_b"), F.explode("fp").alias("gram"))
+    cands = (
+        lg.join(rg, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    out = _verify_pairs(cands, fps, threshold)
+    return out
+
+
+# ------------------------------------------------------------- MinHash+LSH
+
+
+def minhash_signatures(
+    fps: DataFrame, n_perm: int = 64, seed: int = 7
+) -> DataFrame:
+    """(doc_id, sig array<bigint>) — n_perm min-hash values via universal
+    hashing h_i(x) = (a_i·x + b_i) mod p over the gram hashes. Pure
+    Column exprs (transform over a literal coefficient array) — JVM-side,
+    no UDF. Empty fingerprint ⇒ sig of p (sentinel, never matches)."""
+    # deterministic odd coefficients derived from the seed (no Python
+    # hash(), no randomness at plan-build time)
+    coeffs = [
+        (
+            (0x9E3779B97F4A7C15 * (seed + 2 * i + 1)) % _MERSENNE | 1,
+            (0xC2B2AE3D27D4EB4F * (seed + 2 * i + 2)) % _MERSENNE,
+        )
+        for i in range(n_perm)
+    ]
+    sig_exprs = ", ".join(
+        # (a*x + b) mod p with x mapped to unsigned via & mask on 61 bits
+        f"aggregate(fp, CAST({_MERSENNE} AS bigint), "
+        f"(acc, x) -> least(acc, pmod({a}L * pmod(x, {_MERSENNE}L) + {b}L, {_MERSENNE}L)))"
+        for a, b in coeffs
+    )
+    return fps.selectExpr("doc_id", f"array({sig_exprs}) AS sig")
+
+
+def minhash_lsh_pairs(
+    documents: DataFrame,
+    threshold: float = 0.7,
+    n_perm: int = 64,
+    bands: int = 32,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-verified: band buckets propose,
+    exact n-gram Jaccard disposes (output rows all truly ≥ threshold).
+    Sub-quadratic: the only join is on (band_id, band_hash) buckets."""
+    assert n_perm % bands == 0
+    rows_per_band = n_perm // bands
+    fps = documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(fingerprint_sql(tokens_sql(text_col), n)).alias("fp"),
+    ).persist()
+    sigs = minhash_signatures(fps, n_perm)
+    banded = sigs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> "
+                f"struct(b AS band_id, "
+                f"xxhash64(array_join(slice(sig, b * {rows_per_band} + 1, "
+                f"{rows_per_band}), ',')) AS band_hash))"
+            )
+        ).alias("bh"),
+    ).select("doc_id", "bh.band_id", "bh.band_hash")
+    cands = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            ["band_id", "band_hash"],
+        )
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    return _verify_pairs(cands, fps, threshold)
+
+
+# ----------------------------------------------------------------- SimHash
+
+
+def _simhash_pack_udf():
+    @F.pandas_udf("bigint")
+    def _pack(hs: pd.Series) -> pd.Series:
+        out = np.empty(len(hs), dtype=np.int64)
+        shifts = np.arange(64, dtype=np.uint64)
+        for i, arr in enumerate(hs):
+            if arr is None or len(arr) == 0:
+                out[i] = 0
+                continue
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            # bit b of the signature = majority vote of bit b over tokens
+            votes = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            bits = (2 * votes > len(h)).astype(np.uint64)
+            out[i] = (bits << shifts).sum(dtype=np.uint64).view(np.int64)
+        return pd.Series(out)
+
+    return _pack
+
+
+def simhash_signatures(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, simhash bigint) — 64-bit SimHash over the normative
+    tokens. Token hashing stays JVM-side (transform + xxhash64); the
+    64-lane majority vote + bit packing is a vectorized Arrow UDF
+    (numpy) — a 64-term Column expression would re-walk the hash array
+    per bit, interpreted (measured ~100× slower)."""
+    toks = tokens_sql(text_col)
+    hashed = documents.selectExpr(
+        f"{id_col} AS doc_id", f"transform({toks}, t -> xxhash64(t)) AS hs"
+    )
+    return hashed.select("doc_id", _simhash_pack_udf()(F.col("hs")).alias("simhash"))
+
+
+def simhash_dup_pairs(
+    documents: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Pairs within Hamming distance ≤ max_hamming of their SimHashes.
+    Banded exact pre-join: split the 64-bit signature into max_hamming+1
+    bands — pigeonhole guarantees every qualifying pair collides on ≥1
+    whole band. Hamming via bit_count(xor)."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    sigs = simhash_signatures(documents, id_col, text_col).persist()
+    banded = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}), b -> struct(b AS band_id, "
+                f"shiftright(simhash, b * {width}) & {(1 << width) - 1} AS band_val))"
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", "bv.band_id", "bv.band_val")
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band_id", "band_val"])
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+    return pairs
+
+
+# --------------------------------------------------- embedding cosine dups
+
+_COSINE = (
+    "CASE WHEN na = 0.0 OR nb = 0.0 THEN CAST(0.0 AS double) "
+    "ELSE dot / (sqrt(na) * sqrt(nb)) END"
+)
+
+
+def _with_cosine(pairs: DataFrame) -> DataFrame:
+    """pairs with va/vb array<double> → + cosine (zip_with dot product,
+    sequential sum — deterministic order, JVM-side)."""
+    return (
+        pairs.withColumn(
+            "dot",
+            F.expr("aggregate(zip_with(va, vb, (x, y) -> x * y), 0.0D, (a, x) -> a + x)"),
+        )
+        .withColumn("na", F.expr("aggregate(va, 0.0D, (a, x) -> a + x * x)"))
+        .withColumn("nb", F.expr("aggregate(vb, 0.0D, (a, x) -> a + x * x)"))
+        .withColumn("cosine", F.expr(_COSINE))
+    )
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Pairs (a < b) with cosine ≥ threshold. Sandbox-scale exact
+    all-pairs (n² bounded); at corpus scale the same verify runs inside
+    random-hyperplane LSH buckets (see simsearch.lsh_topk)."""
+    vecs = embeddings.select(
+        F.col(id_col).alias("vid"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS double))").alias("v"),
+    )
+    pairs = (
+        vecs.select(F.col("vid").alias("doc_a"), F.col("v").alias("va"))
+        .crossJoin(
+            vecs.select(F.col("vid").alias("doc_b"), F.col("v").alias("vb"))
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    return (
+        _with_cosine(pairs)
+        .filter(F.col("cosine") >= threshold)
+        .select("doc_a", "doc_b", "cosine")
+    )

@@ -1,0 +1,149 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines.
+
+Media ride as opaque `binary` columns with typed metadata, processed by
+Arrow-batched `mapInPandas` — the schema, partitioning, UDF signatures
+and batch shapes are real and tested; only the codec step is stubbed
+(the image/audio libraries are not in this container): `decode_image`
+raises NotImplementedError unless PIL is importable, and the tested path
+uses deterministic byte-level features instead (byte histograms, block
+sampling — real computations on the binary payload, no codec needed).
+
+Scale notes: payloads dominate row size, so every transform projects the
+payload column away as early as possible (features are ~100 B vs ~MB
+media); mapInPandas streams Arrow batches — no payload ever materializes
+on the driver. Partition by a content-hash bucket for even byte-volume
+per task (row-count balance is NOT byte balance for media).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+try:  # pragma: no cover - codec gate
+    from PIL import Image  # noqa: F401
+
+    _HAS_PIL = True
+except ImportError:
+    _HAS_PIL = False
+
+N_HIST_BINS = 16
+
+FEATURES_SCHEMA = (
+    "media_id bigint, n_bytes bigint, entropy double, "
+    f"hist array<double>"
+)
+FRAMES_SCHEMA = "media_id bigint, frame_idx int, frame_hash bigint"
+
+
+def media_table(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic media fixture: payload = utf-8 bytes of text, kind
+    round-robins image/audio/video, meta carries declared dimensions.
+    (Stands in for real WARC/СС media records; schema per SURVEY.md —
+    opaque binary + typed metadata.)"""
+    return documents.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "utf-8").alias("payload"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col(id_col) % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.struct(
+            (F.pmod(F.xxhash64(text_col), F.lit(1280)) + 1).alias("width"),
+            (F.pmod(F.xxhash64(text_col, F.lit(1)), F.lit(720)) + 1).alias("height"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub
+    """Codec stub: the real decode needs PIL/libjpeg, absent here. The
+    Spark-side plumbing (signature: bytes → ndarray HxWxC) is what the
+    pipeline contracts against."""
+    if not _HAS_PIL:
+        raise NotImplementedError(
+            "image decode requires PIL; container ships without codecs — "
+            "byte-level features (byte_histogram_features) are the tested path"
+        )
+    import io
+
+    return np.asarray(Image.open(io.BytesIO(payload)))
+
+
+def byte_histogram_features(media: DataFrame) -> DataFrame:
+    """(media_id, n_bytes, entropy, hist[16]) via mapInPandas — a real,
+    deterministic feature extraction over the binary payload (the
+    codec-free stand-in for embed/resize): normalized 16-bin byte
+    histogram + Shannon entropy (bits)."""
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nb, ent, hists = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                counts = np.bincount(arr >> 4, minlength=N_HIST_BINS).astype(
+                    np.float64
+                )
+                total = counts.sum()
+                probs = counts / total if total else counts
+                nz = probs[probs > 0]
+                ids.append(mid)
+                nb.append(len(arr))
+                ent.append(float(-(nz * np.log2(nz)).sum()) if len(nz) else 0.0)
+                hists.append(probs.tolist())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_bytes": nb,
+                    "entropy": ent,
+                    "hist": hists,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _features, schema=FEATURES_SCHEMA
+    )
+
+
+def frame_sample(
+    media: DataFrame, block_bytes: int = 256, stride: int = 4
+) -> DataFrame:
+    """UDTF-shape expansion: one 'video' row → 0..n sampled 'frames'
+    (every `stride`-th `block_bytes` block), each fingerprinted. The
+    real pipeline would decode+sample frames; the block sampler proves
+    the 1→N mapInPandas row-expansion plumbing with identical schema
+    mechanics."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from searchengine_spark.pycore.urltools import xxhash64
+
+        for pdf in batches:
+            out_id, out_idx, out_hash = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                blocks = [
+                    payload[o : o + block_bytes]
+                    for o in range(0, len(payload), block_bytes)
+                ]
+                for i, blk in enumerate(blocks[::stride]):
+                    out_id.append(mid)
+                    out_idx.append(i)
+                    out_hash.append(xxhash64(bytes(blk)))
+            yield pd.DataFrame(
+                {
+                    "media_id": out_id,
+                    "frame_idx": out_idx,
+                    "frame_hash": out_hash,
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(_frames, schema=FRAMES_SCHEMA)
+    )

@@ -1,0 +1,142 @@
+"""Approximate-nearest-neighbor search over an embedding column
+(`embeddings(vec_id, embedding array<float>, label)`).
+
+Two paths, per the training-data-pipeline contract:
+  * `brute_topk` — exact cosine top-k. One scan, one local top-k per
+    partition, merge of k·P rows on the driver side of the sort —
+    Spark's orderBy+limit already executes as TakeOrderedAndProject.
+    The dot product is zip_with/aggregate Column exprs (JVM,
+    whole-stage-codegen; deterministic sequential sum).
+  * `lsh_topk` — the scale path: random-hyperplane LSH (sign bits of
+    h seeded deterministic hyperplanes → bucket id); only the query's
+    bucket (and optionally neighboring probes) is scanned. Recall < 1
+    by construction; parameters trade recall vs scan fraction. At
+    10^10 rows the bucket column is the table's partition key, so a
+    query touches one partition.
+
+Hyperplanes are generated from a seeded counter hash (no wall-clock, no
+numpy RNG state) so plans are reproducible run-to-run.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_COSINE = (
+    "CASE WHEN na = 0.0 OR nb = 0.0 THEN CAST(0.0 AS double) "
+    "ELSE dot / (sqrt(na) * sqrt(nb)) END"
+)
+
+
+def _as_double(vec_col: str) -> str:
+    return f"transform({vec_col}, x -> CAST(x AS double))"
+
+
+def with_query_cosine(
+    vecs: DataFrame, query_vec: list[float], vec_col: str = "v"
+) -> DataFrame:
+    """Adds `cosine` of each row's vector vs the literal query vector."""
+    q = [float(x) for x in query_vec]
+    qlit = "array(" + ", ".join(f"CAST({x!r} AS double)" for x in q) + ")"
+    nq = sum(x * x for x in q)
+    return (
+        vecs.withColumn(
+            "dot",
+            F.expr(
+                f"aggregate(zip_with({vec_col}, {qlit}, (x, y) -> x * y), "
+                "0.0D, (a, x) -> a + x)"
+            ),
+        )
+        .withColumn("na", F.expr(f"aggregate({vec_col}, 0.0D, (a, x) -> a + x * x)"))
+        .withColumn("nb", F.lit(float(nq)))
+        .withColumn("cosine", F.expr(_COSINE))
+    )
+
+
+def brute_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (vec_id, cosine), cosine desc, vec_id asc
+    tie-break (deterministic)."""
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.expr(_as_double(vec_col)).alias("v")
+    )
+    scored = with_query_cosine(vecs, query_vec)
+    return (
+        scored.select("vec_id", "cosine")
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-Gaussian hyperplanes: Box-Muller over a
+    counter hash (splitmix-style) — reproducible, no RNG object."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(0, dim, 2):
+            z = (seed * 0x9E3779B97F4A7C15 + (p * dim + d) * 0xBF58476D1CE4E5B9) % (
+                1 << 64
+            )
+            z ^= z >> 31
+            u1 = ((z & 0xFFFFFFFF) + 1) / (1 << 32)
+            u2 = ((z >> 32) + 1) / (1 << 32)
+            r = math.sqrt(-2.0 * math.log(u1))
+            row.append(r * math.cos(2.0 * math.pi * u2))
+            if d + 1 < dim:
+                row.append(r * math.sin(2.0 * math.pi * u2))
+        planes.append(row[:dim])
+    return planes
+
+
+def with_lsh_bucket(
+    vecs: DataFrame, planes: list[list[float]], vec_col: str = "v"
+) -> DataFrame:
+    """Adds `bucket` = integer of sign bits of ⟨v, plane_i⟩."""
+    bits = []
+    for i, plane in enumerate(planes):
+        plit = "array(" + ", ".join(f"CAST({x!r} AS double)" for x in plane) + ")"
+        bits.append(
+            f"(CASE WHEN aggregate(zip_with({vec_col}, {plit}, (x, y) -> x * y), "
+            f"0.0D, (a, x) -> a + x) >= 0.0D THEN {1 << i}L ELSE 0L END)"
+        )
+    return vecs.withColumn("bucket", F.expr(" + ".join(bits)))
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 11,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k scanning only the query's hyperplane-LSH bucket.
+    Deterministic (seeded planes); recall trades against the 2^-n_planes
+    scan fraction. Bucket pruning pushes down to the scan when `bucket`
+    is a partition column of the stored table."""
+    q = [float(x) for x in query_vec]
+    planes = _hyperplanes(len(q), n_planes, seed)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(q, plane)) >= 0.0:
+            qbucket |= 1 << i
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.expr(_as_double(vec_col)).alias("v")
+    )
+    bucketed = with_lsh_bucket(vecs, planes).filter(F.col("bucket") == qbucket)
+    scored = with_query_cosine(bucketed, q)
+    return (
+        scored.select("vec_id", "cosine")
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )

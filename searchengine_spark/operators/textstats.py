@@ -1,0 +1,113 @@
+"""Text analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure Column expressions over the normative tokenizer (F2) — JVM-side
+whole-stage codegen, no Python in the hot path — and all expressible in
+ANSI SQL so each has an exact DuckDB oracle (__spark_entry__). Float
+outputs are ratios of ints and fixed-order products: bit-identical
+across engines, rounded to 9 decimals at the contract surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.text import tokens_sql
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "you", "that", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "auf"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans", "pour", "que"],
+    "es": ["el", "los", "de", "que", "y", "en", "un", "por", "con", "para"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break order
+
+FP_MOD = 1_000_000_007
+FP_BASE = 131
+
+
+def token_stats(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_tokens, n_distinct_tokens, mean_token_len) — the token
+    counting surface (whitespace+regex tokenizer = the normative F2)."""
+    toks = tokens_sql(text_col)
+    return documents.selectExpr(
+        f"{id_col} AS doc_id",
+        f"size({toks}) AS n_tokens",
+        f"size(array_distinct({toks})) AS n_distinct_tokens",
+        f"CASE WHEN size({toks}) = 0 THEN CAST(0.0 AS double) ELSE "
+        f"CAST(aggregate({toks}, 0L, (a, t) -> a + length(t)) AS double)"
+        f" / size({toks}) END AS mean_token_len",
+    )
+
+
+def quality_scores(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_chars, alnum_ratio, stop_ratio, quality) — web-text
+    quality heuristics: alphanumeric density, stopword density, and a
+    fixed linear score. Formula (identical expression order in the
+    DuckDB oracle):
+        quality = 0.4·alnum_ratio + 0.4·stop_hit + 0.2·len_norm
+    with stop_hit = min(1, 5·stop_ratio), len_norm = min(1, n_tokens/256).
+    """
+    toks = tokens_sql(text_col)
+    en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return documents.selectExpr(
+        f"{id_col} AS doc_id",
+        f"length({text_col}) AS n_chars",
+        f"CASE WHEN length({text_col}) = 0 THEN CAST(0.0 AS double) ELSE "
+        f"CAST(length(regexp_replace({text_col}, '[^a-zA-Z0-9]', '')) AS double)"
+        f" / length({text_col}) END AS alnum_ratio",
+        f"CASE WHEN size({toks}) = 0 THEN CAST(0.0 AS double) ELSE "
+        f"CAST(size(filter({toks}, t -> t IN ({en}))) AS double)"
+        f" / size({toks}) END AS stop_ratio",
+        f"size({toks}) AS _n_tokens",
+    ).selectExpr(
+        "doc_id",
+        "n_chars",
+        "alnum_ratio",
+        "stop_ratio",
+        "0.4D * alnum_ratio + 0.4D * least(1.0D, 5.0D * stop_ratio) "
+        "+ 0.2D * least(1.0D, CAST(_n_tokens AS double) / 256.0D) AS quality",
+    )
+
+
+def lang_id(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, lang_pred) — n-gram/stopword-hit language heuristic:
+    argmax of per-language stopword hits over the token list; ties break
+    in LANG_ORDER; zero hits ⇒ 'und'."""
+    toks = tokens_sql(text_col)
+    hit_cols = []
+    for lang in LANG_ORDER:
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+        hit_cols.append(
+            f"size(filter({toks}, t -> t IN ({words}))) AS hits_{lang}"
+        )
+    hits = documents.selectExpr(f"{id_col} AS doc_id", *hit_cols)
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in LANG_ORDER) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' "
+    for lang in LANG_ORDER:
+        case += f"WHEN hits_{lang} = {best} THEN '{lang}' "
+    case += "END AS lang_pred"
+    return hits.selectExpr("doc_id", case)
+
+
+def doc_fingerprint(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, fingerprint) — rolling polynomial hash over the token
+    stream: h ← (h·131 + len(t)·31 + ascii(t[0])) mod 1e9+7. Order
+    sensitive (a true rolling/document hash, not a bag hash); bigint
+    arithmetic stays < 2^63 under ANSI mode."""
+    toks = tokens_sql(text_col)
+    return documents.selectExpr(
+        f"{id_col} AS doc_id",
+        f"aggregate({toks}, 0L, (acc, t) -> "
+        f"pmod(acc * {FP_BASE}L + length(t) * 31L + ascii(substring(t, 1, 1)), "
+        f"{FP_MOD}L)) AS fingerprint",
+    )

@@ -1,0 +1,159 @@
+"""Training-data pipeline operators: dedup suite, ANN, text stats,
+multimodal plumbing — unit semantics on crafted fixtures (the DuckDB
+oracle parity at sf0.01 is the driver's CORRECTNESS gate; these tests
+pin the semantics with hand-checkable cases)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import dedup as D
+from searchengine_spark.operators import multimodal as M
+from searchengine_spark.operators import simsearch as S
+from searchengine_spark.operators import textstats as T
+
+BASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lam mu nu xi omicron pi rho sigma tau upsilon"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE + " extra words here"),  # near dup of 0 (high jaccard)
+        (3, "totally different content about spark shuffles and joins"),
+        (4, ""),  # empty doc
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup(docs):
+    got = {
+        r["text_md5"]: (r["keep_id"], r["n_dups"])
+        for r in D.exact_dedup(docs).collect()
+    }
+    assert len(got) == 4  # 0/1 merge
+    assert (0, 2) in got.values()
+
+
+def test_ngram_pairs_exact_and_minhash_agree(docs):
+    exact = {
+        (r["doc_a"], r["doc_b"]): round(r["j"], 9)
+        for r in D.ngram_dup_pairs(docs, 0.5).collect()
+    }
+    assert (0, 1) in exact and exact[(0, 1)] == 1.0
+    assert (0, 2) in exact and exact[(0, 2)] < 1.0
+    mh = {
+        (r["doc_a"], r["doc_b"]): round(r["j"], 9)
+        for r in D.minhash_lsh_pairs(docs, 0.5).collect()
+    }
+    assert mh == exact  # recall 1.0 on the fixture + identical verify
+
+
+def test_simhash(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(docs).collect()}
+    assert sigs[0] == sigs[1]  # identical text ⇒ identical signature
+    assert sigs[0] != sigs[3]
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in D.simhash_dup_pairs(docs, 3).collect()
+    }
+    assert pairs[(0, 1)] == 0
+
+
+def test_embedding_pairs_and_ann(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [1.0, 0.01, 0.0]),  # nearly parallel to 0
+        (2, [0.0, 1.0, 0.0]),  # orthogonal
+        (3, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["cosine"]
+        for r in D.embedding_dup_pairs(emb, 0.95).collect()
+    }
+    assert set(pairs) == {(0, 1)}
+    assert pairs[(0, 1)] == pytest.approx(1.0 / math.sqrt(1 + 0.01**2))
+
+    top = S.brute_topk(emb, [1.0, 0.0, 0.0], 3).collect()
+    assert [r["vec_id"] for r in top] == [0, 1, 2]
+    assert top[0]["cosine"] == pytest.approx(1.0)
+
+    # LSH top-k: the query's own bucket always contains the query vector
+    lsh = S.lsh_topk(emb, [1.0, 0.0, 0.0], 3)
+    got = [r["vec_id"] for r in lsh.collect()]
+    assert 0 in got
+    assert 3 not in got  # opposite vector can't share all sign bits
+
+
+def test_token_stats_and_quality(spark):
+    df = spark.createDataFrame(
+        [(0, "The quick brown fox and the lazy dog"), (1, "")],
+        "doc_id bigint, text string",
+    )
+    ts = {r["doc_id"]: r for r in T.token_stats(df).collect()}
+    assert ts[0]["n_tokens"] == 8
+    assert ts[0]["n_distinct_tokens"] == 7  # 'the' twice
+    assert ts[1]["n_tokens"] == 0 and ts[1]["mean_token_len"] == 0.0
+
+    q = {r["doc_id"]: r for r in T.quality_scores(df).collect()}
+    assert 0.0 < q[0]["quality"] <= 1.0
+    assert q[0]["stop_ratio"] == pytest.approx(3 / 8)  # the, and, the
+    assert q[1]["quality"] == 0.0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog of it is you that"),
+            (1, "der hund und die katze ist nicht mit ein"),
+            (2, "le chat et la maison les des est"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r["lang_pred"] for r in T.lang_id(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "und"}
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta alpha")], "doc_id bigint, text string"
+    )
+    got = {r["doc_id"]: r["fingerprint"] for r in T.doc_fingerprint(df).collect()}
+    assert got[0] != got[1]  # rolling hash, not a bag hash
+    # hand-computed: h = ((0*131 + 5*31+97)*131 + 4*31+98) % (1e9+7)
+    expected = ((5 * 31 + ord("a")) * 131 + 4 * 31 + ord("b")) % 1_000_000_007
+    assert got[0] == expected
+
+
+def test_multimodal_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(i, f"payload text {i} " * 50) for i in range(6)],
+        "doc_id bigint, text string",
+    )
+    media = M.media_table(docs)
+    feats = {r["media_id"]: r for r in M.byte_histogram_features(media).collect()}
+    assert len(feats) == 6
+    for r in feats.values():
+        assert r["n_bytes"] > 0
+        assert len(r["hist"]) == M.N_HIST_BINS
+        assert sum(r["hist"]) == pytest.approx(1.0)
+        assert 0.0 <= r["entropy"] <= 4.0  # ≤ log2(16) bins
+
+    frames = M.frame_sample(media).collect()
+    assert frames  # kind == 'video' rows expand to ≥1 frame each
+    vid_ids = {r["media_id"] for r in frames}
+    kinds = {r["media_id"]: r["kind"] for r in media.collect()}
+    assert all(kinds[m] == "video" for m in vid_ids)
+
+    if not M._HAS_PIL:
+        with pytest.raises(NotImplementedError):
+            M.decode_image(b"\x89PNG fake")

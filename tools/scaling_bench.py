@@ -29,11 +29,17 @@ def run_at(cores: int, n_pages: int, rounds: int) -> tuple[float, int]:
         f"scaling-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=max(8, cores),
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": "48g",
+            # heavy pages (~100 KB html): a 10k-row Arrow batch is ~1 GB
+            # per python worker — size batches by bytes, not the default
+            "spark.sql.execution.arrow.maxRecordsPerBatch": "256",
+        },
     )
     try:
         return run_fixed_crawl(
-            spark, n_pages, rounds, n_hosts=32, body_scale=6,
+            spark, n_pages, rounds, n_hosts=32, body_scale=6, body_repeat=25,
             n_partitions=max(8, cores),
         )
     finally:
