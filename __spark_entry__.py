@@ -238,7 +238,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "left_anti",
         )
 
+    def q_tumbling(spark, sf):
+        from searchengine_spark.operators.windows import tumbling_counts
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        out = tumbling_counts(ev, "1 hour")
+        # window start as a string — engine-neutral timestamp compare
+        return out.select(
+            F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+            "event_type",
+            "n_events",
+            F.round("sum_value", 9).alias("sum_value"),
+        )
+
     return {
+        "tumbling_counts": q_tumbling,
         "tf": q_tf,
         "doc_freq": q_doc_freq,
         "idf": q_idf,
@@ -446,6 +460,10 @@ FROM toks""",
             "SELECT c_custkey FROM customer "
             "WHERE c_custkey NOT IN (SELECT user_id FROM events)"
         ),
+        "tumbling_counts": """
+SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
+       event_type, count(*) AS n_events, round(sum(value), 9) AS sum_value
+FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         # simhash_pairs / ann_lsh / media_features / frame_sample are
         # deliberately rows-only: they depend on xxhash64 / seeded
         # hyperplanes / binary payload processing DuckDB cannot replicate

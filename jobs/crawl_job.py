@@ -1,0 +1,80 @@
+"""spark-submit entry: run (or resume) a crawl against a pages table.
+
+    spark-submit --py-files dist/searchengine_spark.zip jobs/crawl_job.py \
+        --warehouse /path/wh [--pages-table /path/pages.parquet] \
+        [--synth-pages 2000] [--rounds 10] [--restart]
+
+With --pages-table the job crawls a real Common-Crawl-style table
+(url, warc_ts, html, text, lang); robots + seeds then come from
+--robots-table / --seeds. Without it, the deterministic synthetic corpus
+stands in (sandbox mode). --restart = delete the warehouse and start
+from the seed list (reference README.md:122-127 restart semantics);
+otherwise the job resumes from the latest committed round (ST4).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+from searchengine_spark.crawler import frontier as FR
+from searchengine_spark.crawler.config import CrawlConfig
+from searchengine_spark.crawler.synth import ALLOWED_HOST_RE, pages_df
+from searchengine_spark.crawler.tableio import TableIO
+
+
+def main(argv: list[str]) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--pages-table")
+    ap.add_argument("--robots-table")
+    ap.add_argument("--seeds", nargs="*")
+    ap.add_argument("--synth-pages", type=int, default=2000)
+    ap.add_argument("--rounds", type=int, default=10)
+    ap.add_argument("--partitions", type=int, default=32)
+    ap.add_argument("--salts", type=int, default=8)
+    ap.add_argument("--politeness", type=float, default=0.5)
+    ap.add_argument("--allowed-host-re", default=None)
+    ap.add_argument("--restart", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = SparkSession.builder.appName("searchengine-crawl").getOrCreate()
+    if args.pages_table:
+        pages = spark.read.parquet(args.pages_table)
+        robots = (
+            spark.read.parquet(args.robots_table) if args.robots_table else None
+        )
+        seeds = args.seeds or []
+        host_re = args.allowed_host_re
+    else:
+        pages, robots, seeds = pages_df(spark, args.synth_pages, 42)
+        host_re = args.allowed_host_re or ALLOWED_HOST_RE
+
+    cfg = CrawlConfig(
+        seeds=seeds,
+        allowed_host_re=host_re,
+        default_crawl_delay=args.politeness,
+        n_salts=args.salts,
+        n_partitions=args.partitions,
+    )
+    io = TableIO(spark, args.warehouse)
+    if args.restart:
+        io.destroy()
+    else:
+        io.gc_orphans()
+    last = FR.crawl(spark, io, cfg, pages, robots, max_rounds=args.rounds)
+    for r in io.read("metrics").orderBy("round").collect():
+        print(
+            f"round {r['round']}: batch={r['batch_size']} ok={r['fetched_ok']} "
+            f"err={r['errors']} dup={r['dup_pages']} new={r['new_urls']} "
+            f"queued={r['queued_remaining']}"
+        )
+    print(f"done at round {last}")
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))

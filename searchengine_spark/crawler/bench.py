@@ -53,12 +53,21 @@ def run_fixed_crawl(
     body_repeat: int = 1,
     n_partitions: int = 32,
     max_per_host: int | None = None,
+    timed_from_round: int = 1,
+    pages_path: str | None = None,
 ) -> tuple[float, int]:
-    """Run `rounds` frontier rounds; returns (wall_sec, urls_fetched).
-    Corpus generation and round-0 init are excluded from the timing."""
-    pdf, rdf, _ = pages_df(spark, n_pages, 42, n_hosts, body_scale, body_repeat)
-    pdf = pdf.persist()
-    pdf.count()  # materialize the corpus before the clock starts
+    """Run `rounds` frontier rounds; returns (wall_sec, urls_fetched)
+    for the TIMED window (rounds ≥ timed_from_round). Corpus generation,
+    round-0 init and warm-up rounds are excluded — a 10^10-URL frontier
+    never drains, so steady-state giant rounds (not the BFS ramp from a
+    seed list) are the scaling-relevant regime."""
+    if pages_path is not None:
+        pdf = spark.read.parquet(pages_path)
+        rdf = spark.read.parquet(pages_path + "_robots")
+    else:
+        pdf, rdf, _ = pages_df(spark, n_pages, 42, n_hosts, body_scale, body_repeat)
+    pdf = FR.prepare_pages(pdf, n_partitions)
+    pdf.count()  # materialize the co-partitioned corpus before the clock
     seeds = [f"https://h{i}.test" for i in range(n_hosts)]  # all roots
     cfg = bench_config(seeds, n_partitions)
     if max_per_host is not None:
@@ -70,15 +79,21 @@ def run_fixed_crawl(
     try:
         io = TableIO(spark, wh)
         FR.init_crawl(spark, io, cfg, rdf)
-        t0 = time.perf_counter()
+
+        def _fetched() -> int:
+            return io.read("frontier").filter("round_fetched >= 0").count()
+
+        t0 = fetched_before = None
         for r in range(1, rounds + 1):
+            if r == timed_from_round:
+                fetched_before = _fetched()
+                t0 = time.perf_counter()
             if FR.run_round(spark, io, cfg, pdf, r) == 0:
                 break
+        if t0 is None:  # crawl drained before the timed window opened
+            return 0.0, 0
         wall = time.perf_counter() - t0
-        fetched = (
-            io.read("frontier").filter("round_fetched >= 0").count()
-        )
-        return wall, fetched
+        return wall, _fetched() - fetched_before
     finally:
         pdf.unpersist()
         shutil.rmtree(wh, ignore_errors=True)

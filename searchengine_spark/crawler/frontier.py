@@ -39,8 +39,12 @@ from pyspark.sql import functions as F
 from searchengine_spark.crawler import gates, urlseen
 from searchengine_spark.crawler.config import CrawlConfig, frontier_score
 from searchengine_spark.crawler.tableio import TableIO
-from searchengine_spark.functions.text import extract_links_udf, extract_text_udf, tokens_sql
-from searchengine_spark.functions.urls import canonicalize_udf, is_valid_sql
+from searchengine_spark.functions.text import (
+    extract_canon_links_udf,
+    extract_text_udf,
+    tokens_sql,
+)
+from searchengine_spark.functions.urls import is_valid_sql
 from searchengine_spark.pycore.urltools import canonicalize
 
 FRONTIER_SCHEMA = (
@@ -100,6 +104,19 @@ def init_crawl(
     io.stage("extracted", spark.createDataFrame([], EXTRACTED_SCHEMA), 0, mode="append")
     io.stage("metrics", spark.createDataFrame([], METRICS_SCHEMA), 0, mode="append")
     io.commit_round(0)
+
+
+def prepare_pages(pages: DataFrame, n_partitions: int) -> DataFrame:
+    """Pre-shape the corpus for repeated fetch joins: (canon_url, html)
+    hash-partitioned by canon_url and cached. Spark propagates the cached
+    outputPartitioning into each round's join plan, so only the batch
+    side shuffles per round (the corpus shuffle was the measured
+    per-round tax — O(corpus) moved every round without this)."""
+    return (
+        pages.select(F.col("url").alias("canon_url"), "html")
+        .repartition(n_partitions, "canon_url")
+        .persist()
+    )
 
 
 def run_round(
@@ -162,38 +179,49 @@ def run_round(
         "salt", F.pmod(F.col("url_hash"), F.lit(cfg.n_salts))
     ).repartition(cfg.n_partitions, "host", "salt")
 
-    # ---- 3. fetch (simulated GET: html by canonical url)
-    fetched = batch.join(
-        pages.select(F.col("url").alias("canon_url"), "html"), "canon_url", "left"
-    ).persist()
+    # ---- 3. fetch (simulated GET: html by canonical url). When the
+    # caller pre-shaped the table with prepare_pages(), the cached side
+    # is already hash-partitioned on canon_url, so this join shuffles
+    # ONLY the small batch — the corpus never moves after round 1.
+    if "canon_url" in pages.columns:
+        pages_kv = pages.select("canon_url", "html")
+    else:
+        pages_kv = pages.select(F.col("url").alias("canon_url"), "html")
+    batch = batch.persist()  # small (≤ Σ quotas rows); reused 3×
+    fetched = batch.join(pages_kv, "canon_url", "left")
     _mark("plan:fetch")
 
-    ok = (
+    # ---- 4. ONE Arrow stage for all per-page python work: the html
+    # payload crosses into Python exactly once (text extraction + link
+    # scraping share the pass) and is dropped immediately — only narrow
+    # derived columns are ever cached (caching html+text was the
+    # measured memory/GC tax of the giant rounds).
+    page_stage = (
         fetched.filter(F.col("html").isNotNull())
-        .withColumn("text", extract_text_udf("html"))
-        .withColumn("tokens", F.expr(tokens_sql("text")))
-        .withColumn("fp", F.expr(gates.fingerprint_sql("tokens", cfg.ngram_n)))
-        .select("canon_url", "url_hash", "host", "batch_rank", "html", "text", "fp")
+        .select(
+            "canon_url", "url_hash", "host", "batch_rank",
+            extract_text_udf("html").alias("text"),
+            extract_canon_links_udf("html", "canon_url").alias("links"),
+        )
         .persist()
     )
+    fpdf = page_stage.select(
+        "url_hash", "canon_url", "batch_rank",
+        F.expr(
+            gates.fingerprint_sql(tokens_sql("text"), cfg.ngram_n)
+        ).alias("fp"),
+    ).persist()
 
     # ---- 5. J7 content near-dup gate
-    flagged = gates.content_dup_flags(
-        ok.select("url_hash", "canon_url", "batch_rank", "fp"),
-        fps,
-        cfg.ngram_threshold,
-    ).persist()
+    flagged = gates.content_dup_flags(fpdf, fps, cfg.ngram_threshold).persist()
     _mark("plan:j7")
-    clean = ok.join(
-        flagged.filter(F.col("is_dup")).select("url_hash"), "url_hash", "left_anti"
-    ).persist()
+    dup_keys = flagged.filter(F.col("is_dup")).select("url_hash")
 
-    # ---- 6. scrape → candidate pipeline
-    links = clean.select(
-        F.explode(extract_links_udf("html", "canon_url")).alias("raw_url")
-    )
+    # ---- 6. scrape → candidate pipeline (links were already extracted
+    # + canonicalized in the fused page stage; dup pages are not scraped)
     cands = (
-        links.select(canonicalize_udf("raw_url").alias("canon_url"))
+        page_stage.join(dup_keys, "url_hash", "left_anti")
+        .select(F.explode("links").alias("canon_url"))
         .filter(F.col("canon_url").isNotNull())
         .filter(F.expr(is_valid_sql("canon_url", cfg.allowed_host_re)))
     )
@@ -232,13 +260,16 @@ def run_round(
         F.lit(None).cast("string").alias("error"),
     )
     updated_batch = (
-        fetched.select(
+        batch.join(
+            page_stage.select("url_hash", F.lit(True).alias("_ok")),
+            "url_hash",
+            "left",
+        )
+        .select(
             "canon_url", "url_hash", "host", "score", "round_added",
-            F.when(F.col("html").isNotNull(), "FETCHED")
-            .otherwise("ERROR")
-            .alias("status"),
+            F.when(F.col("_ok"), "FETCHED").otherwise("ERROR").alias("status"),
             F.lit(round_no).alias("round_fetched"),
-            F.when(F.col("html").isNull(), "HTTP 404")
+            F.when(F.col("_ok").isNull(), "HTTP 404")
             .otherwise(F.lit(None).cast("string"))
             .alias("error"),
         )
@@ -254,14 +285,14 @@ def run_round(
     # append-files shape — a round is O(new rows), never O(table))
     _mark("plans")
     if profile:
-        fetched.count()
-        _mark("mat:fetched")
-        ok.count()
-        _mark("mat:extract")
+        batch.count()
+        _mark("mat:batch")
+        page_stage.count()
+        _mark("mat:page-stage")
+        fpdf.count()
+        _mark("mat:fp")
         flagged.count()
         _mark("mat:j7")
-        clean.count()
-        _mark("mat:clean")
         new_urls.count()
         _mark("mat:candidates+j6+j5")
     io.stage("frontier", frontier_next, round_no, n_files=cfg.n_partitions)
@@ -272,7 +303,7 @@ def run_round(
     _mark("stage:url_seen")
     io.stage(
         "fingerprints",
-        clean.select(
+        fpdf.join(dup_keys, "url_hash", "left_anti").select(
             "url_hash", "canon_url", "fp", F.lit(round_no).alias("round_added")
         ),
         round_no,
@@ -280,7 +311,7 @@ def run_round(
     )
     io.stage(
         "extracted",
-        clean.select(
+        page_stage.join(dup_keys, "url_hash", "left_anti").select(
             "url_hash", "canon_url", "text", F.lit(round_no).alias("round_fetched")
         ),
         round_no,
@@ -312,16 +343,15 @@ def run_round(
         )
         io.commit_round(round_no)
         _mark("metrics+commit")
-        for df in (fetched, ok, flagged, clean, new_urls, frontier_next):
+        for df in (batch, page_stage, fpdf, flagged, new_urls, frontier_next):
             df.unpersist()
         return queued_remaining
 
     # single-job metrics: one action over the persisted round DataFrames
     # (crossJoin of four 1-row aggregates) instead of four count() jobs
     counts = (
-        fetched.agg(
-            F.count("*").alias("batch_size"), F.count("html").alias("fetched_ok")
-        )
+        batch.agg(F.count("*").alias("batch_size"))
+        .crossJoin(page_stage.agg(F.count("*").alias("fetched_ok")))
         .crossJoin(
             flagged.agg(
                 F.coalesce(F.sum(F.col("is_dup").cast("long")), F.lit(0)).alias(
@@ -358,7 +388,7 @@ def run_round(
     io.commit_round(round_no)
     _mark("metrics+commit")
 
-    for df in (fetched, ok, flagged, clean, new_urls, frontier_next):
+    for df in (batch, page_stage, fpdf, flagged, new_urls, frontier_next):
         df.unpersist()
     return queued_remaining
 
@@ -376,10 +406,15 @@ def crawl(
     if io.latest_round() is None:
         assert robots_df is not None, "first run needs the robots table"
         init_crawl(spark, io, cfg, robots_df)
+    pages_kv = (
+        pages
+        if "canon_url" in pages.columns
+        else prepare_pages(pages, cfg.n_partitions)
+    )
     r = io.latest_round()
     while r < max_rounds:
         r += 1
-        remaining = run_round(spark, io, cfg, pages, r)
+        remaining = run_round(spark, io, cfg, pages_kv, r)
         if remaining == 0:
             break
     return io.latest_round()

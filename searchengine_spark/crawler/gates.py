@@ -97,13 +97,20 @@ def fingerprint_sql(tokens_expr: str, n: int = 3) -> str:
     (stride = n, ragged tail kept — ngrams.py:28-46); gram hash =
     xxhash64 of the concatenated tokens (normative replacement of the
     reference's seed-randomized Python hash(), SURVEY.md §2.4 A10).
-    Bit-identical to pycore.ngrams.ngram_hash_set."""
+    Bit-identical to pycore.ngrams.ngram_hash_set.
+
+    Grams are carved by ONE greedy regex over the space-joined tokens
+    (each match greedily takes n words → exactly the stride-n grouping;
+    tokens cannot contain spaces) instead of a slice-per-gram lambda —
+    the interpreted slice/concat chain was the measured hot path on
+    long documents."""
     t = tokens_expr
     return (
         f"CASE WHEN size({t}) = 0 THEN CAST(array() AS array<bigint>) "
         f"ELSE array_distinct(transform("
-        f"filter(sequence(0, size({t})-1), i -> i % {n} = 0), "
-        f"i -> xxhash64(concat_ws('', slice({t}, i+1, {n}))))) END"
+        f"regexp_extract_all(array_join({t}, ' '), "
+        f"'[^ ]+( [^ ]+){{0,{n - 1}}}', 0), "
+        f"g -> xxhash64(replace(g, ' ', '')))) END"
     )
 
 

@@ -80,6 +80,7 @@ def gen_corpus(
     n_hosts: int | None = None,
     body_scale: int = 1,
     body_repeat: int = 1,
+    with_text: bool = True,
 ):
     """Returns (pages, robots, seeds):
     pages:  list[(url, warc_ts, html: bytes, text, lang)]
@@ -244,7 +245,9 @@ def gen_corpus(
                 url,
                 _EPOCH + dt.timedelta(seconds=i),
                 html_b,
-                extract_text(html_b),
+                # golden column for byte-parity tests; bench corpora skip
+                # it (single-threaded driver python, unused by the crawl)
+                extract_text(html_b) if with_text else None,
                 "en",
             )
         )

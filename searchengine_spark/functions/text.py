@@ -27,10 +27,19 @@ def tokens_sql(text_expr: str) -> str:
     expression is usable from selectExpr, spark.sql and DuckDB-oracle
     construction.
     """
+    # Single regex pass instead of split+per-token-trim lambdas: a token
+    # is a maximal [a-z0-9']-run stripped of edge apostrophes, i.e. a
+    # match of  [a-z0-9](?:[a-z0-9']*[a-z0-9])?  (equivalent because
+    # tokens never contain spaces, so trim(" '") ≡ trim("'"), and within
+    # one run everything from first to last alphanumeric is one token).
+    # Interpreted higher-order lambdas cost ~1µs/token — on 10k-token
+    # documents the 3-lambda pipeline was the measured hot path; the
+    # regex runs in the JVM regex engine. Only the 10000-char length
+    # bound keeps a lambda (rarely-true branch).
     return (
-        f"filter(transform(split(lower({text_expr}), \"[^a-z0-9']+\"), "
-        f"t -> trim(BOTH \" '\" FROM t)), "
-        f"t -> t != '' AND length(t) <= 10000)"
+        f"filter(regexp_extract_all(lower({text_expr}), "
+        f"\"[a-z0-9](?:[a-z0-9']*[a-z0-9])?\", 0), "
+        f"t -> length(t) <= 10000)"
     )
 
 
@@ -54,6 +63,25 @@ def extract_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
     return pd.Series(
         [extract_links(h, u) for h, u in zip(html, url)], dtype="object"
     )
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def extract_canon_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
+    """extract_links ∘ canonicalize fused in one Arrow stage — the html
+    payload crosses into Python once, and the round loop drops a whole
+    python-UDF stage (identical composition to the oracle's
+    per-candidate canonicalize(extract_links(...)))."""
+    from searchengine_spark.pycore.urltools import canonicalize
+
+    out = []
+    for h, u in zip(html, url):
+        canon = []
+        for raw in extract_links(h, u):
+            c = canonicalize(raw)
+            if c:
+                canon.append(c)
+        out.append(canon)
+    return pd.Series(out, dtype="object")
 
 
 def lemma_apply(tokens: Column, lemma_map: dict[str, str] | None) -> Column:

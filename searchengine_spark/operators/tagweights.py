@@ -1,0 +1,70 @@
+"""A6 — HTML tag term weights as a distributed operator.
+
+The tag-text scan is per-row scalar code → one Arrow UDF emitting
+(token, weight) pairs per page (pycore.tagweights is the normative
+implementation, shared with the tests' oracle); the aggregation is a
+plain groupBy — partial map-side combine, one shuffle on (url, token).
+
+`tag_boosted_postings` shows the composition the reference's idxer path
+intended (idxer.py:111 → helpers.py:31-47): tf·idf scaled by the summed
+tag weight (weight defaults to 1.0 for tokens never inside a weighted
+tag — joining LEFT keeps them).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from searchengine_spark.pycore.tagweights import tag_token_weights
+
+_PAIR_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("token", StringType()),
+            StructField("w", DoubleType()),
+        ]
+    )
+)
+
+
+@F.pandas_udf(_PAIR_TYPE)
+def _tag_pairs_udf(html: pd.Series) -> pd.Series:
+    return pd.Series(
+        [list(tag_token_weights(h).items()) for h in html], dtype="object"
+    )
+
+
+def tag_term_weights(
+    pages: DataFrame, id_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(url, token, weight) — summed tag-weight contributions per term
+    (A6, helpers.py:31-47)."""
+    return (
+        pages.select(
+            F.col(id_col).alias("url"),
+            F.explode(_tag_pairs_udf(F.col(html_col))).alias("p"),
+        )
+        .select("url", F.col("p.token").alias("token"), F.col("p.w").alias("w"))
+        .groupBy("url", "token")
+        .agg(F.sum("w").alias("weight"))
+    )
+
+
+def tag_boosted_postings(
+    postings: DataFrame, weights: DataFrame, join_cols: list[str] | None = None
+) -> DataFrame:
+    """postings(doc_id/url, token, tf_idf) × weights → boosted score =
+    tf_idf · coalesce(weight, 1.0) (idxer deferred-weight path)."""
+    cols = join_cols or ["url", "token"]
+    return postings.join(weights, cols, "left").withColumn(
+        "boosted", F.col("tf_idf") * F.coalesce(F.col("weight"), F.lit(1.0))
+    )

@@ -1,0 +1,60 @@
+"""Time-window aggregation operators over the events stream/table.
+
+The same declarative shape serves batch (driver oracle checks) and
+Structured Streaming (searchengine_spark.streaming — watermark + window
+on the identical expressions). Windows are epoch-aligned tumbling
+buckets, so DuckDB's time_bucket reproduces the boundaries exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """(window_start, event_type, n_events, sum_value) per tumbling
+    window — the micro-batch/streaming-compatible aggregate (partial agg
+    map-side; one shuffle on (window, key))."""
+    return (
+        events.groupBy(
+            F.window(F.col(ts_col), window).alias("w"), F.col(key_col)
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            key_col,
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def top_user_per_window(
+    events: DataFrame, window: str = "1 hour", ts_col: str = "ts"
+) -> DataFrame:
+    """Per window: the user with the highest summed value (ties → lowest
+    user_id) — window + ranked-window composition (T3 shape on time)."""
+    from pyspark.sql import Window as W
+
+    per_user = (
+        events.groupBy(F.window(F.col(ts_col), window).alias("w"), "user_id")
+        .agg(F.sum("value").alias("user_value"))
+        .select(F.col("w.start").alias("window_start"), "user_id", "user_value")
+    )
+    rk = W.partitionBy("window_start").orderBy(
+        F.col("user_value").desc(), F.col("user_id").asc()
+    )
+    return (
+        per_user.withColumn("rn", F.row_number().over(rk))
+        .filter(F.col("rn") == 1)
+        .select("window_start", "user_id", "user_value")
+    )

@@ -1,0 +1,96 @@
+"""Structured Streaming skins.
+
+`windowed_event_stream` — watermarked tumbling-window aggregation over a
+file-source event stream: the same expressions as
+operators/windows.tumbling_counts, so streaming output (after watermark
+close) equals the batch aggregate over the same files — asserted by
+tests/test_streaming.py.
+
+`stream_crawl` — the crawler round loop driven by a Structured
+Streaming rate source: each micro-batch tick executes one frontier
+round via foreachBatch (SURVEY.md §1.2: "Structured Streaming
+foreachBatch is an optional skin over the same round function"). The
+round function itself is unchanged — state lives in the snapshot
+tables, which is exactly what makes the loop replayable under
+foreachBatch's at-least-once semantics: a re-delivered tick sees the
+round already committed and becomes a no-op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.crawler import frontier as FR
+from searchengine_spark.crawler.config import CrawlConfig
+from searchengine_spark.crawler.tableio import TableIO
+
+
+def windowed_event_stream(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    checkpoint_dir: str | None = None,
+):
+    """readStream(parquet dir) → watermark → tumbling agg. Returns the
+    streaming DataFrame; caller attaches the sink (memory sink in tests,
+    a table sink in production)."""
+    stream = (
+        spark.readStream.schema(schema).parquet(source_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window(F.col("ts"), window).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    return stream
+
+
+def stream_crawl(
+    spark: SparkSession,
+    io: TableIO,
+    cfg: CrawlConfig,
+    pages: DataFrame,
+    robots_df: DataFrame,
+    max_rounds: int = 10,
+    tick_seconds: int = 1,
+) -> int:
+    """Run the frontier loop under a rate-source streaming query; stops
+    when the frontier drains or max_rounds ticks fire. Returns the last
+    committed round."""
+    if io.latest_round() is None:
+        FR.init_crawl(spark, io, cfg, robots_df)
+
+    state = {"done": False}
+
+    def _tick(_batch_df: DataFrame, _batch_id: int) -> None:
+        if state["done"]:
+            return
+        next_round = (io.latest_round() or 0) + 1
+        if next_round > max_rounds:
+            state["done"] = True
+            return
+        remaining = FR.run_round(spark, io, cfg, pages, next_round)
+        if remaining == 0:
+            state["done"] = True
+
+    q = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 1)
+        .load()
+        .writeStream.foreachBatch(_tick)
+        .trigger(processingTime=f"{tick_seconds} seconds")
+        .start()
+    )
+    try:
+        while not state["done"]:
+            q.processAllAvailable()
+    finally:
+        q.stop()
+    return io.latest_round()

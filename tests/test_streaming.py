@@ -1,0 +1,90 @@
+"""Structured Streaming: the windowed stream aggregate equals the batch
+aggregate over the same files, and the rate-source foreachBatch crawl
+skin produces the same crawl as the plain driver loop."""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.windows import top_user_per_window, tumbling_counts
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(sf_dir, tmp_path_factory):
+    """File-source streams need a directory of part files."""
+    src = os.path.join(sf_dir, "events.parquet")
+    dst = tmp_path_factory.mktemp("events_stream")
+    if os.path.isdir(src):
+        for f in glob.glob(os.path.join(src, "*.parquet")):
+            shutil.copy(f, dst)
+    else:
+        shutil.copy(src, dst)
+    return str(dst)
+
+
+def test_windowed_stream_equals_batch(spark, events_dir):
+    from searchengine_spark.streaming.stream import windowed_event_stream
+
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    expected = sorted(
+        (r["window_start"], r["event_type"], r["n_events"], round(r["sum_value"], 6))
+        for r in tumbling_counts(batch, "1 hour").collect()
+    )
+
+    stream = windowed_event_stream(spark, events_dir, EVENTS_SCHEMA, "1 hour")
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["window_start"], r["event_type"], r["n_events"], round(r["sum_value"], 6))
+            for r in spark.sql("SELECT * FROM win_counts").collect()
+        )
+    finally:
+        q.stop()
+    assert got == expected
+
+
+def test_top_user_per_window(spark, events_dir):
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    rows = top_user_per_window(batch, "1 hour").collect()
+    assert rows
+    # exactly one winner per window
+    starts = [r["window_start"] for r in rows]
+    assert len(starts) == len(set(starts))
+
+
+def test_stream_crawl_matches_driver_loop(spark, tmp_path):
+    from searchengine_spark.crawler import frontier as FR
+    from searchengine_spark.crawler.config import CrawlConfig
+    from searchengine_spark.crawler.synth import ALLOWED_HOST_RE, pages_df
+    from searchengine_spark.crawler.tableio import TableIO
+    from searchengine_spark.streaming.stream import stream_crawl
+
+    pdf, rdf, seeds = pages_df(spark, 60, 42)
+    cfg = CrawlConfig(seeds=seeds, allowed_host_re=ALLOWED_HOST_RE)
+
+    io_a = TableIO(spark, str(tmp_path / "loop"))
+    FR.crawl(spark, io_a, cfg, pdf, rdf, max_rounds=3)
+
+    io_b = TableIO(spark, str(tmp_path / "stream"))
+    stream_crawl(spark, io_b, cfg, pdf, rdf, max_rounds=3)
+
+    assert FR.crawl_order(io_b) == FR.crawl_order(io_a)
+    seen_a = {r["canon_url"] for r in io_a.read("url_seen").collect()}
+    seen_b = {r["canon_url"] for r in io_b.read("url_seen").collect()}
+    assert seen_b == seen_a

@@ -49,7 +49,7 @@ def test_fingerprint_sql_matches_pycore(spark):
         "the quick brown fox jumps over the lazy dog again and again",
         "spark shuffle partition skew salt merge",
         "a b",
-        "",
+        "solo",
     ]
     df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
     got = {
