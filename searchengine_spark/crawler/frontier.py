@@ -150,9 +150,11 @@ def run_round(
     w_host = Window.partitionBy("host").orderBy(
         F.col("score").desc(), F.col("canon_url").asc()
     )
-    # bounded batch ⇒ the global-order window is single-partition by
-    # design (it ranks ≤ Σ quotas rows, not the frontier)
-    w_batch = Window.orderBy(F.col("score").desc(), F.col("canon_url").asc())
+    # NOTE: no global-order window here. The intra-batch dedup rule (b)
+    # only needs "earlier-than" under (score desc, canon_url asc), which
+    # gates.content_dup_flags compares directly on the tuple — a global
+    # row_number would funnel the whole batch through one partition
+    # (batch size = Σ host quotas, which grows with host count).
     batch = (
         queued.join(rb.select("host", "crawl_delay"), "host", "left")
         .withColumn(
@@ -171,7 +173,6 @@ def run_round(
         .withColumn("rk", F.row_number().over(w_host))
         .filter(F.col("rk") <= F.col("quota"))
         .select("canon_url", "url_hash", "host", "score", "round_added")
-        .withColumn("batch_rank", F.row_number().over(w_batch))
     )
 
     # ---- 2. explicit repartition: politeness-group → fetch (north rule)
@@ -199,14 +200,14 @@ def run_round(
     page_stage = (
         fetched.filter(F.col("html").isNotNull())
         .select(
-            "canon_url", "url_hash", "host", "batch_rank",
+            "canon_url", "url_hash", "host", "score",
             extract_text_udf("html").alias("text"),
             extract_canon_links_udf("html", "canon_url").alias("links"),
         )
         .persist()
     )
     fpdf = page_stage.select(
-        "url_hash", "canon_url", "batch_rank",
+        "url_hash", "canon_url", "score",
         F.expr(
             gates.fingerprint_sql(tokens_sql("text"), cfg.ngram_n)
         ).alias("fp"),

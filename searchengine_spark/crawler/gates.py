@@ -186,10 +186,14 @@ def _pair_dups(left: DataFrame, right: DataFrame, threshold: float) -> DataFrame
 def content_dup_flags(
     batch_fp: DataFrame, accepted_fp: DataFrame | None, threshold: float = 0.65
 ) -> DataFrame:
-    """batch_fp(url_hash, canon_url, batch_rank, fp) → + is_dup boolean.
+    """batch_fp(url_hash, canon_url, score, fp) → + is_dup boolean.
 
     Rule (a): dup vs the accepted fingerprint store (previous rounds).
-    Rule (b): dup vs an earlier-ranked batch page that passed rule (a).
+    Rule (b): dup vs an EARLIER batch page that passed rule (a), where
+    "earlier" is the direct tuple order (score desc, canon_url asc) —
+    compared pairwise, never materialized as a global rank (a global
+    row_number window would single-partition the whole batch; only
+    earlier-than is ever needed, not a total ranking).
     """
     left = batch_fp.select("url_hash", "fp")
     if accepted_fp is not None:
@@ -201,19 +205,26 @@ def content_dup_flags(
     ).withColumn("_dup_a", F.coalesce("_dup_a", F.lit(False)))
 
     clean_a = flagged_a.filter(~F.col("_dup_a")).select(
-        "url_hash", "fp", "batch_rank"
+        "url_hash", "fp", "score", "canon_url"
     )
     lg = _prefix_grams(clean_a.select("url_hash", "fp"), threshold).join(
-        clean_a.select("url_hash", "batch_rank"), "url_hash"
+        clean_a.select("url_hash", "score", "canon_url"), "url_hash"
     )
     rg = clean_a.select(
         F.col("url_hash").alias("rhs_hash"),
-        F.col("batch_rank").alias("rhs_rank"),
+        F.col("score").alias("rhs_score"),
+        F.col("canon_url").alias("rhs_canon"),
         F.explode("fp").alias("gram"),
     )
     pairs_b = (
         lg.join(rg, "gram")
-        .filter(F.col("rhs_rank") < F.col("batch_rank"))
+        .filter(
+            (F.col("rhs_score") > F.col("score"))
+            | (
+                (F.col("rhs_score") == F.col("score"))
+                & (F.col("rhs_canon") < F.col("canon_url"))
+            )
+        )
         .select("url_hash", "rhs_hash")
         .distinct()
         .join(clean_a.select("url_hash", "fp"), "url_hash")

@@ -121,36 +121,46 @@ def probe_maybe_seen(
     candidates: DataFrame, segments: DataFrame, n_segments: int = 16
 ) -> DataFrame:
     """Adds boolean `maybe_seen` to candidates(url_hash, ...). False ⇒
-    definitely new (bloom has no false negatives). Segments are broadcast
-    (n_segments × ~KB–MB blobs — tiny next to the candidate stream)."""
-    seg_rows = segments.collect()
-    blooms = {
-        int(r["segment_id"]): (
-            np.frombuffer(r["bloom"], dtype=np.uint8),
-            int(r["m_bits"]),
-        )
-        for r in seg_rows
-    }
-    spark = candidates.sparkSession
-    bc = spark.sparkContext.broadcast(blooms)
+    definitely new (bloom has no false negatives).
 
-    @F.pandas_udf("boolean")
-    def _probe(url_hash: pd.Series) -> pd.Series:
-        table = bc.value
-        h = url_hash.to_numpy()
-        segs = (h % n_segments + n_segments) % n_segments
-        out = np.zeros(len(h), dtype=bool)
-        for seg in np.unique(segs):
-            entry = table.get(int(seg))
-            if entry is None:
-                continue
-            bits, m = entry
-            mask = segs == seg
-            h1, h2 = _h1h2(h[mask])
-            out[mask] = _test_bits(bits, h1, h2, m)
-        return pd.Series(out)
+    Partition-local: candidates and segments are COGROUPED on segment_id
+    (= pmod(url_hash, n_segments), the same hash partitioning the seen
+    tables use), so each task loads ONLY its own segment's bits — at
+    10^10-URL scale the aggregate bloom is tens of GB and must never
+    transit the driver or be broadcast whole. A candidate group with no
+    matching segment is definitely new (empty bloom ⇒ all-False)."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
 
-    return candidates.withColumn("maybe_seen", _probe(F.col("url_hash")))
+    cands_seg = candidates.withColumn(
+        "_seg", F.pmod(F.col("url_hash"), F.lit(n_segments)).cast("int")
+    )
+    out_schema = StructType(
+        list(cands_seg.schema.fields) + [StructField("maybe_seen", BooleanType())]
+    )
+
+    def _probe(cand_pdf: pd.DataFrame, seg_pdf: pd.DataFrame) -> pd.DataFrame:
+        if cand_pdf.empty:
+            return cand_pdf.assign(maybe_seen=pd.Series([], dtype=bool))
+        h = cand_pdf["url_hash"].to_numpy()
+        if seg_pdf.empty:
+            out = np.zeros(len(h), dtype=bool)
+        else:
+            m = int(seg_pdf["m_bits"].max())
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            for blob in seg_pdf["bloom"]:  # pre-merge deltas OR together
+                bits |= np.frombuffer(blob, dtype=np.uint8)
+            h1, h2 = _h1h2(h)
+            out = _test_bits(bits, h1, h2, m)
+        res = cand_pdf.copy()
+        res["maybe_seen"] = out
+        return res
+
+    return (
+        cands_seg.groupBy("_seg")
+        .cogroup(segments.groupBy("segment_id"))
+        .applyInPandas(_probe, schema=out_schema)
+        .drop("_seg")
+    )
 
 
 def filter_new(
