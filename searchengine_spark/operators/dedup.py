@@ -17,11 +17,13 @@ Scale notes:
     positives cost only a verify and the output is exact-Jaccard-true
     (recall is the tunable; 64 perms / 32 bands × 2 rows keeps
     P[miss | J≥0.7] < 1e-9);
-  * SimHash buckets by 16-bit bands of the 64-bit signature (a pair
+  * SimHash buckets by 15-bit bands of the 60-bit signature (a pair
     within Hamming distance 3 must agree on ≥1 of 4 bands — exact by
     pigeonhole);
-  * embedding near-dup joins only within coarse LSH buckets at scale;
-    the sandbox-scale form verifies all-pairs cosine exactly.
+  * embedding near-dup proposes candidates within banded
+    random-hyperplane LSH buckets (sub-quadratic) and exact-verifies
+    cosine; the all-pairs form survives only as an explicit
+    method="allpairs" oracle mode for tiny inputs.
 """
 
 from __future__ import annotations
@@ -201,11 +203,18 @@ def minhash_lsh_pairs(
 # ----------------------------------------------------------------- SimHash
 
 
+# 60 bits = the first 15 hex chars of md5(token): md5 exists in BOTH
+# Spark and DuckDB, so the whole signature (per-occurrence bit votes →
+# majority pack) is reproducible by the SQL oracle — unlike xxhash64,
+# which DuckDB cannot compute (the round-1 reason simhash was rows-only)
+SIMHASH_BITS = 60
+
+
 def _simhash_pack_udf():
     @F.pandas_udf("bigint")
     def _pack(hs: pd.Series) -> pd.Series:
         out = np.empty(len(hs), dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
+        shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
         for i, arr in enumerate(hs):
             if arr is None or len(arr) == 0:
                 out[i] = 0
@@ -223,14 +232,18 @@ def _simhash_pack_udf():
 def simhash_signatures(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """(doc_id, simhash bigint) — 64-bit SimHash over the normative
-    tokens. Token hashing stays JVM-side (transform + xxhash64); the
-    64-lane majority vote + bit packing is a vectorized Arrow UDF
-    (numpy) — a 64-term Column expression would re-walk the hash array
-    per bit, interpreted (measured ~100× slower)."""
+    """(doc_id, simhash bigint) — 60-bit SimHash over the normative
+    tokens. Token hash = first 60 bits of md5 (JVM-side Column exprs;
+    engine-portable, see SIMHASH_BITS); the 60-lane majority vote + bit
+    packing is a vectorized Arrow UDF (numpy) — a 60-term Column
+    expression would re-walk the hash array per bit, interpreted
+    (measured ~100× slower). Votes are per token OCCURRENCE (multiset
+    SimHash, the classic Charikar form)."""
     toks = tokens_sql(text_col)
     hashed = documents.selectExpr(
-        f"{id_col} AS doc_id", f"transform({toks}, t -> xxhash64(t)) AS hs"
+        f"{id_col} AS doc_id",
+        f"transform({toks}, t -> CAST(conv(substring(md5(t), 1, 15), 16, 10)"
+        " AS bigint)) AS hs",
     )
     return hashed.select("doc_id", _simhash_pack_udf()(F.col("hs")).alias("simhash"))
 
@@ -242,11 +255,12 @@ def simhash_dup_pairs(
     text_col: str = "text",
 ) -> DataFrame:
     """Pairs within Hamming distance ≤ max_hamming of their SimHashes.
-    Banded exact pre-join: split the 64-bit signature into max_hamming+1
+    Banded exact pre-join: split the 60-bit signature into max_hamming+1
     bands — pigeonhole guarantees every qualifying pair collides on ≥1
     whole band. Hamming via bit_count(xor)."""
     n_bands = max_hamming + 1
-    width = 64 // n_bands
+    assert SIMHASH_BITS % n_bands == 0
+    width = SIMHASH_BITS // n_bands
     sigs = simhash_signatures(documents, id_col, text_col).persist()
     banded = sigs.select(
         "doc_id",
@@ -298,26 +312,86 @@ def _with_cosine(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _band_vals_udf(planes: np.ndarray, bands: int):
+    """pandas UDF: embedding array<double> → array<bigint> of `bands`
+    band values, band b = integer of the r sign bits of ⟨v, plane_i⟩ for
+    planes b·r..(b+1)·r. One Arrow batch = one numpy matmul — vectorized,
+    no per-row Python."""
+    n_planes, _dim = planes.shape
+    r = n_planes // bands
+    weights = 1 << np.arange(r, dtype=np.int64)
+
+    @F.pandas_udf("array<bigint>")
+    def _bands(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy())  # (n, dim)
+        sign = (mat @ planes.T) >= 0.0  # (n, n_planes)
+        vals = sign.reshape(len(mat), bands, r).astype(np.int64) @ weights
+        return pd.Series(list(vals))
+
+    return _bands
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = 64,
+    bands: int = 32,
+    seed: int = 13,
+    method: str = "lsh",
 ) -> DataFrame:
-    """Pairs (a < b) with cosine ≥ threshold. Sandbox-scale exact
-    all-pairs (n² bounded); at corpus scale the same verify runs inside
-    random-hyperplane LSH buckets (see simsearch.lsh_topk)."""
+    """Pairs (a < b) with cosine ≥ threshold.
+
+    method="lsh" (default, the scale path): banded random-hyperplane LSH
+    proposes, exact cosine disposes — every output row is truly
+    ≥ threshold; recall is the tunable. A pair is proposed iff it agrees
+    on ALL r = n_planes/bands sign bits of ≥ 1 band:
+    P[propose | cos c] = 1 − (1 − p^r)^bands with p = 1 − arccos(c)/π;
+    at r=2, bands=32 the miss probability is < 8e-7 at c=0.3 and
+    < 5e-9 at c=0.51 (deterministic seeded planes — verified equal to
+    the exact pair set on the sandbox fixtures). The only join is on
+    (band_id, band_val) buckets — NEVER all-pairs.
+
+    method="allpairs": the n²-bounded exact form, kept as the
+    oracle-verify mode for tiny inputs."""
     vecs = embeddings.select(
         F.col(id_col).alias("vid"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS double))").alias("v"),
     )
-    pairs = (
-        vecs.select(F.col("vid").alias("doc_a"), F.col("v").alias("va"))
-        .crossJoin(
-            vecs.select(F.col("vid").alias("doc_b"), F.col("v").alias("vb"))
+    if method == "allpairs":
+        pairs = (
+            vecs.select(F.col("vid").alias("doc_a"), F.col("v").alias("va"))
+            .crossJoin(
+                vecs.select(F.col("vid").alias("doc_b"), F.col("v").alias("vb"))
+            )
+            .filter(F.col("doc_a") < F.col("doc_b"))
         )
-        .filter(F.col("doc_a") < F.col("doc_b"))
-    )
+    else:
+        from searchengine_spark.operators.simsearch import _hyperplanes
+
+        dim = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
+        planes = np.asarray(_hyperplanes(int(dim), n_planes, seed))
+        bands_udf = _band_vals_udf(planes, bands)
+        banded = vecs.select(
+            "vid", F.posexplode(bands_udf(F.col("v"))).alias("band_id", "band_val")
+        )
+        cands = (
+            banded.alias("l")
+            .join(banded.alias("r"), ["band_id", "band_val"])
+            .filter(F.col("l.vid") < F.col("r.vid"))
+            .select(
+                F.col("l.vid").alias("doc_a"), F.col("r.vid").alias("doc_b")
+            )
+            .distinct()
+        )
+        pairs = cands.join(
+            vecs.select(F.col("vid").alias("doc_a"), F.col("v").alias("va")),
+            "doc_a",
+        ).join(
+            vecs.select(F.col("vid").alias("doc_b"), F.col("v").alias("vb")),
+            "doc_b",
+        )
     return (
         _with_cosine(pairs)
         .filter(F.col("cosine") >= threshold)

@@ -76,17 +76,28 @@ def brute_topk(
     )
 
 
+def _mix64(x: int) -> int:
+    """Full splitmix64 finalizer — a single xorshift over a linear
+    counter leaves successive outputs correlated, which measurably
+    degrades LSH recall (correlated plane components ⇒ correlated sign
+    bits across bands)."""
+    x = (x + 0x9E3779B97F4A7C15) % (1 << 64)
+    x ^= x >> 30
+    x = (x * 0xBF58476D1CE4E5B9) % (1 << 64)
+    x ^= x >> 27
+    x = (x * 0x94D049BB133111EB) % (1 << 64)
+    x ^= x >> 31
+    return x
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     """Deterministic pseudo-Gaussian hyperplanes: Box-Muller over a
-    counter hash (splitmix-style) — reproducible, no RNG object."""
+    counter hash (splitmix64) — reproducible, no RNG object."""
     planes = []
     for p in range(n_planes):
         row = []
         for d in range(0, dim, 2):
-            z = (seed * 0x9E3779B97F4A7C15 + (p * dim + d) * 0xBF58476D1CE4E5B9) % (
-                1 << 64
-            )
-            z ^= z >> 31
+            z = _mix64((seed << 32) + p * dim + d)
             u1 = ((z & 0xFFFFFFFF) + 1) / (1 << 32)
             u2 = ((z >> 32) + 1) / (1 << 32)
             r = math.sqrt(-2.0 * math.log(u1))

@@ -43,6 +43,38 @@ def _tag_pairs_udf(html: pd.Series) -> pd.Series:
     )
 
 
+# deterministic html fixture (media_table-style): re-wrap each document's
+# text in weighted tags so A6 is exercisable — and DuckDB-oracle-able —
+# over the plain-text `documents` testdata. Both engines slice the text
+# with the same 1-indexed substr bounds, so tokenization agrees even when
+# a bound splits a word.
+HTML_TITLE_LEN = 64
+HTML_BOLD_LEN = 64
+
+
+def html_table(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, html binary): <title> = first 64 chars, <b> = next 64,
+    remainder in an unweighted <p>."""
+    t = text_col
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.encode(
+            F.concat(
+                F.lit("<html><title>"),
+                F.expr(f"substr({t}, 1, {HTML_TITLE_LEN})"),
+                F.lit("</title><body><b>"),
+                F.expr(f"substr({t}, {HTML_TITLE_LEN + 1}, {HTML_BOLD_LEN})"),
+                F.lit("</b><p>"),
+                F.expr(f"substr({t}, {HTML_TITLE_LEN + HTML_BOLD_LEN + 1})"),
+                F.lit("</p></body></html>"),
+            ),
+            "utf-8",
+        ).alias("html"),
+    )
+
+
 def tag_term_weights(
     pages: DataFrame, id_col: str = "url", html_col: str = "html"
 ) -> DataFrame:

@@ -157,3 +157,29 @@ def test_multimodal_plumbing(spark):
     if not M._HAS_PIL:
         with pytest.raises(NotImplementedError):
             M.decode_image(b"\x89PNG fake")
+
+
+def test_embed_pairs_lsh_equals_allpairs_no_crossjoin(spark, sf_dir):
+    """The default (LSH-banded) embed-pairs plan must contain no
+    all-pairs join AND reproduce the exact pair set (recall check on the
+    real fixture — seeded planes make this deterministic)."""
+    import io
+    import os
+    from contextlib import redirect_stdout
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    lsh = D.embedding_dup_pairs(emb, 0.3)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        lsh.explain(mode="extended")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    got = {
+        (r["doc_a"], r["doc_b"]): round(r["cosine"], 9) for r in lsh.collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"]): round(r["cosine"], 9)
+        for r in D.embedding_dup_pairs(emb, 0.3, method="allpairs").collect()
+    }
+    assert got == exact
