@@ -147,14 +147,21 @@ def run_round(
 
     # ---- 1. politeness quota + priority slice (quota BEFORE salting)
     queued = frontier.filter(F.col("status") == "QUEUED")
-    w_host = Window.partitionBy("host").orderBy(
-        F.col("score").desc(), F.col("canon_url").asc()
-    )
-    # NOTE: no global-order window here. The intra-batch dedup rule (b)
-    # only needs "earlier-than" under (score desc, canon_url asc), which
-    # gates.content_dup_flags compares directly on the tuple — a global
-    # row_number would funnel the whole batch through one partition
-    # (batch size = Σ host quotas, which grows with host count).
+    # Two-phase EXACT per-host top-quota (hot-host-skew-proof): phase 1
+    # ranks within (host, salt) buckets and keeps ≤ quota per bucket — a
+    # host's global top-quota rows are necessarily in their bucket's
+    # top-quota, so this prunes without loss while splitting a hot host
+    # (the reference corpus put 58% of pages on ONE host; at 10^10 a
+    # single-task per-host window is a straggler/OOM) across n_salts
+    # tasks. Phase 2 ranks the ≤ n_salts·quota survivors per host.
+    # NOTE: no global-order window anywhere. The intra-batch dedup rule
+    # (b) only needs "earlier-than" under (score desc, canon_url asc),
+    # which gates.content_dup_flags compares directly on the tuple — a
+    # global row_number would funnel the whole batch through one
+    # partition (batch size = Σ host quotas, grows with host count).
+    by_rank = (F.col("score").desc(), F.col("canon_url").asc())
+    w_salt = Window.partitionBy("host", "salt").orderBy(*by_rank)
+    w_host = Window.partitionBy("host").orderBy(*by_rank)
     batch = (
         queued.join(rb.select("host", "crawl_delay"), "host", "left")
         .withColumn(
@@ -170,15 +177,16 @@ def run_round(
                 ),
             ),
         )
+        .withColumn("salt", F.pmod(F.col("url_hash"), F.lit(cfg.n_salts)))
+        .withColumn("rk_pre", F.row_number().over(w_salt))
+        .filter(F.col("rk_pre") <= F.col("quota"))
         .withColumn("rk", F.row_number().over(w_host))
         .filter(F.col("rk") <= F.col("quota"))
-        .select("canon_url", "url_hash", "host", "score", "round_added")
+        .select("canon_url", "url_hash", "host", "score", "round_added", "salt")
     )
 
     # ---- 2. explicit repartition: politeness-group → fetch (north rule)
-    batch = batch.withColumn(
-        "salt", F.pmod(F.col("url_hash"), F.lit(cfg.n_salts))
-    ).repartition(cfg.n_partitions, "host", "salt")
+    batch = batch.repartition(cfg.n_partitions, "host", "salt")
 
     # ---- 3. fetch (simulated GET: html by canonical url). When the
     # caller pre-shaped the table with prepare_pages(), the cached side

@@ -145,7 +145,15 @@ def _pair_dups(left: DataFrame, right: DataFrame, threshold: float) -> DataFrame
     against ≥1 `right` row. Exact: prefix-filtered gram pre-join (only
     each left page's rarest ⌊(1-t)|fp|⌋+1 grams probe the right side —
     no candidate pair with J ≥ t can be missed), then array-Jaccard on
-    surviving pairs."""
+    surviving pairs.
+
+    At corpus scale the accepted store's exploded (gram, url_hash) side
+    is not re-derived per round: it is materialized ONCE as a
+    gram-postings table stored hash-bucketed by gram (Iceberg
+    `bucket(N, gram)`), appended per round, so this pre-join is
+    storage-partitioned and only the batch's probe grams shuffle. The
+    sandbox facade re-explodes the array store per round (bounded here;
+    bucketing metadata is an Iceberg capability, see tableio.py)."""
     lg = _prefix_grams(left, threshold)
     rg = right.select(
         F.col("url_hash").alias("rhs_hash"), F.explode("fp").alias("gram")

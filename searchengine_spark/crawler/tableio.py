@@ -89,6 +89,13 @@ class TableIO:
         (read() unions all visible snapshots) — the Iceberg append-files
         shape; used for url_seen / fingerprints / extracted / metrics so
         a round writes O(new rows), never O(table).
+
+        The frontier itself uses overwrite (copy-on-write): a round
+        rewrites O(frontier) data files for O(batch) status flips. On
+        real Iceberg the same commit is a MERGE with merge-on-read
+        deletes — O(delta) writes, with compaction amortized off the
+        round path. The facade keeps copy-on-write because parquet has
+        no delete-file read path; callers are unaffected either way.
         """
         path = self._snap_dir(table, round_no)
         # write compaction: snapshot deltas are small relative to the

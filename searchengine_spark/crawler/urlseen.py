@@ -173,7 +173,16 @@ def filter_new(
 
     With segments: bloom gates the fast path (definite-new rows skip the
     shuffle entirely); only `maybe_seen` rows pay the exact anti-join.
-    Identical output to the plain anti-join by construction (tested)."""
+    Identical output to the plain anti-join by construction (tested).
+
+    At 10^10-URL scale the exact backstop's right side must not
+    re-shuffle per round: url_seen is stored hash-bucketed by url_hash
+    (Iceberg `bucket(N, url_hash)` partition transform — same key space
+    as the bloom segments), so on a real catalog this anti-join is a
+    storage-partitioned join where ONLY the suspect side (bloom-FP rate
+    ≈ 5e-4 of candidates plus true re-discoveries) moves. The parquet
+    facade here lacks bucketing metadata, so local runs shuffle both
+    sides — a sandbox limitation, not the design."""
     if segments is None:
         return candidates.join(url_seen.select("url_hash"), "url_hash", "left_anti")
     probed = probe_maybe_seen(candidates, segments, n_segments)

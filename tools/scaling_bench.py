@@ -112,33 +112,52 @@ def hardware_ceiling(low: int, high: int) -> float:
 
 
 def main() -> int:
+    """argv: [n_pages] [rounds] [cores_csv] [body_repeat] — cores_csv is
+    a comma-separated ladder (default "2,8"); each consecutive pair is
+    reported as an N→kN scaling point over the SAME cached corpus (the
+    2→8 pair is the in-linear-region N→4N evidence; an 8→32 rung adds
+    the SMT-ceiling-bounded point)."""
     n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 16000
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    low = int(sys.argv[3]) if len(sys.argv) > 3 else 2
-    high = int(sys.argv[4]) if len(sys.argv) > 4 else 8
-    body_repeat = int(sys.argv[5]) if len(sys.argv) > 5 else 200
-    hw_eff = hardware_ceiling(low, high)
+    cores = (
+        [int(c) for c in sys.argv[3].split(",")]
+        if len(sys.argv) > 3
+        else [2, 8]
+    )
+    body_repeat = int(sys.argv[4]) if len(sys.argv) > 4 else 200
     path = _gen_corpus_once(n_pages, body_repeat)
-    wall_lo, fetched_lo = run_at(low, n_pages, rounds, path)
-    wall_hi, fetched_hi = run_at(high, n_pages, rounds, path)
-    thr_lo, thr_hi = fetched_lo / wall_lo, fetched_hi / wall_hi
-    eff = (thr_hi / thr_lo) / (high / low)
+    legs = []
+    for c in cores:
+        wall, fetched = run_at(c, n_pages, rounds, path)
+        legs.append(
+            {
+                "cores": c,
+                "urls_timed": fetched,
+                "wall_sec": round(wall, 2),
+                "urls_per_sec": round(fetched / wall, 2),
+            }
+        )
+        print(f"# leg local[{c}]: {json.dumps(legs[-1])}", flush=True)
+    pairs = []
+    for lo, hi in zip(legs, legs[1:]):
+        ratio = hi["cores"] / lo["cores"]
+        eff = (hi["urls_per_sec"] / lo["urls_per_sec"]) / ratio
+        hw = hardware_ceiling(lo["cores"], hi["cores"])
+        pairs.append(
+            {
+                "pair": f"{lo['cores']}->{hi['cores']}",
+                "scaling_efficiency": round(eff, 3),
+                "hardware_ceiling_efficiency": round(hw, 3),
+                "efficiency_vs_hardware": round(eff / hw, 3),
+            }
+        )
     result = {
         "n_pages": n_pages,
         "rounds": rounds,
         "timed_from_round": 3,
         "body_repeat": body_repeat,
-        "low_cores": low,
-        "high_cores": high,
-        "urls_timed_low": fetched_lo,
-        "urls_timed_high": fetched_hi,
-        "wall_low_sec": round(wall_lo, 2),
-        "wall_high_sec": round(wall_hi, 2),
-        "urls_per_sec_low": round(thr_lo, 2),
-        "urls_per_sec_high": round(thr_hi, 2),
-        "scaling_efficiency": round(eff, 3),
-        "hardware_ceiling_efficiency": round(hw_eff, 3),
-        "efficiency_vs_hardware": round(eff / hw_eff, 3),
+        "legs": legs,
+        "pairs": pairs,
     }
     print(json.dumps(result))
     return 0
