@@ -99,6 +99,7 @@ def init_crawl(
             _seen_projection(keyed, 0), cfg.n_bloom_segments, cfg.bloom_m_bits
         ),
         0,
+        mode="append",  # rounds append delta segments (O(new urls))
     )
     io.stage("fingerprints", spark.createDataFrame([], FP_SCHEMA), 0, mode="append")
     io.stage("extracted", spark.createDataFrame([], EXTRACTED_SCHEMA), 0, mode="append")
@@ -255,7 +256,8 @@ def run_round(
 
     cands = gates.trap_reject(cands, url_seen, cfg.trap_threshold)  # J6
     new_urls = urlseen.filter_new(  # J5: bloom fast path + exact backstop
-        cands, url_seen, segments, cfg.n_bloom_segments
+        cands, url_seen, segments, cfg.n_bloom_segments,
+        total_bloom_bytes=cfg.n_bloom_segments * cfg.bloom_m_bits // 8,
     ).persist()
 
     # ---- 7. assemble + commit next snapshots
@@ -329,11 +331,13 @@ def run_round(
         # writers must scale with the cluster, not the compaction floor
     )
     _mark("stage:fps+extracted")
-    # incremental bloom: build segments over the delta, OR-merge with prev
+    # incremental bloom: append ONLY this round's delta segments —
+    # O(new urls) staged bytes; probes OR multiple blobs per segment on
+    # the fly, and merge_segments is the periodic compaction hook
     delta_segs = urlseen.build_segments(
         _seen_projection(new_urls, round_no), cfg.n_bloom_segments, cfg.bloom_m_bits
     )
-    io.stage("bloom", urlseen.merge_segments(segments, delta_segs), round_no)
+    io.stage("bloom", delta_segs, round_no, mode="append")
     _mark("stage:bloom")
 
     if cfg.light_metrics:

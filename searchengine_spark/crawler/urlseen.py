@@ -93,7 +93,13 @@ def build_segments(
 
 def merge_segments(prev: DataFrame, delta: DataFrame) -> DataFrame:
     """OR-merge two fixed-size segment sets by segment_id (grouped-map
-    over the union — per-partition at cluster scale)."""
+    over the union — per-partition at cluster scale).
+
+    This is the COMPACTION hook, not a per-round cost: rounds append
+    delta segments only (O(new urls)), both probe paths OR together
+    multiple blobs per segment on the fly, and a deployment compacts
+    every K rounds to bound blobs-per-segment — the Iceberg
+    rewrite-data-files shape."""
 
     def _merge(pdf: pd.DataFrame) -> pd.DataFrame:
         seg = int(pdf["segment_id"].iloc[0])
@@ -117,18 +123,16 @@ def merge_segments(prev: DataFrame, delta: DataFrame) -> DataFrame:
     )
 
 
-def probe_maybe_seen(
-    candidates: DataFrame, segments: DataFrame, n_segments: int = 16
+def _probe_cogroup(
+    candidates: DataFrame, segments: DataFrame, n_segments: int
 ) -> DataFrame:
-    """Adds boolean `maybe_seen` to candidates(url_hash, ...). False ⇒
-    definitely new (bloom has no false negatives).
-
-    Partition-local: candidates and segments are COGROUPED on segment_id
-    (= pmod(url_hash, n_segments), the same hash partitioning the seen
-    tables use), so each task loads ONLY its own segment's bits — at
-    10^10-URL scale the aggregate bloom is tens of GB and must never
-    transit the driver or be broadcast whole. A candidate group with no
-    matching segment is definitely new (empty bloom ⇒ all-False)."""
+    """Partition-local probe: candidates and segments are COGROUPED on
+    segment_id (= pmod(url_hash, n_segments), the same hash partitioning
+    the seen tables use), so each task loads ONLY its own segment's bits
+    — at 10^10-URL scale the aggregate bloom is tens of GB and must
+    never transit the driver or be broadcast whole. A candidate group
+    with no matching segment is definitely new; multiple blobs per
+    segment (un-compacted deltas) are OR-ed on the fly."""
     from pyspark.sql.types import BooleanType, StructField, StructType
 
     cands_seg = candidates.withColumn(
@@ -147,7 +151,7 @@ def probe_maybe_seen(
         else:
             m = int(seg_pdf["m_bits"].max())
             bits = np.zeros(m // 8, dtype=np.uint8)
-            for blob in seg_pdf["bloom"]:  # pre-merge deltas OR together
+            for blob in seg_pdf["bloom"]:  # OR un-compacted deltas
                 bits |= np.frombuffer(blob, dtype=np.uint8)
             h1, h2 = _h1h2(h)
             out = _test_bits(bits, h1, h2, m)
@@ -163,11 +167,79 @@ def probe_maybe_seen(
     )
 
 
+def _probe_broadcast(
+    candidates: DataFrame, segments: DataFrame, n_segments: int
+) -> DataFrame:
+    """Broadcast probe: the segment blobs are collected and broadcast,
+    the test runs as a scalar Arrow UDF on the url_hash column alone —
+    no shuffle, no full-row Python round-trip. Only eligible when the
+    CONFIGURED aggregate bloom size fits comfortably in executors (the
+    caller checks) — the same small-side rule as a broadcast join."""
+    seg_rows = segments.collect()
+    blooms: dict[int, tuple[np.ndarray, int]] = {}
+    for r in seg_rows:  # OR un-compacted deltas per segment
+        sid, m = int(r["segment_id"]), int(r["m_bits"])
+        blob = np.frombuffer(r["bloom"], dtype=np.uint8)
+        if sid in blooms:
+            blooms[sid] = (blooms[sid][0] | blob, m)
+        else:
+            blooms[sid] = (blob, m)
+    spark = candidates.sparkSession
+    bc = spark.sparkContext.broadcast(blooms)
+
+    @F.pandas_udf("boolean")
+    def _probe(url_hash: pd.Series) -> pd.Series:
+        table = bc.value
+        h = url_hash.to_numpy()
+        segs = (h % n_segments + n_segments) % n_segments
+        out = np.zeros(len(h), dtype=bool)
+        for seg in np.unique(segs):
+            entry = table.get(int(seg))
+            if entry is None:
+                continue
+            bits, m = entry
+            mask = segs == seg
+            h1, h2 = _h1h2(h[mask])
+            out[mask] = _test_bits(bits, h1, h2, m)
+        return pd.Series(out)
+
+    return candidates.withColumn("maybe_seen", _probe(F.col("url_hash")))
+
+
+# broadcast-vs-cogroup switch point: same rule of thumb as Spark's
+# broadcast-join threshold — beyond this the bloom must stay distributed
+BROADCAST_BLOOM_MAX_BYTES = 64 << 20
+
+
+def probe_maybe_seen(
+    candidates: DataFrame,
+    segments: DataFrame,
+    n_segments: int = 16,
+    total_bloom_bytes: int | None = None,
+) -> DataFrame:
+    """Adds boolean `maybe_seen` to candidates(url_hash, ...). False ⇒
+    definitely new (bloom has no false negatives).
+
+    Size-adaptive (the broadcast-join rule): when the CONFIGURED
+    aggregate bloom size (n_segments × m_bits — known statically, no
+    action needed) fits under BROADCAST_BLOOM_MAX_BYTES, the blobs are
+    broadcast and probed shuffle-free; otherwise candidates cogroup with
+    their co-located segment so each task loads only its own bits.
+    Identical output either way (tested)."""
+    if (
+        total_bloom_bytes is not None
+        and total_bloom_bytes <= BROADCAST_BLOOM_MAX_BYTES
+    ):
+        return _probe_broadcast(candidates, segments, n_segments)
+    return _probe_cogroup(candidates, segments, n_segments)
+
+
 def filter_new(
     candidates: DataFrame,
     url_seen: DataFrame,
     segments: DataFrame | None = None,
     n_segments: int = 16,
+    total_bloom_bytes: int | None = None,
 ) -> DataFrame:
     """Rows of `candidates` whose url_hash is NOT in url_seen.
 
@@ -185,7 +257,7 @@ def filter_new(
     sides — a sandbox limitation, not the design."""
     if segments is None:
         return candidates.join(url_seen.select("url_hash"), "url_hash", "left_anti")
-    probed = probe_maybe_seen(candidates, segments, n_segments)
+    probed = probe_maybe_seen(candidates, segments, n_segments, total_bloom_bytes)
     definite_new = probed.filter(~F.col("maybe_seen")).drop("maybe_seen")
     suspects = probed.filter(F.col("maybe_seen")).drop("maybe_seen")
     confirmed_new = suspects.join(

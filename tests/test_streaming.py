@@ -88,3 +88,42 @@ def test_stream_crawl_matches_driver_loop(spark, tmp_path):
     seen_a = {r["canon_url"] for r in io_a.read("url_seen").collect()}
     seen_b = {r["canon_url"] for r in io_b.read("url_seen").collect()}
     assert seen_b == seen_a
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path):
+    """applyInPandasWithState first-seen dedup: across micro-batches,
+    each url_hash is emitted exactly once — equal to the batch distinct."""
+    import json as _json
+
+    from searchengine_spark.streaming.stateful import streaming_first_seen
+
+    src = tmp_path / "cand_stream"
+    src.mkdir()
+    batch1 = [f"https://h{i % 4}.test/p{i}" for i in range(30)]
+    batch2 = batch1[10:20] + [f"https://h9.test/x{i}" for i in range(5)]
+
+    def _write(name, urls):
+        with open(src / name, "w") as f:
+            for u in urls:
+                f.write(_json.dumps({"canon_url": u}) + "\n")
+
+    _write("b1.json", batch1)
+    stream = spark.readStream.schema("canon_url string").json(str(src))
+    out = streaming_first_seen(stream, n_segments=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("first_seen")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write("b2.json", batch2)  # 10 repeats + 5 new
+        q.processAllAvailable()
+        got = [r["canon_url"] for r in spark.sql("SELECT * FROM first_seen").collect()]
+    finally:
+        q.stop()
+    expected = set(batch1) | set(batch2)
+    assert len(got) == len(expected)  # no repeat ever re-emitted
+    assert set(got) == expected

@@ -74,3 +74,35 @@ def test_tokenize_roundtrip_vs_pycore(spark):
     df = spark.createDataFrame([(text,)], "t string")
     got = df.selectExpr(f"{tokens_sql('t')} as toks").collect()[0]["toks"]
     assert got == tokenize(text)
+
+
+def test_probe_paths_identical_and_uncompacted_deltas(spark):
+    """The broadcast and cogroup probe paths must produce identical
+    maybe_seen columns, including over UN-COMPACTED multi-blob segments
+    (per-round append deltas OR-ed on the fly)."""
+    seen_a = _urls("era1", 300)
+    seen_b = _urls("era2", 250)
+    cand_urls = _urls("era1", 100) + _urls("era2", 80) + _urls("fresh", 120)
+
+    def _df(urls):
+        return spark.createDataFrame(
+            [(u,) for u in urls], "canon_url string"
+        ).withColumn("url_hash", F.xxhash64("canon_url"))
+
+    # two delta snapshots unioned, never compacted: 2 blobs per segment
+    segments = urlseen.build_segments(_df(seen_a), n_segments=8).unionByName(
+        urlseen.build_segments(_df(seen_b), n_segments=8)
+    )
+    cands = _df(cand_urls)
+    via_bc = {
+        (r["canon_url"], r["maybe_seen"])
+        for r in urlseen._probe_broadcast(cands, segments, 8).collect()
+    }
+    via_cg = {
+        (r["canon_url"], r["maybe_seen"])
+        for r in urlseen._probe_cogroup(cands, segments, 8).collect()
+    }
+    assert via_bc == via_cg
+    # no false negative across BOTH eras through either path
+    seen_set = set(seen_a) | set(seen_b)
+    assert all(ms for (u, ms) in via_bc if u in seen_set)
