@@ -84,11 +84,15 @@ def run_fixed_crawl(
             return io.read("frontier").filter("round_fetched >= 0").count()
 
         t0 = fetched_before = None
+        remaining = None
         for r in range(1, rounds + 1):
             if r == timed_from_round:
                 fetched_before = _fetched()
                 t0 = time.perf_counter()
-            if FR.run_round(spark, io, cfg, pdf, r) == 0:
+            remaining = FR.run_round(
+                spark, io, cfg, pdf, r, prev_queued=remaining
+            )
+            if remaining == 0:
                 break
         if t0 is None:  # crawl drained before the timed window opened
             return 0.0, 0

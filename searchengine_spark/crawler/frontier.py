@@ -126,9 +126,17 @@ def run_round(
     cfg: CrawlConfig,
     pages: DataFrame,
     round_no: int,
+    prev_queued: int | None = None,
 ) -> int:
     """Execute one frontier round; returns the number of QUEUED urls
-    remaining after the round (0 ⇒ crawl complete, ST1 termination)."""
+    remaining after the round (0 ⇒ crawl complete, ST1 termination).
+
+    prev_queued (when the caller carries it between rounds) lets the
+    light-metrics path derive the new QUEUED count arithmetically —
+    queued' = queued − |batch| + |new| holds exactly because every batch
+    row leaves QUEUED and every admitted row enters it — from two counts
+    over already-materialized cached DataFrames, instead of re-scanning
+    the frontier."""
     profile = os.environ.get("SPARK_GRAFT_PROFILE") == "1"
     _t = [time.perf_counter()]
 
@@ -341,10 +349,14 @@ def run_round(
     _mark("stage:bloom")
 
     if cfg.light_metrics:
-        # bench path: one count for loop control, metrics row minimal
-        queued_remaining = frontier_next.filter(
-            F.col("status") == "QUEUED"
-        ).count()
+        # bench path: loop-control count only, metrics row minimal
+        if prev_queued is not None:
+            # exact identity over cached/tiny tables (see docstring)
+            queued_remaining = prev_queued - batch.count() + new_urls.count()
+        else:  # first round after init/resume: direct count
+            queued_remaining = frontier_next.filter(
+                F.col("status") == "QUEUED"
+            ).count()
         io.stage(
             "metrics",
             spark.createDataFrame(
@@ -425,9 +437,10 @@ def crawl(
         else prepare_pages(pages, cfg.n_partitions)
     )
     r = io.latest_round()
+    remaining: int | None = None  # unknown on fresh start/resume
     while r < max_rounds:
         r += 1
-        remaining = run_round(spark, io, cfg, pages_kv, r)
+        remaining = run_round(spark, io, cfg, pages_kv, r, prev_queued=remaining)
         if remaining == 0:
             break
     return io.latest_round()

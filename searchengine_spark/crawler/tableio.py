@@ -109,18 +109,31 @@ class TableIO:
         )
         with open(manifest, "w") as f:
             json.dump(
-                {"table": table, "round": round_no, "path": path, "mode": mode}
-            , f)
+                {
+                    "table": table,
+                    "round": round_no,
+                    "path": path,
+                    "mode": mode,
+                    # schema-in-manifest (the Iceberg metadata shape):
+                    # readers apply it instead of re-inferring from
+                    # parquet footers — a per-read driver job saved
+                    "schema": df.schema.json(),
+                },
+                f,
+            )
 
-    def _mode(self, table: str, snap: int) -> str:
+    def _manifest(self, table: str, snap: int) -> dict:
         manifest = os.path.join(
             self.warehouse, table, f"_commit-{snap:06d}.json"
         )
         try:
             with open(manifest) as f:
-                return json.load(f).get("mode", "overwrite")
+                return json.load(f)
         except (OSError, json.JSONDecodeError):
-            return "overwrite"
+            return {}
+
+    def _mode(self, table: str, snap: int) -> str:
+        return self._manifest(table, snap).get("mode", "overwrite")
 
     def _visible_rounds(self, table: str, round_no: int | None) -> list[int]:
         committed = set(self.committed_rounds())
@@ -144,11 +157,15 @@ class TableIO:
         vis = self._visible_rounds(table, round_no)
         if not vis:
             return None
-        if self._mode(table, vis[-1]) == "append":
-            return self.spark.read.parquet(
-                *[self._snap_dir(table, s) for s in vis]
-            )
-        return self.spark.read.parquet(self._snap_dir(table, vis[-1]))
+        m = self._manifest(table, vis[-1])
+        reader = self.spark.read
+        if m.get("schema"):
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(m["schema"])))
+        if m.get("mode", "overwrite") == "append":
+            return reader.parquet(*[self._snap_dir(table, s) for s in vis])
+        return reader.parquet(self._snap_dir(table, vis[-1]))
 
     def gc_orphans(self) -> None:
         """Drop staged-but-never-committed snapshots (crash leftovers)."""
