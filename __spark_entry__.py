@@ -247,6 +247,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "left_anti",
         )
 
+    def q_dup_clusters(spark, sf):
+        # connected-components duplicate clustering over the exact
+        # near-dup pair set; cluster_id = keeper (min doc_id)
+        docs = _docs(spark, sf)
+        return DD.dup_clusters(DD.ngram_dup_pairs(docs, 0.7), docs)
+
+    def q_ivf_topk(spark, sf):
+        # IVF coarse-quantized ANN: 8 seeded-medoid centroids, nprobe=2
+        emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        return _r(
+            SS.ivf_topk(emb, _query_vec(spark, sf), 10, n_centroids=8, nprobe=2),
+            "cosine",
+        )
+
     def q_tag_weights(spark, sf):
         # A6 over the deterministic html fixture derived from documents
         pages = TW.html_table(_docs(spark, sf))
@@ -331,6 +345,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolve_urls": q_resolve_urls,
         "tf_lemma": q_tf_lemma,
         "json_ingest": q_json_ingest,
+        "dup_clusters": q_dup_clusters,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -494,6 +510,63 @@ SELECT b.vec_id, round({_DUCK_VCOS}, 9) AS cosine
 FROM b, q WHERE b.bucket = q.qbucket
 ORDER BY {_DUCK_VCOS} DESC, b.vec_id ASC LIMIT 10"""
 
+# ---- dup_clusters: connected components via recursive CTE over the
+# exact near-dup edge set (symmetric closure; min reachable id) ---------
+_DUCK_DUP_CLUSTERS = f"""
+WITH RECURSIVE toks AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+g AS (SELECT doc_id, {_DUCK_GRAMS} AS gs FROM toks),
+p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.gs, b.gs)) > 0
+    AND CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7
+),
+edg AS (
+  SELECT da AS src, db AS dst FROM p
+  UNION ALL
+  SELECT db AS src, da AS dst FROM p
+),
+reach AS (
+  SELECT doc_id AS v, doc_id AS r FROM documents
+  UNION
+  SELECT edg.dst AS v, reach.r FROM reach JOIN edg ON edg.src = reach.v
+)
+SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v"""
+
+# ---- ivf_topk: same seeded-medoid quantizer + nprobe plan in SQL ------
+_IVF_IDX = "CAST(i AS INTEGER)"
+_DUCK_IVF_D2 = (
+    f"list_reduce(list_transform(range(1, {_ANN_DIM + 1}), "
+    f"i -> ({{a}}[{_IVF_IDX}] - {{b}}[{_IVF_IDX}]) * "
+    f"({{a}}[{_IVF_IDX}] - {{b}}[{_IVF_IDX}])), (acc, x) -> acc + x)"
+)
+_DUCK_IVF = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+d AS (
+  SELECT e.vec_id, c.cid, {_DUCK_IVF_D2.format(a="e.v", b="c.cv")} AS d2
+  FROM e CROSS JOIN c
+),
+a AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d
+  ) t WHERE rn = 1
+),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+qd AS (
+  SELECT c.cid, {_DUCK_IVF_D2.format(a="c.cv", b="q.qv")} AS d2 FROM c, q
+),
+probes AS (SELECT cid FROM qd ORDER BY d2, cid LIMIT 2),
+b AS (
+  SELECT e.vec_id, e.v FROM e JOIN a USING (vec_id)
+  WHERE a.cid IN (SELECT cid FROM probes)
+)
+SELECT b.vec_id, round({_DUCK_VCOS}, 9) AS cosine
+FROM b, q ORDER BY {_DUCK_VCOS} DESC, b.vec_id ASC LIMIT 10"""
+
 _EN = ", ".join(f"'{w}'" for w in TS.STOPWORDS["en"])
 _LANG_HITS = ", ".join(
     "len(list_filter(tl, t -> t IN ("
@@ -571,6 +644,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash_pairs": _DUCK_SIMHASH_PAIRS,
         "ann_lsh": _DUCK_ANN_LSH,
+        "dup_clusters": _DUCK_DUP_CLUSTERS,
+        "ivf_topk": _DUCK_IVF,
         "index_analytics": (
             f"WITH {_DUCK_TOKENS} SELECT count(DISTINCT doc_id) AS n_docs, "
             "count(DISTINCT token) AS n_tokens, count(*) AS n_postings FROM postings"

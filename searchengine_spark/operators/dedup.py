@@ -290,6 +290,79 @@ def simhash_dup_pairs(
     return pairs
 
 
+# ------------------------------------------------------- dup clustering
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    documents: DataFrame | None = None,
+    id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(doc_id, cluster_id) — connected components over near-dup pairs,
+    cluster_id = min doc_id in the component (the deterministic keeper a
+    dedup pipeline retains). With `documents`, singletons appear as
+    their own cluster, so the output is a total doc→cluster map.
+
+    Distributed label propagation: every vertex repeatedly adopts the
+    minimum label among itself and its neighbors; converges in
+    ≤ component-diameter rounds (near-dup clusters are shallow — text
+    dup components are cliques or short chains, so 2-3 rounds typical;
+    max_iters bounds adversarial chains). Each round is one
+    edge-join + one min-aggregate — all shuffles on the vertex key, no
+    driver-side graph. Convergence is checked with a changed-count
+    aggregate per round (driver sees one long per iteration, never
+    rows). The classic large-star/small-star optimization halves rounds
+    on deep graphs; unnecessary at near-dup shapes."""
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        edges.select(F.col("src").alias("v"))
+        .distinct()
+        .withColumn("label", F.col("v"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.v)
+            .select(F.col("dst").alias("v"), "label")
+            .groupBy("v")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "v", "left")
+            .select(
+                "v",
+                F.least(
+                    "label", F.coalesce("nmin", F.col("label"))
+                ).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("_chg"),
+            )
+        ).persist()
+        changed = new_labels.agg(
+            F.coalesce(F.sum(F.col("_chg").cast("long")), F.lit(0))
+        ).collect()[0][0]
+        old = labels
+        labels = new_labels.drop("_chg").persist()
+        old.unpersist()
+        new_labels.unpersist()
+        if changed == 0:
+            break
+    out = labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
+    if documents is not None:
+        all_docs = documents.select(F.col(id_col).alias("doc_id"))
+        out = (
+            all_docs.join(out, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+            )
+        )
+    return out
+
+
 # --------------------------------------------------- embedding cosine dups
 
 _COSINE = (

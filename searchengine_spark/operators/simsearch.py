@@ -122,6 +122,71 @@ def with_lsh_bucket(
     return vecs.withColumn("bucket", F.expr(" + ".join(bits)))
 
 
+_SQ_DIST = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "0.0D, (acc, x) -> acc + x)"
+)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize every vector to its
+    nearest centroid, search only the `nprobe` centroid lists nearest
+    the query — the classic FAISS-style scale path (scan fraction ≈
+    nprobe/n_centroids; recall trades against nprobe).
+
+    Coarse quantizer: the first n_centroids vectors of the table serve
+    as seeded medoids — deterministic, data-derived, engine-portable
+    (a trained k-means would converge to better centroids; the
+    assignment/probe/scan plan is identical). Assignment = argmin
+    squared-L2 (sequential-fold arithmetic, centroid-id tie-break) over
+    a BROADCAST centroid table — the n×K distance stage never shuffles
+    the vectors. At storage scale the assigned centroid id is the
+    table's partition key, so a query reads nprobe partitions.
+    """
+    q = [float(x) for x in query_vec]
+    qlit = "array(" + ", ".join(f"CAST({x!r} AS double)" for x in q) + ")"
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.expr(_as_double(vec_col)).alias("v")
+    )
+    cents = vecs.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    # probe set: the nprobe centroids nearest the query (K tiny rows)
+    probe_rows = (
+        cents.withColumn("qd2", F.expr(_SQ_DIST.format(a="cv", b=qlit)))
+        .orderBy("qd2", "cid")
+        .limit(nprobe)
+        .collect()
+    )
+    probe_cids = [int(r["cid"]) for r in probe_rows]
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = (
+        vecs.join(F.broadcast(cents))
+        .withColumn("d2", F.expr(_SQ_DIST.format(a="v", b="cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    cand = assigned.filter(F.col("cid").isin(probe_cids))
+    scored = with_query_cosine(cand, q)
+    return (
+        scored.select("vec_id", "cosine")
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],

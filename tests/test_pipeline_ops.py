@@ -183,3 +183,41 @@ def test_embed_pairs_lsh_equals_allpairs_no_crossjoin(spark, sf_dir):
         for r in D.embedding_dup_pairs(emb, 0.3, method="allpairs").collect()
     }
     assert got == exact
+
+
+def test_dup_clusters_components(spark):
+    """Chain 1-2-3 collapses to min-id cluster 1; pair 5-6 to 5;
+    singleton 9 clusters to itself when documents are supplied."""
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (5, 6, 0.95)],
+        "doc_a bigint, doc_b bigint, j double",
+    )
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 5, 6, 9)], "doc_id bigint, text string"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in D.dup_clusters(pairs, docs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+
+def test_ivf_topk_probes_nearest_lists(spark):
+    """Two well-separated clusters around the first two vectors; with
+    nprobe=1 only the query's own cluster is scanned."""
+    rows = [
+        (0, [10.0, 0.0, 0.0]),   # centroid A (also the query)
+        (1, [0.0, 10.0, 0.0]),   # centroid B
+        (2, [9.0, 1.0, 0.0]),    # near A
+        (3, [1.0, 9.0, 0.0]),    # near B
+        (4, [8.0, 0.5, 0.0]),    # near A
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    got = [
+        r["vec_id"]
+        for r in S.ivf_topk(
+            emb, [10.0, 0.0, 0.0], k=5, n_centroids=2, nprobe=1
+        ).collect()
+    ]
+    assert got[0] == 0            # exact match first
+    assert set(got) == {0, 2, 4}  # B-list rows 1,3 never scanned
