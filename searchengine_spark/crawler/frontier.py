@@ -314,39 +314,61 @@ def run_round(
         _mark("mat:j7")
         new_urls.count()
         _mark("mat:candidates+j6+j5")
+    # The frontier write runs FIRST and alone: its lineage pulls every
+    # persisted round DataFrame (batch, page_stage, fpdf, flagged,
+    # new_urls), so this one job materializes all shared caches.
     io.stage("frontier", frontier_next, round_no, n_files=cfg.n_partitions)
     _mark("stage:frontier")
-    io.stage(
-        "url_seen", _seen_projection(new_urls, round_no), round_no, mode="append"
-    )
-    _mark("stage:url_seen")
-    io.stage(
-        "fingerprints",
-        fpdf.join(dup_keys, "url_hash", "left_anti").select(
-            "url_hash", "canon_url", "fp", F.lit(round_no).alias("round_added")
-        ),
-        round_no,
-        mode="append",
-    )
-    io.stage(
-        "extracted",
-        page_stage.join(dup_keys, "url_hash", "left_anti").select(
-            "url_hash", "canon_url", "text", F.lit(round_no).alias("round_fetched")
-        ),
-        round_no,
-        mode="append",
-        n_files=cfg.n_partitions,  # the text corpus is the big payload —
-        # writers must scale with the cluster, not the compaction floor
-    )
-    _mark("stage:fps+extracted")
-    # incremental bloom: append ONLY this round's delta segments —
-    # O(new urls) staged bytes; probes OR multiple blobs per segment on
-    # the fly, and merge_segments is the periodic compaction hook
+    # The four delta snapshots only re-read those hot caches — they are
+    # independent outputs, so their jobs are submitted CONCURRENTLY
+    # (Spark schedules parallel actions from one session; staging cost
+    # per round ≈ the slowest write, not the sum — the multi-output
+    # materialization pattern).
     delta_segs = urlseen.build_segments(
         _seen_projection(new_urls, round_no), cfg.n_bloom_segments, cfg.bloom_m_bits
     )
-    io.stage("bloom", delta_segs, round_no, mode="append")
-    _mark("stage:bloom")
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = [
+            pool.submit(
+                io.stage,
+                "url_seen",
+                _seen_projection(new_urls, round_no),
+                round_no,
+                "append",
+            ),
+            pool.submit(
+                io.stage,
+                "fingerprints",
+                fpdf.join(dup_keys, "url_hash", "left_anti").select(
+                    "url_hash", "canon_url", "fp",
+                    F.lit(round_no).alias("round_added"),
+                ),
+                round_no,
+                "append",
+            ),
+            pool.submit(
+                io.stage,
+                "extracted",
+                page_stage.join(dup_keys, "url_hash", "left_anti").select(
+                    "url_hash", "canon_url", "text",
+                    F.lit(round_no).alias("round_fetched"),
+                ),
+                round_no,
+                "append",
+                cfg.n_partitions,  # the text corpus is the big payload —
+                # writers must scale with the cluster, not the compaction
+                # floor
+            ),
+            # incremental bloom: append ONLY this round's delta segments
+            # — O(new urls) staged bytes; probes OR multiple blobs per
+            # segment on the fly, merge_segments is the compaction hook
+            pool.submit(io.stage, "bloom", delta_segs, round_no, "append"),
+        ]
+        for f in futs:
+            f.result()
+    _mark("stage:url_seen+fps+extracted+bloom")
 
     if cfg.light_metrics:
         # bench path: loop-control count only, metrics row minimal
