@@ -261,6 +261,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "cosine",
         )
 
+    def q_bpe_count(spark, sf):
+        # LLM-cost token counting: BPE pre-tokenizer piece counts
+        return TS.bpe_token_count(_docs(spark, sf))
+
     def q_tag_weights(spark, sf):
         # A6 over the deterministic html fixture derived from documents
         pages = TW.html_table(_docs(spark, sf))
@@ -347,6 +351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_ingest": q_json_ingest,
         "dup_clusters": q_dup_clusters,
         "ivf_topk": q_ivf_topk,
+        "bpe_count": q_bpe_count,
     }
 
 
@@ -646,6 +651,12 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _DUCK_ANN_LSH,
         "dup_clusters": _DUCK_DUP_CLUSTERS,
         "ivf_topk": _DUCK_IVF,
+        "bpe_count": (
+            "SELECT doc_id, "
+            f"len(regexp_extract_all(text, '{TS.BPE_PIECE_RE}')) AS n_pieces, "
+            "len(list_distinct(regexp_extract_all(text, "
+            f"'{TS.BPE_PIECE_RE}'))) AS n_distinct_pieces FROM documents"
+        ),
         "index_analytics": (
             f"WITH {_DUCK_TOKENS} SELECT count(DISTINCT doc_id) AS n_docs, "
             "count(DISTINCT token) AS n_tokens, count(*) AS n_postings FROM postings"

@@ -43,6 +43,31 @@ def token_stats(
     )
 
 
+# BPE-ish pre-tokenizer pieces (GPT-2-style, lookahead-free so the SAME
+# pattern runs on Java regex (Spark) and RE2 (DuckDB)): a piece is an
+# optional leading space + a letter run, digit run, or punctuation run;
+# remaining whitespace runs count as pieces too (the lookahead-bearing
+# original merely re-attaches trailing spaces — a counting no-op).
+BPE_PIECE_RE = r" ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_pieces, n_distinct_pieces) — LLM-cost-style token
+    counting: how many BPE pre-tokenizer pieces a document splits into
+    (each piece is further split into subwords by a real BPE vocab, so
+    piece count is the stable engine-side lower bound / cost proxy).
+    One regexp_extract_all pass, JVM-side (Column-API pattern literal —
+    no SQL-string backslash escaping)."""
+    arr = F.regexp_extract_all(F.col(text_col), F.lit(BPE_PIECE_RE), F.lit(0))
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(arr).alias("n_pieces"),
+        F.size(F.array_distinct(arr)).alias("n_distinct_pieces"),
+    )
+
+
 def quality_scores(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:

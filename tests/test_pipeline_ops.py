@@ -221,3 +221,15 @@ def test_ivf_topk_probes_nearest_lists(spark):
     ]
     assert got[0] == 0            # exact match first
     assert set(got) == {0, 2, 4}  # B-list rows 1,3 never scanned
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame(
+        [(0, "Hello world, 42 tokens!"), (1, "")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in T.bpe_token_count(df).collect()}
+    # pieces: "Hello", " world", ",", " 42", " tokens", "!"
+    assert got[0]["n_pieces"] == 6
+    assert got[0]["n_distinct_pieces"] == 6
+    assert got[1]["n_pieces"] == 0

@@ -130,3 +130,27 @@ def test_lemma_map_changes_and_merges_tokens(spark):
     assert lem[(0, "order")] == 2 / 6  # 'sort' merged in
     assert lem[(0, "large")] == 1 / 6  # 'big' relabeled
     assert abs(sum(v for (_, _), v in lem.items()) - 1.0) < 1e-12
+
+
+def test_sorted_index_token_filter_pushdown(spark, sf_dir, tmp_path):
+    """T4 — a token-equality query over the sorted index must push the
+    filter into the parquet scan (PushedFilters), so the token-range
+    file layout prunes via min/max stats."""
+    import io
+    from contextlib import redirect_stdout
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    path = str(tmp_path / "sorted_index")
+    TF.write_sorted_index(TF.build_postings(docs), path)
+    q = (
+        spark.read.parquet(path)
+        .filter(F.col("token").isin(["spark", "window"]))
+        .select("doc_id", "token", "tf_idf")
+    )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        q.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan
+    assert "In(token" in plan.replace(" ", "")[: 10_000] or "In(token" in plan
+    assert q.count() > 0
