@@ -427,13 +427,22 @@ _DUCK_TOKENS_LEMMA = _DUCK_TOKENS.replace(
     "FROM tok WHERE",
 )
 
-# ---- simhash_pairs: 60-bit md5-derived SimHash, bit-identical to the
-# Spark operator (dedup.SIMHASH_BITS rationale) ------------------------
-_DUCK_H60 = (
-    "CAST(list_sum(list_transform(range(15), i -> "
-    "CAST(strpos('0123456789abcdef', substring(md5(token), CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)"
-    " * (CAST(1 AS BIGINT) << CAST((14 - i) * 4 AS INTEGER)))) AS BIGINT)"
-)
+# ---- 60-bit md5-derived hashes (dedup.SIMHASH_BITS rationale): md5
+# exists in both engines; the int value is rebuilt from the first 15 hex
+# chars by digit arithmetic -------------------------------------------
+
+
+def _duck_h60(expr: str) -> str:
+    """DuckDB bigint of the first 60 bits of md5(expr)."""
+    return (
+        "CAST(list_sum(list_transform(range(15), i -> "
+        f"CAST(strpos('0123456789abcdef', substring(md5({expr}), "
+        "CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)"
+        " * (CAST(1 AS BIGINT) << CAST((14 - i) * 4 AS INTEGER)))) AS BIGINT)"
+    )
+
+
+_DUCK_H60 = _duck_h60("token")
 _DUCK_SIMHASH_PAIRS = f"""
 WITH tok AS (
   SELECT doc_id, trim(t, ' ''') AS token
@@ -572,6 +581,40 @@ b AS (
 SELECT b.vec_id, round({_DUCK_VCOS}, 9) AS cosine
 FROM b, q ORDER BY {_DUCK_VCOS} DESC, b.vec_id ASC LIMIT 10"""
 
+# ---- media_features / frame_sample: the media fixture's payload is the
+# utf-8 bytes of `text`, and the testdata text is pure ASCII, so DuckDB
+# walks it character-wise (char == byte) — byte histogram bins, Shannon
+# entropy, and stride-sampled 256-byte block fingerprints all recompute
+# exactly (frame hash = md5-60bit, see multimodal.frame_sample) --------
+_DUCK_MEDIA_FEATURES = """
+WITH m AS (SELECT doc_id AS media_id, text FROM documents),
+byte AS (
+  SELECT media_id,
+         ascii(substring(text, CAST(i + 1 AS INTEGER), 1)) // 16 AS bin
+  FROM m, unnest(range(length(text))) AS r(i)
+),
+cnt AS (SELECT media_id, bin, count(*) AS c FROM byte GROUP BY media_id, bin),
+tot AS (SELECT media_id, length(text) AS n_bytes FROM m),
+ent AS (
+  SELECT cnt.media_id,
+         -sum((CAST(c AS DOUBLE) / n_bytes)
+              * log2(CAST(c AS DOUBLE) / n_bytes)) AS entropy
+  FROM cnt JOIN tot USING (media_id) GROUP BY cnt.media_id
+)
+SELECT t.media_id, t.n_bytes, round(coalesce(e.entropy, 0.0), 9) AS entropy
+FROM tot t LEFT JOIN ent e USING (media_id)"""
+
+_DUCK_FRAME_SAMPLE = f"""
+WITH v AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2),
+blk AS (
+  SELECT media_id, CAST(i AS INTEGER) AS bi,
+         substring(text, CAST(i * 256 + 1 AS INTEGER), 256) AS b
+  FROM v, unnest(range(CAST(ceil(length(text) / 256.0) AS BIGINT))) AS r(i)
+)
+SELECT media_id, CAST(bi // 4 AS INTEGER) AS frame_idx,
+       {_duck_h60("b")} AS frame_hash
+FROM blk WHERE bi % 4 = 0"""
+
 _EN = ", ".join(f"'{w}'" for w in TS.STOPWORDS["en"])
 _LANG_HITS = ", ".join(
     "len(list_filter(tl, t -> t IN ("
@@ -657,6 +700,8 @@ def oracle_sql() -> dict[str, str]:
             "len(list_distinct(regexp_extract_all(text, "
             f"'{TS.BPE_PIECE_RE}'))) AS n_distinct_pieces FROM documents"
         ),
+        "media_features": _DUCK_MEDIA_FEATURES,
+        "frame_sample": _DUCK_FRAME_SAMPLE,
         "index_analytics": (
             f"WITH {_DUCK_TOKENS} SELECT count(DISTINCT doc_id) AS n_docs, "
             "count(DISTINCT token) AS n_tokens, count(*) AS n_postings FROM postings"
@@ -730,9 +775,9 @@ FROM toks""",
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
        event_type, count(*) AS n_events, round(sum(value), 9) AS sum_value
 FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
-        # media_features / frame_sample remain rows-only: binary payload
-        # processing (byte histograms / block fingerprints over binary
-        # columns) is not expressible over DuckDB's view of the parquet.
-        # simhash_pairs and ann_lsh gained full oracles in round 2 (60-bit
-        # md5-derived SimHash; literal-plane LSH buckets).
+        # Round 2 closed the rows-only set to ZERO: simhash_pairs and
+        # frame_sample moved to engine-portable md5-60bit hashes,
+        # ann_lsh/ivf_topk share literal planes / data-derived centroids
+        # with sequential-fold arithmetic, and media_features exploits
+        # the ASCII fixture (char == byte) for the byte histogram.
     }

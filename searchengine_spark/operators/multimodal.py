@@ -121,7 +121,14 @@ def frame_sample(
     mechanics."""
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from searchengine_spark.pycore.urltools import xxhash64
+        import hashlib
+
+        def _md5_60(b: bytes) -> int:
+            # engine-portable 60-bit fingerprint: first 15 hex chars of
+            # md5 (same rationale as dedup.SIMHASH_BITS — md5 exists in
+            # both Spark and DuckDB, so the SQL oracle recomputes frame
+            # hashes exactly; xxhash64 would leave this rows-only)
+            return int(hashlib.md5(b).hexdigest()[:15], 16)
 
         for pdf in batches:
             out_id, out_idx, out_hash = [], [], []
@@ -133,7 +140,7 @@ def frame_sample(
                 for i, blk in enumerate(blocks[::stride]):
                     out_id.append(mid)
                     out_idx.append(i)
-                    out_hash.append(xxhash64(bytes(blk)))
+                    out_hash.append(_md5_60(bytes(blk)))
             yield pd.DataFrame(
                 {
                     "media_id": out_id,
