@@ -318,12 +318,13 @@ def dup_clusters(
     edges = edges.unionByName(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
-    labels = (
+    cached = (
         edges.select(F.col("src").alias("v"))
         .distinct()
         .withColumn("label", F.col("v"))
         .persist()
     )
+    labels = cached
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.v)
@@ -331,7 +332,7 @@ def dup_clusters(
             .groupBy("v")
             .agg(F.min("label").alias("nmin"))
         )
-        new_labels = (
+        nxt = (
             labels.join(neighbor_min, "v", "left")
             .select(
                 "v",
@@ -341,15 +342,18 @@ def dup_clusters(
                 (F.col("nmin") < F.col("label")).alias("_chg"),
             )
         ).persist()
-        changed = new_labels.agg(
+        # the changed-count agg MATERIALIZES nxt's cache; only then is
+        # the previous generation's cache dropped (unpersisting earlier
+        # would chain recomputes through every prior iteration)
+        changed = nxt.agg(
             F.coalesce(F.sum(F.col("_chg").cast("long")), F.lit(0))
         ).collect()[0][0]
-        old = labels
-        labels = new_labels.drop("_chg").persist()
-        old.unpersist()
-        new_labels.unpersist()
+        cached.unpersist()
+        cached = nxt
+        labels = nxt.drop("_chg")
         if changed == 0:
             break
+    edges.unpersist()
     out = labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
     if documents is not None:
         all_docs = documents.select(F.col(id_col).alias("doc_id"))
