@@ -4,11 +4,16 @@
 built end-to-end from sf0.001 documents (SURVEY.md §7 Phase 1 slice).
 
 ``queries()`` / ``oracle_sql()`` — one named query per implemented
-operator of SURVEY.md §2, each with a DuckDB-equivalent ANSI-SQL oracle.
+operator of SURVEY.md §2 + §2.11 (31 queries as of round 2), EVERY one
+with a DuckDB-equivalent ANSI-SQL oracle — the rows-only set is empty.
 Float columns are rounded to 9 decimals on BOTH sides so the driver's
 value-hash compares bit-stable doubles (all underlying arithmetic is
 int-ratio division, ln, and products — identical IEEE754 in both
-engines; rounding guards the last ulp).
+engines; rounding guards the last ulp). Where an operator's natural hash
+(xxhash64) or randomness (hyperplanes) is not SQL-expressible, the
+operator itself was designed engine-portable instead: md5-60bit token /
+frame hashes, literal-plane buckets with sequential-fold dot products,
+data-derived IVF centroids (see the per-oracle comments below).
 """
 
 from __future__ import annotations
