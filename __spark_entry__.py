@@ -4,7 +4,7 @@
 built end-to-end from sf0.001 documents (SURVEY.md §7 Phase 1 slice).
 
 ``queries()`` / ``oracle_sql()`` — one named query per implemented
-operator of SURVEY.md §2 + §2.11 (31 queries as of round 2), EVERY one
+operator of SURVEY.md §2 + §2.11 (32 queries as of round 2), EVERY one
 with a DuckDB-equivalent ANSI-SQL oracle — the rows-only set is empty.
 Float columns are rounded to 9 decimals on BOTH sides so the driver's
 value-hash compares bit-stable doubles (all underlying arithmetic is
@@ -312,6 +312,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "url", F.md5("content").alias("content_md5"), "encoding"
         )
 
+    def q_sessions(spark, sf):
+        # session windows (merging-window aggregate, streaming-capable)
+        from searchengine_spark.operators.windows import session_aggregate
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        out = session_aggregate(ev, "30 minutes")
+        return out.select(
+            "user_id",
+            F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("ss"),
+            "n_events",
+            F.round("sum_value", 9).alias("sum_value"),
+        )
+
     def q_tumbling(spark, sf):
         from searchengine_spark.operators.windows import tumbling_counts
 
@@ -357,6 +370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "ivf_topk": q_ivf_topk,
         "bpe_count": q_bpe_count,
+        "sessions": q_sessions,
     }
 
 
@@ -707,6 +721,28 @@ def oracle_sql() -> dict[str, str]:
         ),
         "media_features": _DUCK_MEDIA_FEATURES,
         "frame_sample": _DUCK_FRAME_SAMPLE,
+        # sessions: Spark's merging session_window ≡ the classic
+        # lag/gap-flag/cumsum construction (new session iff the gap to
+        # the previous event is ≥ 30 min; boundary exactly-equal-gap
+        # starts a new session in both engines)
+        "sessions": """
+WITH o AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ss,
+       count(*) AS n_events, round(sum(value), 9) AS sum_value
+FROM s GROUP BY user_id, sid""",
         "index_analytics": (
             f"WITH {_DUCK_TOKENS} SELECT count(DISTINCT doc_id) AS n_docs, "
             "count(DISTINCT token) AS n_tokens, count(*) AS n_postings FROM postings"

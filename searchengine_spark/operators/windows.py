@@ -58,3 +58,35 @@ def top_user_per_window(
         .filter(F.col("rn") == 1)
         .select("window_start", "user_id", "user_value")
     )
+
+
+def session_aggregate(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """(user_id, session_start, n_events, sum_value) — session windows:
+    a session groups a key's events whose gaps are < `gap`; a quiet
+    period ≥ `gap` closes it. Uses Spark's native ``session_window``
+    aggregate (the streaming-capable merging-window operator — the same
+    expression runs under ``withWatermark`` in Structured Streaming,
+    where state merges sessions across micro-batches). One shuffle on
+    the key; window merging is state-local.
+
+    session_window's end = last event + gap; session_start = first event
+    ts — reproducible in plain SQL via the classic lag/gap-flag/cumsum
+    construction (the DuckDB oracle, __spark_entry__)."""
+    return (
+        events.groupBy(
+            F.col(key_col),
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            key_col,
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )

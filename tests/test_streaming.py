@@ -127,3 +127,28 @@ def test_streaming_first_seen_dedup(spark, tmp_path):
     expected = set(batch1) | set(batch2)
     assert len(got) == len(expected)  # no repeat ever re-emitted
     assert set(got) == expected
+
+
+def test_session_aggregate_gap_semantics(spark):
+    """Session windows: gap < 30min merges, gap >= 30min splits."""
+    from datetime import datetime, timedelta
+
+    from searchengine_spark.operators.windows import session_aggregate
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + timedelta(minutes=10), 2.0),   # merges (10 < 30)
+        (1, t0 + timedelta(minutes=45), 4.0),   # splits (35 >= 30)
+        (2, t0, 8.0),
+    ]
+    ev = spark.createDataFrame(rows, "user_id bigint, ts timestamp, value double")
+    got = {
+        (r["user_id"], r["session_start"]): (r["n_events"], r["sum_value"])
+        for r in session_aggregate(ev, "30 minutes").collect()
+    }
+    assert got == {
+        (1, t0): (2, 3.0),
+        (1, t0 + timedelta(minutes=45)): (1, 4.0),
+        (2, t0): (1, 8.0),
+    }
