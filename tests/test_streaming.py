@@ -152,3 +152,68 @@ def test_session_aggregate_gap_semantics(spark):
         (1, t0 + timedelta(minutes=45)): (1, 4.0),
         (2, t0): (1, 8.0),
     }
+
+
+def test_streaming_sessions_equal_batch(spark, events_dir, tmp_path):
+    """session_window under watermark+append emits exactly the batch
+    session aggregate once the watermark passes every session's end (a
+    far-future sentinel event closes all real sessions)."""
+    import glob
+    import shutil
+    from datetime import timedelta
+
+    from searchengine_spark.operators.windows import session_aggregate
+
+    batch = spark.read.schema(EVENTS_SCHEMA).parquet(events_dir)
+    expected = sorted(
+        (r["user_id"], r["session_start"], r["n_events"], round(r["sum_value"], 6))
+        for r in session_aggregate(batch, "30 minutes").collect()
+    )
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+
+    src = tmp_path / "sess_stream"
+    src.mkdir()
+    for f in sorted(glob.glob(os.path.join(events_dir, "*.parquet"))):
+        shutil.copy(f, src)
+    sentinel = spark.createDataFrame(
+        [(-1, max_ts + timedelta(days=30), -1, "sentinel", 0.0, "{}")],
+        EVENTS_SCHEMA,
+    )
+    # written after the real files => later mod-time => later micro-batch
+    sentinel.coalesce(1).write.mode("append").parquet(str(src / "zz_sentinel"))
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy(
+            F.col("user_id"), F.session_window(F.col("ts"), "30 minutes").alias("sw")
+        )
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "user_id", F.col("sw.start").alias("session_start"),
+            "n_events", "sum_value",
+        )
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = sorted(
+            (r["user_id"], r["session_start"], r["n_events"], round(r["sum_value"], 6))
+            for r in spark.sql(
+                "SELECT * FROM sess_stream WHERE user_id >= 0"
+            ).collect()
+        )
+    finally:
+        q.stop()
+    assert got == expected
