@@ -30,10 +30,27 @@ class CrawlConfig:
     n_salts: int = 4
     n_partitions: int = 8
 
-    # ---- URL-seen bloom segments (J5 fast path): fixed-size so round
-    # deltas OR-merge; size per segment for the expected partition load
+    # ---- URL-seen bloom segments (J5 fast path): fixed-size WITHIN a
+    # generation so round deltas OR-merge; compaction starts a new
+    # generation and may resize (see bloom_target_bits_per_key)
     n_bloom_segments: int = 16
     bloom_m_bits: int = 1 << 17
+
+    # ---- compaction cadence (Iceberg rewrite-data-files): every
+    # compact_every rounds the append tables (url_seen, bloom,
+    # fingerprints, extracted, metrics) are squashed into one BASE
+    # snapshot and superseded files pruned, so per-round read fan-in and
+    # bloom blobs-per-segment stay bounded by the cadence instead of
+    # growing O(crawl age). 0 disables (tests of raw delta behavior).
+    compact_every: int = 8
+    # bloom capacity policy: at compaction, if the generation's
+    # bits-per-key fell below the target, the bloom is REBUILT from the
+    # full url_seen at required_m_bits(...) instead of OR-merged —
+    # without this a fixed-size filter saturates (FPR→1) on a long
+    # crawl and the fast path silently degenerates to "everything
+    # maybe-seen" (never wrong — the exact anti-join is the backstop —
+    # but no longer fast).
+    bloom_target_bits_per_key: float = 10.0
 
     # ---- per-round metrics: full (counts per stage) or light (only the
     # queued-remaining count needed for loop control) — the bench path

@@ -100,6 +100,7 @@ def init_crawl(
         ),
         0,
         mode="append",  # rounds append delta segments (O(new urls))
+        props={"m_bits": cfg.bloom_m_bits},
     )
     io.stage("fingerprints", spark.createDataFrame([], FP_SCHEMA), 0, mode="append")
     io.stage("extracted", spark.createDataFrame([], EXTRACTED_SCHEMA), 0, mode="append")
@@ -151,6 +152,11 @@ def run_round(
     fps = io.read("fingerprints", round_no - 1)
     robots = io.read("robots", round_no - 1)
     segments = io.read("bloom", round_no - 1)
+    # the bloom generation's segment size lives in the commit manifest
+    # (table_props — a driver-side file read): compaction may have
+    # resized past cfg.bloom_m_bits, and this round's delta segments
+    # must match the generation to stay OR-mergeable
+    cur_m = int(io.table_props("bloom", round_no - 1).get("m_bits", cfg.bloom_m_bits))
 
     rb = F.broadcast(robots)  # J8: robots cache is a broadcast dim
 
@@ -265,7 +271,7 @@ def run_round(
     cands = gates.trap_reject(cands, url_seen, cfg.trap_threshold)  # J6
     new_urls = urlseen.filter_new(  # J5: bloom fast path + exact backstop
         cands, url_seen, segments, cfg.n_bloom_segments,
-        total_bloom_bytes=cfg.n_bloom_segments * cfg.bloom_m_bits // 8,
+        total_bloom_bytes=cfg.n_bloom_segments * cur_m // 8,
     ).persist()
 
     # ---- 7. assemble + commit next snapshots
@@ -324,51 +330,99 @@ def run_round(
     # (Spark schedules parallel actions from one session; staging cost
     # per round ≈ the slowest write, not the sum — the multi-output
     # materialization pattern).
-    delta_segs = urlseen.build_segments(
-        _seen_projection(new_urls, round_no), cfg.n_bloom_segments, cfg.bloom_m_bits
+    seen_delta = _seen_projection(new_urls, round_no)
+    fp_delta = fpdf.join(dup_keys, "url_hash", "left_anti").select(
+        "url_hash", "canon_url", "fp", F.lit(round_no).alias("round_added")
     )
+    ex_delta = page_stage.join(dup_keys, "url_hash", "left_anti").select(
+        "url_hash", "canon_url", "text", F.lit(round_no).alias("round_fetched")
+    )
+
+    # ---- compaction (Iceberg rewrite-data-files, every K rounds):
+    # squash each append table's delta snapshots into ONE base snapshot
+    # so read fan-in and bloom blobs-per-segment stay bounded by the
+    # cadence — without this, probe cost and snapshot-union width grow
+    # O(crawl age). The bloom is OR-merged (cheap, O(segments)); when
+    # the generation's bits-per-key fell under the policy target it is
+    # instead REBUILT from the full url_seen at a larger m_bits (a
+    # resize is a rebuild — compaction already pays the O(seen) pass).
+    do_compact = cfg.compact_every > 0 and round_no % cfg.compact_every == 0
+    if do_compact:
+        n_prev, _ = urlseen.segment_load(segments)
+        total_seen = n_prev + new_urls.count()  # cached — cheap action
+        new_m = urlseen.required_m_bits(
+            total_seen,
+            cfg.n_bloom_segments,
+            cfg.bloom_target_bits_per_key,
+            floor_m_bits=cfg.bloom_m_bits,
+        )
+        seen_full = url_seen.unionByName(seen_delta)
+        if new_m > cur_m:  # saturation → new generation at new_m
+            bloom_next, next_m = (
+                urlseen.build_segments(seen_full, cfg.n_bloom_segments, new_m),
+                new_m,
+            )
+        else:  # healthy → OR-merge the accumulated delta blobs
+            delta_segs = urlseen.build_segments(
+                seen_delta, cfg.n_bloom_segments, cur_m
+            )
+            bloom_next, next_m = urlseen.merge_segments(segments, delta_segs), cur_m
+        ex_prev = io.read("extracted", round_no - 1)
+        stage_args = [
+            ("url_seen", seen_full, round_no, "append", 4, True, None),
+            (
+                "fingerprints",
+                fps.unionByName(fp_delta),
+                round_no, "append", 4, True, None,
+            ),
+            (
+                "extracted",
+                ex_prev.unionByName(ex_delta),
+                round_no, "append", cfg.n_partitions, True, None,
+            ),
+            ("bloom", bloom_next, round_no, "append", 4, True, {"m_bits": next_m}),
+        ]
+    else:
+        # incremental path: append ONLY this round's delta segments —
+        # O(new urls) staged bytes; probes OR multiple blobs per segment
+        # on the fly until the next compaction bounds them again
+        delta_segs = urlseen.build_segments(
+            seen_delta, cfg.n_bloom_segments, cur_m
+        )
+        stage_args = [
+            ("url_seen", seen_delta, round_no, "append", 4, False, None),
+            ("fingerprints", fp_delta, round_no, "append", 4, False, None),
+            # the text corpus is the big payload — writers must scale
+            # with the cluster, not the compaction floor
+            ("extracted", ex_delta, round_no, "append", cfg.n_partitions, False, None),
+            ("bloom", delta_segs, round_no, "append", 4, False, {"m_bits": cur_m}),
+        ]
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=4) as pool:
         futs = [
-            pool.submit(
-                io.stage,
-                "url_seen",
-                _seen_projection(new_urls, round_no),
-                round_no,
-                "append",
-            ),
-            pool.submit(
-                io.stage,
-                "fingerprints",
-                fpdf.join(dup_keys, "url_hash", "left_anti").select(
-                    "url_hash", "canon_url", "fp",
-                    F.lit(round_no).alias("round_added"),
-                ),
-                round_no,
-                "append",
-            ),
-            pool.submit(
-                io.stage,
-                "extracted",
-                page_stage.join(dup_keys, "url_hash", "left_anti").select(
-                    "url_hash", "canon_url", "text",
-                    F.lit(round_no).alias("round_fetched"),
-                ),
-                round_no,
-                "append",
-                cfg.n_partitions,  # the text corpus is the big payload —
-                # writers must scale with the cluster, not the compaction
-                # floor
-            ),
-            # incremental bloom: append ONLY this round's delta segments
-            # — O(new urls) staged bytes; probes OR multiple blobs per
-            # segment on the fly, merge_segments is the compaction hook
-            pool.submit(io.stage, "bloom", delta_segs, round_no, "append"),
+            pool.submit(io.stage, t, df, rn, mode, n_files=nf, base=b, props=pr)
+            for (t, df, rn, mode, nf, b, pr) in stage_args
         ]
         for f in futs:
             f.result()
-    _mark("stage:url_seen+fps+extracted+bloom")
+    _mark("stage:url_seen+fps+extracted+bloom" + (":compact" if do_compact else ""))
+
+    def _stage_metrics(row_df: DataFrame) -> None:
+        if do_compact:  # metrics history squashes with the other deltas
+            prev = io.read("metrics", round_no - 1)
+            io.stage(
+                "metrics", prev.unionByName(row_df), round_no,
+                mode="append", base=True,
+            )
+        else:
+            io.stage("metrics", row_df, round_no, mode="append")
+
+    def _commit_and_prune() -> None:
+        io.commit_round(round_no)
+        if do_compact:  # reclaim superseded snapshots (post-commit, safe)
+            for t in ("url_seen", "fingerprints", "extracted", "bloom", "metrics"):
+                io.prune_compacted(t)
 
     if cfg.light_metrics:
         # bench path: loop-control count only, metrics row minimal
@@ -379,16 +433,13 @@ def run_round(
             queued_remaining = frontier_next.filter(
                 F.col("status") == "QUEUED"
             ).count()
-        io.stage(
-            "metrics",
+        _stage_metrics(
             spark.createDataFrame(
                 [(round_no, None, None, None, None, None, None, queued_remaining)],
                 METRICS_SCHEMA,
-            ),
-            round_no,
-            mode="append",
+            )
         )
-        io.commit_round(round_no)
+        _commit_and_prune()
         _mark("metrics+commit")
         for df in (batch, page_stage, fpdf, flagged, new_urls, frontier_next):
             df.unpersist()
@@ -418,8 +469,7 @@ def run_round(
     )
     batch_size, fetched_ok = counts["batch_size"], counts["fetched_ok"]
     queued_remaining = counts["queued_remaining"]
-    io.stage(
-        "metrics",
+    _stage_metrics(
         spark.createDataFrame(
             [
                 (
@@ -428,11 +478,9 @@ def run_round(
                 )
             ],
             METRICS_SCHEMA,
-        ),
-        round_no,
-        mode="append",
+        )
     )
-    io.commit_round(round_no)
+    _commit_and_prune()
     _mark("metrics+commit")
 
     for df in (batch, page_stage, fpdf, flagged, new_urls, frontier_next):

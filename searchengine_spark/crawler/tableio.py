@@ -78,6 +78,8 @@ class TableIO:
         round_no: int,
         mode: str = "overwrite",
         n_files: int = 4,
+        base: bool = False,
+        props: dict | None = None,
     ) -> None:
         """Write a snapshot of `table` for `round_no` (invisible until
         commit_round).
@@ -89,6 +91,17 @@ class TableIO:
         (read() unions all visible snapshots) — the Iceberg append-files
         shape; used for url_seen / fingerprints / extracted / metrics so
         a round writes O(new rows), never O(table).
+
+        base=True (append tables): this snapshot REPLACES all earlier
+        snapshots — the COMPACTION commit (Iceberg
+        rewrite-data-files). read() unions from the latest visible base
+        forward, so the read fan-in is bounded by the compaction cadence
+        instead of growing O(rounds); prune_compacted() reclaims the
+        superseded files after commit.
+
+        props: small JSON-able key-values recorded in the commit
+        manifest (e.g. the bloom generation's m_bits) — the Iceberg
+        table-properties shape; read back via table_props().
 
         The frontier itself uses overwrite (copy-on-write): a round
         rewrites O(frontier) data files for O(batch) status flips. On
@@ -114,6 +127,8 @@ class TableIO:
                     "round": round_no,
                     "path": path,
                     "mode": mode,
+                    "base": bool(base),
+                    "props": props or {},
                     # schema-in-manifest (the Iceberg metadata shape):
                     # readers apply it instead of re-inferring from
                     # parquet footers — a per-read driver job saved
@@ -152,8 +167,11 @@ class TableIO:
 
     def read(self, table: str, round_no: int | None = None) -> DataFrame | None:
         """Time-travel read at round_no: latest visible snapshot for
-        overwrite tables; union of all visible delta snapshots for
-        append tables (Iceberg manifest-union shape)."""
+        overwrite tables; union of visible delta snapshots for append
+        tables (Iceberg manifest-union shape), starting from the latest
+        visible BASE snapshot — a compaction commit replaces everything
+        before it, so read fan-in is bounded by the compaction cadence,
+        not crawl age."""
         vis = self._visible_rounds(table, round_no)
         if not vis:
             return None
@@ -164,8 +182,47 @@ class TableIO:
 
             reader = reader.schema(StructType.fromJson(json.loads(m["schema"])))
         if m.get("mode", "overwrite") == "append":
+            for i in range(len(vis) - 1, 0, -1):
+                if self._manifest(table, vis[i]).get("base"):
+                    vis = vis[i:]
+                    break
             return reader.parquet(*[self._snap_dir(table, s) for s in vis])
         return reader.parquet(self._snap_dir(table, vis[-1]))
+
+    def table_props(self, table: str, round_no: int | None = None) -> dict:
+        """props of the latest visible commit manifest (Iceberg
+        table-properties shape) — driver-side file read, no Spark job."""
+        vis = self._visible_rounds(table, round_no)
+        if not vis:
+            return {}
+        return self._manifest(table, vis[-1]).get("props") or {}
+
+    def prune_compacted(self, table: str) -> int:
+        """Reclaim append-table snapshots superseded by the latest
+        COMMITTED base snapshot (Iceberg expire-snapshots after a
+        rewrite). Returns the number of snapshots removed. Idempotent;
+        safe after a crash between commit and prune. Time travel to
+        rounds before the base is no longer possible for this table —
+        the standard expire-snapshots trade."""
+        vis = self._visible_rounds(table, None)
+        base_idx = None
+        for i in range(len(vis) - 1, 0, -1):
+            if self._manifest(table, vis[i]).get("base"):
+                base_idx = i
+                break
+        if base_idx is None:
+            return 0
+        removed = 0
+        for s in vis[:base_idx]:
+            shutil.rmtree(self._snap_dir(table, s), ignore_errors=True)
+            try:
+                os.remove(
+                    os.path.join(self.warehouse, table, f"_commit-{s:06d}.json")
+                )
+            except OSError:
+                pass
+            removed += 1
+        return removed
 
     def gc_orphans(self) -> None:
         """Drop staged-but-never-committed snapshots (crash leftovers)."""
