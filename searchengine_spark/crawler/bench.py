@@ -103,9 +103,34 @@ def run_fixed_crawl(
         shutil.rmtree(wh, ignore_errors=True)
 
 
-def bench_crawl(spark: SparkSession, n_pages: int = 2000, rounds: int = 3) -> float:
+def bench_crawl(
+    spark: SparkSession,
+    n_pages: int = 2000,
+    rounds: int = 3,
+    pages_path: str | None = None,
+) -> float:
     wall, _ = run_fixed_crawl(
         spark, n_pages, rounds, n_hosts=16, body_scale=2, n_partitions=8,
-        max_per_host=400,
+        max_per_host=400, pages_path=pages_path,
     )
     return round(wall, 3)
+
+
+def write_bench_corpus(spark: SparkSession, path: str, n_pages: int = 2000) -> str:
+    """Materialize the bench_crawl corpus (same generator parameters) to
+    parquet once, so multi-trial benches don't re-pay driver-side
+    corpus generation per trial."""
+    from searchengine_spark.crawler.synth import (
+        PAGES_SCHEMA,
+        ROBOTS_SCHEMA,
+        gen_corpus,
+    )
+
+    rows, robots, _ = gen_corpus(n_pages, 42, 16, 2, 1, with_text=False)
+    spark.createDataFrame(rows, schema=PAGES_SCHEMA).repartition(8).write.mode(
+        "overwrite"
+    ).parquet(path)
+    spark.createDataFrame(robots, schema=ROBOTS_SCHEMA).write.mode(
+        "overwrite"
+    ).parquet(path + "_robots")
+    return path
