@@ -107,6 +107,47 @@ def lemma_case_sql(token_expr: str, lemma_map: dict[str, str]) -> str:
     return f"CASE {token_expr} {whens} ELSE {token_expr} END"
 
 
+@F.pandas_udf(ArrayType(StringType()))
+def stem_tokens_udf(tokens: pd.Series) -> pd.Series:
+    """F3 open-vocabulary path — Porter-stem every token (classic
+    published algorithm; pycore.stemmer is normative, this UDF
+    delegates, so distributed output is bit-identical by construction).
+    Arrow-batched; the per-token Python cost is bounded by a per-batch
+    memo since natural text repeats tokens heavily (Zipf)."""
+    from searchengine_spark.pycore.stemmer import porter_stem
+
+    memo: dict[str, str] = {}
+
+    def stem_arr(arr):
+        if arr is None:
+            return None
+        out = []
+        for t in arr:
+            s = memo.get(t)
+            if s is None:
+                s = porter_stem(t)
+                memo[t] = s
+            out.append(s)
+        return out
+
+    return tokens.map(stem_arr)
+
+
+def stem_case_sql(token_expr: str, vocabulary: list[str]) -> str:
+    """ANSI-SQL CASE applying the normative Porter stem over a CLOSED
+    vocabulary (identity outside it) — the oracle surface for corpora
+    whose token set is known, same shape as lemma_case_sql. Generated
+    FROM pycore.stemmer, so the DuckDB oracle checks the distributed
+    pipeline against the normative single-node stem; open-vocabulary
+    correctness is pytest's job (golden + parity tests)."""
+    from searchengine_spark.pycore.stemmer import porter_stem
+
+    whens = " ".join(
+        f"WHEN '{t}' THEN '{porter_stem(t)}'" for t in sorted(set(vocabulary))
+    )
+    return f"CASE {token_expr} {whens} ELSE {token_expr} END"
+
+
 def lemma_apply(tokens: Column, lemma_map: dict[str, str] | None) -> Column:
     """F3 — lemmatization as a broadcast literal map lookup with identity
     fallback (WordNet unavailable; documented capability-equivalent,

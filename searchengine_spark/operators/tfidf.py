@@ -36,11 +36,18 @@ def doc_tokens(
     id_col: str = "doc_id",
     text_col: str = "text",
     lemma_map: dict[str, str] | None = None,
+    stem: bool = False,
 ) -> DataFrame:
     """(doc_id, tokens array<string>, n_terms) — tokenize is pure Column
-    exprs (F2); lemmatization is a broadcast-literal map (F3)."""
+    exprs (F2); lemmatization is a broadcast-literal map (F3). stem=True
+    appends the open-vocabulary Porter pass (F3's unknown-word path) —
+    the one Arrow-batched python stage in the token pipeline."""
     toks = F.expr(tokens_sql(text_col))
     toks = lemma_apply(toks, lemma_map)
+    if stem:
+        from searchengine_spark.functions.text import stem_tokens_udf
+
+        toks = stem_tokens_udf(toks)
     return documents.select(
         F.col(id_col).alias("doc_id"),
         toks.alias("tokens"),
