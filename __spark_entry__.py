@@ -27,7 +27,11 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from searchengine_spark.functions.text import FIXTURE_LEMMAS, lemma_case_sql
+from searchengine_spark.functions.text import (
+    FIXTURE_LEMMAS,
+    lemma_case_sql,
+    stem_case_sql,
+)
 from searchengine_spark.operators import dedup as DD
 from searchengine_spark.operators import docmap as DM
 from searchengine_spark.operators import multimodal as MM
@@ -45,6 +49,22 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return TF.build_postings(_docs(spark, sf_dir))
+
+
+_JSON_CORPUS_ROOT: list[str] = []
+
+
+def _json_corpus_root() -> str:
+    """Unique per-process scratch root for the json_ingest round-trip."""
+    if not _JSON_CORPUS_ROOT:
+        import atexit
+        import shutil
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="spark-graft-json-corpus-")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        _JSON_CORPUS_ROOT.append(d)
+    return _JSON_CORPUS_ROOT[0]
 
 
 def _r(df: DataFrame, *float_cols: str) -> DataFrame:
@@ -259,7 +279,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return DD.dup_clusters(DD.ngram_dup_pairs(docs, 0.7), docs)
 
     def q_ivf_topk(spark, sf):
-        # IVF coarse-quantized ANN: 8 seeded-medoid centroids, nprobe=2
+        # IVF coarse-quantized ANN: 8 Lloyd-trained centroids (2 det.
+        # iterations on the first-256-by-id sample), nprobe=2; the
+        # oracle replays the identical training arithmetic in SQL
         emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
         return _r(
             SS.ivf_topk(emb, _query_vec(spark, sf), 10, n_centroids=8, nprobe=2),
@@ -295,12 +317,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tf",
         )
 
+    def q_tf_stem(spark, sf):
+        # F3 open-vocabulary: tf over Porter-stemmed tokens (pycore
+        # stemmer is normative; the UDF delegates — "merge"→"merg",
+        # "query"→"queri", "customer"→"custom" are real rewrites in the
+        # fixture vocabulary)
+        return _r(
+            TF.term_frequencies(TF.doc_tokens(_docs(spark, sf), stem=True)),
+            "tf",
+        )
+
     def q_json_ingest(spark, sf):
         # S1/S2/P2 round-trip: materialize the documents table as a JSON
         # corpus directory, re-ingest it through the schema-on-read
-        # recursive reader, prove content integrity via md5
+        # recursive reader, prove content integrity via md5. The corpus
+        # dir is PER-PROCESS (tempfile.mkdtemp + atexit cleanup) so two
+        # concurrent driver runs never race on overwrite-while-read.
         out_dir = os.path.join(
-            "/tmp", "spark-graft-json-corpus", os.path.basename(sf.rstrip("/"))
+            _json_corpus_root(), os.path.basename(sf.rstrip("/"))
         )
         _docs(spark, sf).select(
             F.concat(F.lit("https://docs.test/"), F.col("doc_id").cast("string")).alias("url"),
@@ -366,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tag_weights": q_tag_weights,
         "resolve_urls": q_resolve_urls,
         "tf_lemma": q_tf_lemma,
+        "tf_stem": q_tf_stem,
         "json_ingest": q_json_ingest,
         "dup_clusters": q_dup_clusters,
         "ivf_topk": q_ivf_topk,
@@ -443,6 +478,24 @@ GROUP BY doc_id, token"""
 _DUCK_TOKENS_LEMMA = _DUCK_TOKENS.replace(
     "SELECT doc_id, token FROM tok WHERE",
     f"SELECT doc_id, {lemma_case_sql('token', FIXTURE_LEMMAS)} AS token "
+    "FROM tok WHERE",
+)
+
+# ---- tf_stem (F3 open-vocabulary): the synthetic documents corpus has
+# a CLOSED 31-token vocabulary (identical at every sf — verified across
+# sf0.001/0.01/0.1), so the oracle applies a literal token→porter_stem
+# CASE generated from the normative pycore stemmer; the Spark side runs
+# the real open-vocabulary UDF. Open-vocab correctness (words outside
+# this list) is pytest's job: tests/test_stemmer.py golden + parity.
+FIXTURE_VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+_DUCK_TOKENS_STEM = _DUCK_TOKENS.replace(
+    "SELECT doc_id, token FROM tok WHERE",
+    f"SELECT doc_id, {stem_case_sql('token', FIXTURE_VOCAB)} AS token "
     "FROM tok WHERE",
 )
 
@@ -567,38 +620,93 @@ reach AS (
 )
 SELECT v AS doc_id, min(r) AS cluster_id FROM reach GROUP BY v"""
 
-# ---- ivf_topk: same seeded-medoid quantizer + nprobe plan in SQL ------
+# ---- ivf_topk: Lloyd-TRAINED quantizer replayed in SQL ---------------
+# The Spark side trains train_iters deterministic Lloyd iterations on
+# the first train_sample vectors by id (simsearch.train_centroids):
+# every fold has a DEFINED order (dims in order for distances; members
+# in vec_id order for the mean sums), so DuckDB reproduces the exact
+# same IEEE doubles by running the identical iteration arithmetic —
+# assignment (argmin seq-fold d2, cid tie-break) and per-dim ordered
+# list folds below mirror the Python loops statement for statement.
 _IVF_IDX = "CAST(i AS INTEGER)"
 _DUCK_IVF_D2 = (
     f"list_reduce(list_transform(range(1, {_ANN_DIM + 1}), "
     f"i -> ({{a}}[{_IVF_IDX}] - {{b}}[{_IVF_IDX}]) * "
     f"({{a}}[{_IVF_IDX}] - {{b}}[{_IVF_IDX}])), (acc, x) -> acc + x)"
 )
-_DUCK_IVF = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-d AS (
-  SELECT e.vec_id, c.cid, {_DUCK_IVF_D2.format(a="e.v", b="c.cv")} AS d2
-  FROM e CROSS JOIN c
-),
-a AS (
+
+
+def _duck_ivf_sql(
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    iters: int = 2,
+    sample: int = 256,
+    k: int = 10,
+) -> str:
+    d2 = _DUCK_IVF_D2
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {sample})",
+        (
+            f"c0 AS (SELECT vec_id AS cid, v AS cv FROM samp "
+            f"ORDER BY vec_id LIMIT {n_centroids})"
+        ),
+    ]
+    for t in range(iters):
+        ctes.append(
+            f"""a{t} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT x.vec_id, x.v, x.cid,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY x.d2, x.cid) AS rn
+    FROM (SELECT s.vec_id, s.v, c.cid,
+                 {d2.format(a="s.v", b="c.cv")} AS d2
+          FROM samp s CROSS JOIN c{t} c) x
+  ) w WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""s{t} AS (
+  SELECT cid, r.range AS j,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(v[CAST(r.range AS INTEGER)] ORDER BY vec_id)),
+           (a, b) -> a + b) AS sm,
+         count(*) AS n
+  FROM a{t} CROSS JOIN range(1, {_ANN_DIM + 1}) r GROUP BY cid, r.range)"""
+        )
+        ctes.append(
+            f"m{t} AS (SELECT cid, list(sm / n ORDER BY j) AS cv "
+            f"FROM s{t} GROUP BY cid)"
+        )
+        ctes.append(
+            f"c{t + 1} AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv "
+            f"FROM c{t} c LEFT JOIN m{t} m USING (cid))"
+        )
+    cf = f"c{iters}"
+    ctes += [
+        f"""af AS (
   SELECT vec_id, cid FROM (
-    SELECT vec_id, cid,
-           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-    FROM d
-  ) t WHERE rn = 1
-),
-q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
-qd AS (
-  SELECT c.cid, {_DUCK_IVF_D2.format(a="c.cv", b="q.qv")} AS d2 FROM c, q
-),
-probes AS (SELECT cid FROM qd ORDER BY d2, cid LIMIT 2),
-b AS (
-  SELECT e.vec_id, e.v FROM e JOIN a USING (vec_id)
-  WHERE a.cid IN (SELECT cid FROM probes)
-)
-SELECT b.vec_id, round({_DUCK_VCOS}, 9) AS cosine
-FROM b, q ORDER BY {_DUCK_VCOS} DESC, b.vec_id ASC LIMIT 10"""
+    SELECT x.vec_id, x.cid,
+           row_number() OVER (PARTITION BY x.vec_id ORDER BY x.d2, x.cid) AS rn
+    FROM (SELECT e.vec_id, c.cid, {d2.format(a="e.v", b="c.cv")} AS d2
+          FROM e CROSS JOIN {cf} c) x
+  ) w WHERE rn = 1)""",
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
+        f"qd AS (SELECT c.cid, {d2.format(a='c.cv', b='q.qv')} AS d2 "
+        f"FROM {cf} c, q)",
+        f"probes AS (SELECT cid FROM qd ORDER BY d2, cid LIMIT {nprobe})",
+        (
+            "b AS (SELECT e.vec_id, e.v FROM e JOIN af USING (vec_id) "
+            "WHERE af.cid IN (SELECT cid FROM probes))"
+        ),
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT b.vec_id, round({_DUCK_VCOS}, 9) AS cosine"
+        + f"\nFROM b, q ORDER BY {_DUCK_VCOS} DESC, b.vec_id ASC LIMIT {k}"
+    )
+
+
+_DUCK_IVF = _duck_ivf_sql()
 
 # ---- media_features / frame_sample: the media fixture's payload is the
 # utf-8 bytes of `text`, and the testdata text is pure ASCII, so DuckDB
@@ -703,6 +811,10 @@ def oracle_sql() -> dict[str, str]:
         "tag_weights": _DUCK_TAG_WEIGHTS,
         "tf_lemma": (
             f"WITH {_DUCK_TOKENS_LEMMA} "
+            "SELECT doc_id, token, round(tf, 9) AS tf FROM tf"
+        ),
+        "tf_stem": (
+            f"WITH {_DUCK_TOKENS_STEM} "
             "SELECT doc_id, token, round(tf, 9) AS tf FROM tf"
         ),
         "json_ingest": (

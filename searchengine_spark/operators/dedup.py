@@ -325,6 +325,7 @@ def dup_clusters(
         .persist()
     )
     labels = cached
+    changed = 0
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.src == labels.v)
@@ -354,6 +355,22 @@ def dup_clusters(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        # a component deeper than max_iters has NOT converged — labels
+        # would be silently wrong; fail loudly (deep chains want the
+        # large-star/small-star variant, not more silent rounds)
+        cached.unpersist()
+        raise RuntimeError(
+            f"dup_clusters: min-label propagation did not converge in "
+            f"{max_iters} iterations ({changed} labels still changing); "
+            "raise max_iters for deep-chain graphs"
+        )
+    # truncate lineage off the iteration caches, then drop the final
+    # cached generation — repeated calls must not leak session-lifetime
+    # cache entries (localCheckpoint blocks are ContextCleaner-collected
+    # when the returned DataFrame is garbage-collected)
+    labels = labels.localCheckpoint(eager=True)
+    cached.unpersist()
     out = labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
     if documents is not None:
         all_docs = documents.select(F.col(id_col).alias("doc_id"))
@@ -436,6 +453,13 @@ def embedding_dup_pairs(
         F.col(id_col).alias("vid"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS double))").alias("v"),
     )
+    if method != "allpairs":
+        # empty-table guard: the LSH path derives dim from the first row;
+        # with no rows the allpairs branch below yields the correctly-
+        # typed empty pair frame instead of a TypeError
+        first = embeddings.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            method = "allpairs"
     if method == "allpairs":
         pairs = (
             vecs.select(F.col("vid").alias("doc_a"), F.col("v").alias("va"))
@@ -447,7 +471,7 @@ def embedding_dup_pairs(
     else:
         from searchengine_spark.operators.simsearch import _hyperplanes
 
-        dim = embeddings.select(F.size(vec_col).alias("d")).first()["d"]
+        dim = first["d"]
         planes = np.asarray(_hyperplanes(int(dim), n_planes, seed))
         bands_udf = _band_vals_udf(planes, bands)
         banded = vecs.select(

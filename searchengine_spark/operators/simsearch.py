@@ -128,6 +128,61 @@ _SQ_DIST = (
 )
 
 
+def _sqdist_py(a: list[float], b: list[float]) -> float:
+    """Sequential-fold squared L2 — bit-identical to the _SQ_DIST SQL
+    fold (dims in order, IEEE double)."""
+    d = 0.0
+    for x, y in zip(a, b):
+        d += (x - y) * (x - y)
+    return d
+
+
+def train_centroids(
+    sample: list[tuple[int, list[float]]], n_centroids: int, iters: int
+) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd iterations over a BOUNDED id-ordered sample.
+
+    Seeds = the first n_centroids sample vectors (by id); each
+    iteration assigns every sample vector to its nearest centroid
+    (sequential-fold squared-L2, lowest-cid tie-break) and moves each
+    centroid to the member mean (per-dim sum folded in vec_id order /
+    count — a defined summation order, so DuckDB reproduces the exact
+    doubles with an ORDER BY vec_id list fold). An empty cluster keeps
+    its previous centroid. Labels stay the seed ids.
+
+    The sample is bounded (train_sample rows), so training is O(sample ·
+    K · iters) driver-side floats — the standard quantizer-training
+    shape (FAISS trains IVF on a sample too); the full-table assignment
+    stays distributed.
+    """
+    cents = [(vid, list(v)) for vid, v in sample[:n_centroids]]
+    for _ in range(iters):
+        members: dict[int, list[list[float]]] = {cid: [] for cid, _ in cents}
+        for vid, v in sample:  # sample is vec_id-ascending
+            best_cid, best_d = None, None
+            for cid, cv in cents:  # cid ascending → ties keep lowest cid
+                d = _sqdist_py(v, cv)
+                if best_d is None or d < best_d:
+                    best_cid, best_d = cid, d
+            members[best_cid].append(v)
+        nxt = []
+        for cid, cv in cents:
+            mem = members[cid]
+            if not mem:
+                nxt.append((cid, cv))
+                continue
+            dim = len(cv)
+            nc = []
+            for j in range(dim):
+                s = 0.0
+                for v in mem:  # vec_id order — defined summation order
+                    s += v[j]
+                nc.append(s / len(mem))
+            nxt.append((cid, nc))
+        cents = nxt
+    return cents
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_vec: list[float],
@@ -136,54 +191,103 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_iters: int = 2,
+    train_sample: int = 256,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse-quantize every vector to its
     nearest centroid, search only the `nprobe` centroid lists nearest
     the query — the classic FAISS-style scale path (scan fraction ≈
     nprobe/n_centroids; recall trades against nprobe).
 
-    Coarse quantizer: the first n_centroids vectors of the table serve
-    as seeded medoids — deterministic, data-derived, engine-portable
-    (a trained k-means would converge to better centroids; the
-    assignment/probe/scan plan is identical). Assignment = argmin
-    squared-L2 (sequential-fold arithmetic, centroid-id tie-break) over
-    a BROADCAST centroid table — the n×K distance stage never shuffles
-    the vectors. At storage scale the assigned centroid id is the
-    table's partition key, so a query reads nprobe partitions.
+    Coarse quantizer: Lloyd-trained (train_iters deterministic
+    iterations) on the first `train_sample` vectors by id, seeded from
+    the first n_centroids of that sample — data-derived, reproducible,
+    and engine-portable (every fold has a defined order, so the DuckDB
+    oracle replays the identical arithmetic). Training on a skewed
+    corpus rebalances the lists vs raw first-K medoids (tested).
+    Assignment = argmin squared-L2 (sequential fold, centroid-id
+    tie-break) over a BROADCAST literal centroid table — the n×K
+    distance stage never shuffles the vectors. At storage scale the
+    assigned centroid id is the table's partition key, so a query reads
+    nprobe partitions.
     """
     q = [float(x) for x in query_vec]
-    qlit = "array(" + ", ".join(f"CAST({x!r} AS double)" for x in q) + ")"
     vecs = embeddings.select(
         F.col(id_col).alias("vec_id"), F.expr(_as_double(vec_col)).alias("v")
     )
-    cents = vecs.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    # probe set: the nprobe centroids nearest the query (K tiny rows)
-    probe_rows = (
-        cents.withColumn("qd2", F.expr(_SQ_DIST.format(a="cv", b=qlit)))
-        .orderBy("qd2", "cid")
-        .limit(nprobe)
-        .collect()
-    )
-    probe_cids = [int(r["cid"]) for r in probe_rows]
+    # bounded, deterministic training sample (id-ordered — works for
+    # sparse/offset id spaces, unlike a `vec_id < K` predicate)
+    sample_rows = vecs.orderBy("vec_id").limit(train_sample).collect()
+    sample = [(r["vec_id"], [float(x) for x in r["v"]]) for r in sample_rows]
+    if len(sample) < n_centroids:
+        raise ValueError(
+            f"ivf_topk: need ≥ {n_centroids} vectors to seed the "
+            f"quantizer, table has {len(sample)}"
+        )
+    cents = train_centroids(sample, n_centroids, train_iters)
+    # probe set: centroids and query are both driver-side literals — no
+    # Spark job for probe selection
+    probe_cids = [
+        cid for _, cid in sorted((_sqdist_py(cv, q), cid) for cid, cv in cents)
+    ][:nprobe]
 
+    spark = embeddings.sparkSession
+    cents_df = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
+        "cid bigint, cv array<double>",
+    )
     from pyspark.sql import Window
 
     w = Window.partitionBy("vec_id").orderBy("d2", "cid")
     assigned = (
-        vecs.join(F.broadcast(cents))
+        vecs.join(F.broadcast(cents_df))
         .withColumn("d2", F.expr(_SQ_DIST.format(a="v", b="cv")))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("vec_id", "v", "cid")
     )
-    cand = assigned.filter(F.col("cid").isin(probe_cids))
+    cand = assigned.filter(F.col("cid").isin([int(c) for c in probe_cids]))
     scored = with_query_cosine(cand, q)
     return (
         scored.select("vec_id", "cosine")
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(k)
+    )
+
+
+def ivf_assignments(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 2,
+    train_sample: int = 256,
+) -> DataFrame:
+    """(vec_id, cid) full-table coarse-quantizer assignment — the list
+    layout ivf_topk prunes by; exposed for list-balance inspection and
+    for materializing `cid` as the storage partition key."""
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.expr(_as_double(vec_col)).alias("v")
+    )
+    sample_rows = vecs.orderBy("vec_id").limit(train_sample).collect()
+    sample = [(r["vec_id"], [float(x) for x in r["v"]]) for r in sample_rows]
+    if len(sample) < n_centroids:
+        raise ValueError("ivf_assignments: not enough vectors")
+    cents = train_centroids(sample, n_centroids, train_iters)
+    spark = embeddings.sparkSession
+    cents_df = spark.createDataFrame(
+        [(int(cid), [float(x) for x in cv]) for cid, cv in cents],
+        "cid bigint, cv array<double>",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    return (
+        vecs.join(F.broadcast(cents_df))
+        .withColumn("d2", F.expr(_SQ_DIST.format(a="v", b="cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
     )
 
 
