@@ -52,6 +52,15 @@ class CrawlConfig:
     # but no longer fast).
     bloom_target_bits_per_key: float = 10.0
 
+    # ---- AQE inside the round loop (default OFF): every AQE exchange
+    # materialization is its own driver-scheduled job — measured 110
+    # jobs/round vs 19 without, 35-45% of round wall at bench scale —
+    # and the round's shuffles are already explicitly partitioned,
+    # salted and size-adaptively broadcast, so AQE's residual value is
+    # partition coalescing. Flip on for deployments with wildly
+    # varying round sizes where runtime coalescing pays for its jobs.
+    aqe_in_round: bool = False
+
     # ---- per-round metrics: full (counts per stage) or light (only the
     # queued-remaining count needed for loop control) — the bench path
     light_metrics: bool = False

@@ -132,7 +132,35 @@ def run_round(
     """Execute one frontier round; returns the number of QUEUED urls
     remaining after the round (0 ⇒ crawl complete, ST1 termination).
 
-    prev_queued (when the caller carries it between rounds) lets the
+    Runs with AQE per cfg.aqe_in_round (default OFF for the round loop):
+    every AQE exchange materialization is a separate driver-scheduled
+    job, and a round has ~15 shuffles across ~7 concurrent actions —
+    measured 110 jobs/round with AQE vs 19 without, 35-45% of round
+    wall. The round's shuffles are already explicitly partitioned and
+    salted (two-phase quota, (host,salt) repartitions, size-adaptive
+    bloom broadcast), so AQE's residual value here is partition
+    coalescing — not worth ~90 driver-serial scheduling round-trips per
+    round, which is precisely the fixed cost that caps N→4N scaling.
+    The toggle is scoped to the round and restored after, so non-crawl
+    queries on the same session keep the session default (AQE on)."""
+    aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if not cfg.aqe_in_round:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _run_round_body(spark, io, cfg, pages, round_no, prev_queued)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+
+
+def _run_round_body(
+    spark: SparkSession,
+    io: TableIO,
+    cfg: CrawlConfig,
+    pages: DataFrame,
+    round_no: int,
+    prev_queued: int | None = None,
+) -> int:
+    """prev_queued (when the caller carries it between rounds) lets the
     light-metrics path derive the new QUEUED count arithmetically —
     queued' = queued − |batch| + |new| holds exactly because every batch
     row leaves QUEUED and every admitted row enters it — from two counts
