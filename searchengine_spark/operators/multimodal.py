@@ -62,18 +62,70 @@ def media_table(
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """Codec stub: the real decode needs PIL/libjpeg, absent here. The
-    Spark-side plumbing (signature: bytes → ndarray HxWxC) is what the
-    pipeline contracts against."""
+def decode_image(payload: bytes):
+    """bytes → uint8 ndarray (H,W[,C]). PNG payloads decode via the
+    pure-Python spec-subset codec (pycore.png — stdlib zlib only, no
+    external codec needed), so the pixel path is REAL and tested in
+    this container; other formats fall through to PIL when importable,
+    else raise (jpeg et al. need libjpeg — environment constraint)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from searchengine_spark.pycore.png import decode_png
+
+        return decode_png(payload)
     if not _HAS_PIL:
         raise NotImplementedError(
-            "image decode requires PIL; container ships without codecs — "
-            "byte-level features (byte_histogram_features) are the tested path"
+            "non-PNG image decode requires PIL; container ships without "
+            "codecs — PNG decodes via pycore.png, and byte-level features "
+            "(byte_histogram_features) are the codec-free path"
         )
     import io
 
     return np.asarray(Image.open(io.BytesIO(payload)))
+
+
+PIXEL_FEATURES_SCHEMA = (
+    "media_id bigint, height int, width int, channels int, "
+    "mean_luma double, pixel_hash bigint"
+)
+
+
+def pixel_features(media: DataFrame) -> DataFrame:
+    """Decoded-pixel features over image payloads via mapInPandas:
+    (H, W, C, mean luminance, 60-bit md5 pixel hash). Rows whose
+    payload fails to decode are SKIPPED (the P1/S2 decode-skip policy
+    applied to media). Same Arrow-batch shape as
+    byte_histogram_features; payload dropped after decode."""
+    import hashlib
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hs, ws, cs, lum, ph = [], [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    arr = decode_image(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                if arr.ndim == 2:
+                    h, w, c = arr.shape[0], arr.shape[1], 1
+                else:
+                    h, w, c = arr.shape
+                ids.append(mid)
+                hs.append(h)
+                ws.append(w)
+                cs.append(c)
+                lum.append(float(arr.astype(np.float64).mean()))
+                digest = hashlib.md5(arr.tobytes()).hexdigest()[:15]
+                ph.append(int(digest, 16))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids, "height": hs, "width": ws,
+                    "channels": cs, "mean_luma": lum, "pixel_hash": ph,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _features, schema=PIXEL_FEATURES_SCHEMA
+    )
 
 
 def byte_histogram_features(media: DataFrame) -> DataFrame:
