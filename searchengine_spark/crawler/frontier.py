@@ -142,14 +142,35 @@ def run_round(
     coalescing — not worth ~90 driver-serial scheduling round-trips per
     round, which is precisely the fixed cost that caps N→4N scaling.
     The toggle is scoped to the round and restored after, so non-crawl
-    queries on the same session keep the session default (AQE on)."""
+    queries on the same session keep the session default (AQE on).
+
+    spark.sql.shuffle.partitions is likewise scoped to the round and
+    sized with the same batch-proportional rule as the explicit
+    repartitions (CrawlConfig.rows_per_partition_target) — the quota
+    windows and gate joins shuffle at this width, and with AQE off
+    nothing else coalesces a ramp round's near-empty partitions."""
     aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    shp_prev = spark.conf.get("spark.sql.shuffle.partitions")
     if not cfg.aqe_in_round:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if cfg.rows_per_partition_target and prev_queued is not None:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(
+                max(
+                    1,
+                    min(
+                        int(shp_prev),
+                        -(-prev_queued // cfg.rows_per_partition_target),
+                    ),
+                )
+            ),
+        )
     try:
         return _run_round_body(spark, io, cfg, pages, round_no, prev_queued)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+        spark.conf.set("spark.sql.shuffle.partitions", shp_prev)
 
 
 def _run_round_body(
@@ -174,6 +195,19 @@ def _run_round_body(
             now = time.perf_counter()
             print(f"    [round {round_no}] {label}: {now - _t[0]:.2f}s")
             _t[0] = now
+
+    # batch-proportional partition width for the round's light
+    # (host,salt) stages — see CrawlConfig.rows_per_partition_target
+    if cfg.rows_per_partition_target and prev_queued is not None:
+        n_parts = max(
+            1,
+            min(
+                cfg.n_partitions,
+                -(-prev_queued // cfg.rows_per_partition_target),
+            ),
+        )
+    else:
+        n_parts = cfg.n_partitions
 
     frontier = io.read("frontier", round_no - 1)
     url_seen = io.read("url_seen", round_no - 1)
@@ -229,7 +263,7 @@ def _run_round_body(
     )
 
     # ---- 2. explicit repartition: politeness-group → fetch (north rule)
-    batch = batch.repartition(cfg.n_partitions, "host", "salt")
+    batch = batch.repartition(n_parts, "host", "salt")
 
     # ---- 3. fetch (simulated GET: html by canonical url). When the
     # caller pre-shaped the table with prepare_pages(), the cached side
@@ -294,7 +328,7 @@ def _run_round_body(
     # explicit repartition: dedup stage on (host, salt) (north rule)
     cands = cands.withColumn(
         "salt", F.pmod(F.col("url_hash"), F.lit(cfg.n_salts))
-    ).repartition(cfg.n_partitions, "host", "salt")
+    ).repartition(n_parts, "host", "salt")
 
     cands = gates.trap_reject(cands, url_seen, cfg.trap_threshold)  # J6
     new_urls = urlseen.filter_new(  # J5: bloom fast path + exact backstop
