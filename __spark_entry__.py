@@ -36,6 +36,7 @@ from searchengine_spark.operators import dedup as DD
 from searchengine_spark.operators import docmap as DM
 from searchengine_spark.operators import multimodal as MM
 from searchengine_spark.operators import query as Q
+from searchengine_spark.operators import sampling as SP
 from searchengine_spark.operators import simsearch as SS
 from searchengine_spark.operators import tagweights as TW
 from searchengine_spark.operators import textstats as TS
@@ -117,6 +118,17 @@ postings AS (
 
 _AND_TERMS = ["spark", "window", "dup"]
 _DNF = [["spark", "dup"], ["fast", "the"]]
+
+# corpus-mixture weights for the sampling contract queries: literal in
+# BOTH engines (the integer thresholds floor(w·2^60) are derived once in
+# Python, so Spark and DuckDB compare against identical bigints)
+MIXTURE_WEIGHTS = {
+    "src0": 1.0,
+    "src1": 0.75,
+    "src2": 0.5,
+    "src3": 0.25,
+    "src4": 0.1,
+}
 
 
 def _duck_and(terms: list[str]) -> str:
@@ -372,6 +384,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("sum_value", 9).alias("sum_value"),
         )
 
+    def q_sample_stratified(spark, sf):
+        # per-stratum exact top-k by md5-60bit priority (two-phase
+        # skew-proof window, see sampling.sample_stratified)
+        return SP.sample_stratified(_docs(spark, sf), "lang", k=3)
+
+    def q_mixture_sample(spark, sf):
+        # deterministic weighted corpus mixture: integer-threshold
+        # Bernoulli on h60(doc_id), thresholds broadcast-joined
+        return SP.mixture_sample(_docs(spark, sf), MIXTURE_WEIGHTS)
+
+    def q_repetition(spark, sf):
+        # Gopher-style within-doc repetition (duplicate-bigram fraction)
+        return TS.repetition_stats(_docs(spark, sf))
+
     return {
         "tumbling_counts": q_tumbling,
         "tf": q_tf,
@@ -406,6 +432,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "bpe_count": q_bpe_count,
         "sessions": q_sessions,
+        "sample_stratified": q_sample_stratified,
+        "mixture_sample": q_mixture_sample,
+        "repetition": q_repetition,
     }
 
 
@@ -498,6 +527,12 @@ _DUCK_TOKENS_STEM = _DUCK_TOKENS.replace(
     f"SELECT doc_id, {stem_case_sql('token', FIXTURE_VOCAB)} AS token "
     "FROM tok WHERE",
 )
+
+def _sampling_thresholds() -> dict[str, int]:
+    from searchengine_spark.operators.sampling import mixture_thresholds
+
+    return mixture_thresholds(MIXTURE_WEIGHTS)
+
 
 # ---- 60-bit md5-derived hashes (dedup.SIMHASH_BITS rationale): md5
 # exists in both engines; the int value is rebuilt from the first 15 hex
@@ -837,6 +872,46 @@ def oracle_sql() -> dict[str, str]:
         # lag/gap-flag/cumsum construction (new session iff the gap to
         # the previous event is ≥ 30 min; boundary exactly-equal-gap
         # starts a new session in both engines)
+        "sample_stratified": f"""
+WITH p AS (
+  SELECT lang, doc_id,
+         {_duck_h60("CAST(doc_id AS VARCHAR)")} AS prio
+  FROM documents
+),
+r AS (
+  SELECT lang, doc_id, prio,
+         row_number() OVER (PARTITION BY lang ORDER BY prio, doc_id) AS rk
+  FROM p
+)
+SELECT lang, doc_id, prio, rk FROM r WHERE rk <= 3""",
+        "mixture_sample": (
+            lambda thr: f"""
+WITH h AS (
+  SELECT doc_id, source,
+         {_duck_h60("CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+),
+w(source, keep_below) AS (VALUES {", ".join(
+    f"('{s}', CAST({t} AS BIGINT))" for s, t in sorted(thr.items())
+)})
+SELECT h.doc_id, h.source, h.h FROM h JOIN w USING (source)
+WHERE h.h < w.keep_below"""
+        )(_sampling_thresholds()),
+        "repetition": f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+g AS (
+  SELECT doc_id, len(tl) AS n_tokens,
+         CASE WHEN len(tl) < 2 THEN []
+              ELSE list_transform(range(len(tl) - 1),
+                                  i -> tl[i+1] || ' ' || tl[i+2]) END AS grams
+  FROM toks
+)
+SELECT doc_id, n_tokens, len(grams) AS n_ngrams,
+       len(list_distinct(grams)) AS n_distinct_ngrams,
+       CASE WHEN len(grams) = 0 THEN CAST(0 AS DOUBLE)
+            ELSE round(1 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                       / len(grams), 9) END AS dup_ngram_frac
+FROM g""",
         "sessions": """
 WITH o AS (
   SELECT user_id, ts, value,

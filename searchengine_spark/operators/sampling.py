@@ -1,0 +1,103 @@
+"""Deterministic corpus sampling for training-data assembly.
+
+Beyond-reference pipeline operators (SURVEY §2.11): building a training
+set from a web corpus needs reproducible subsetting — per-stratum
+quotas (balance languages/sources) and corpus-mixture weighting (e.g.
+"3 parts src0 : 1 part src2"). Random sampling is useless at 100 TB
+(not reproducible, not resumable, not joinable); both operators here
+derive their randomness from a 60-bit md5 of the row id, so the sample
+is a pure function of the data — re-runs, retries and incremental
+appends all agree, and the same arithmetic runs in DuckDB for the
+oracle (md5 exists in both engines; see dedup.py's simhash rationale).
+
+Scale shape:
+  * sample_stratified — per-group exact top-k by hash priority, using
+    the same two-phase (group, salt) window as the crawler's politeness
+    quota (frontier.py ST3): phase 1 ranks inside (group, salt) buckets
+    and keeps ≤ k per bucket (a group's global top-k rows are
+    necessarily in their bucket's top-k, so the prune is lossless),
+    phase 2 ranks the ≤ n_salts·k survivors. A hot stratum (one
+    language being 90% of a web crawl is normal) never funnels through
+    a single task.
+  * mixture_sample — stateless integer-threshold Bernoulli: keep row ⟺
+    h60(id) < floor(weight · 2^60), with the per-source thresholds
+    broadcast-joined. No shuffle at all — a map-side filter that
+    composes with scan pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+H60_BITS = 60
+
+
+def h60_col(expr: str) -> F.Column:
+    """First 60 bits of md5(expr) as a bigint — engine-portable
+    deterministic priority (same value reconstructible in DuckDB)."""
+    return F.expr(
+        f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+    )
+
+
+def sample_stratified(
+    df: DataFrame,
+    group_col: str = "lang",
+    k: int = 5,
+    id_col: str = "doc_id",
+    n_salts: int = 4,
+) -> DataFrame:
+    """Exact deterministic top-k rows per group, priority = h60(id)
+    ascending (ties broken by id): (group, id, prio, rk). Hot-stratum
+    skew-proof via the two-phase bucket window (see module docstring)."""
+    prio = h60_col(f"CAST({id_col} AS STRING)")
+    order = (F.col("prio").asc(), F.col(id_col).asc())
+    w_salt = Window.partitionBy(group_col, "salt").orderBy(*order)
+    w_group = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.select(group_col, id_col)
+        .withColumn("prio", prio)
+        .withColumn("salt", F.pmod(F.col("prio"), F.lit(n_salts)))
+        .withColumn("rk_pre", F.row_number().over(w_salt))
+        .filter(F.col("rk_pre") <= k)
+        .withColumn("rk", F.row_number().over(w_group))
+        .filter(F.col("rk") <= k)
+        .select(group_col, id_col, "prio", "rk")
+    )
+
+
+def mixture_thresholds(weights: dict[str, float]) -> dict[str, int]:
+    """source → integer keep-threshold floor(w · 2^60). Integer
+    comparison keeps the Spark and DuckDB decisions bit-identical (no
+    float-division parity concerns)."""
+    lim = 1 << H60_BITS
+    return {
+        s: min(lim, max(0, int(float(w) * lim))) for s, w in weights.items()
+    }
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted corpus mixture: keep a row iff
+    h60(id) < floor(weights[source] · 2^60). Sources absent from
+    `weights` are dropped (weight 0). Returns (id, source, h) for the
+    kept rows. Plan shape: broadcast hash join against the tiny
+    threshold dim + a scalar filter — no shuffle, no UDF."""
+    spark = df.sparkSession
+    thr = mixture_thresholds(weights)
+    thr_df = spark.createDataFrame(
+        [(s, t) for s, t in sorted(thr.items())],
+        f"{source_col} string, keep_below bigint",
+    )
+    return (
+        df.select(id_col, source_col)
+        .withColumn("h", h60_col(f"CAST({id_col} AS STRING)"))
+        .join(F.broadcast(thr_df), source_col, "inner")
+        .filter(F.col("h") < F.col("keep_below"))
+        .select(id_col, source_col, "h")
+    )

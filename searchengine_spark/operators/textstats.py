@@ -136,3 +136,39 @@ def doc_fingerprint(
         f"pmod(acc * {FP_BASE}L + length(t) * 31L + ascii(substring(t, 1, 1)), "
         f"{FP_MOD}L)) AS fingerprint",
     )
+
+
+def repetition_stats(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_ngrams, n_distinct_ngrams, dup_ngram_frac) —
+    Gopher-style within-document repetition signal: the fraction of
+    word n-grams (default bigrams) that are repeats of an earlier one
+    (1 − distinct/total). High values flag boilerplate/SEO spam for a
+    training-data quality gate. Pure Column expressions — the n-gram
+    array is built with transform over an index sequence (no explode,
+    no shuffle: one narrow map over the scan), so the operator is a
+    per-row projection at any scale. dup_ngram_frac is NULL-free: docs
+    with < n tokens have 0 n-grams and report 0.0."""
+    toks = tokens_sql(text_col)
+    joiner = " || ' ' || ".join(f"ts[i + {j}]" for j in range(n))
+    grams = (
+        f"CASE WHEN size(ts) < {n} THEN array() ELSE "
+        f"transform(sequence(0, size(ts) - {n}), i -> {joiner}) END"
+    )
+    return (
+        documents.selectExpr(f"{id_col} AS doc_id", f"{toks} AS ts")
+        .selectExpr("doc_id", "size(ts) AS n_tokens", f"{grams} AS grams")
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "size(grams) AS n_ngrams",
+            "size(array_distinct(grams)) AS n_distinct_ngrams",
+            "CASE WHEN size(grams) = 0 THEN CAST(0.0 AS double) ELSE "
+            "round(1.0 - CAST(size(array_distinct(grams)) AS double)"
+            " / size(grams), 9) END AS dup_ngram_frac",
+        )
+    )

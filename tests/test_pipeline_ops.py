@@ -233,3 +233,84 @@ def test_bpe_token_count(spark):
     assert got[0]["n_pieces"] == 6
     assert got[0]["n_distinct_pieces"] == 6
     assert got[1]["n_pieces"] == 0
+
+
+def test_sample_stratified_two_phase_exact(spark):
+    """Two-phase (group,salt) top-k must equal the naive single-window
+    top-k; ranks are 1..k per group and deterministic across runs."""
+    from pyspark.sql import Window
+
+    from searchengine_spark.operators import sampling as SP
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string")
+    got = SP.sample_stratified(df, "lang", k=4).collect()
+
+    naive = (
+        df.withColumn("prio", SP.h60_col("CAST(doc_id AS STRING)"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("lang").orderBy(
+                    F.col("prio").asc(), F.col("doc_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rk") <= 4)
+        .select("lang", "doc_id", "prio", "rk")
+        .collect()
+    )
+    key = lambda r: (r["lang"], r["rk"])
+    assert sorted(((r["lang"], r["rk"], r["doc_id"]) for r in got)) == sorted(
+        (r["lang"], r["rk"], r["doc_id"]) for r in naive
+    )
+    per_group = {}
+    for r in got:
+        per_group.setdefault(r["lang"], []).append(r["rk"])
+    assert all(sorted(v) == list(range(1, 5)) for v in per_group.values())
+
+
+def test_mixture_sample_thresholds_and_determinism(spark):
+    from searchengine_spark.operators import sampling as SP
+
+    rows = [(i, f"src{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    w = {"src0": 1.0, "src1": 0.5, "src2": 0.0}
+    got = SP.mixture_sample(df, w).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], set()).add(r["doc_id"])
+    # weight 1.0 keeps everything, 0.0 keeps nothing
+    assert by_src.get("src0", set()) == {i for i in range(300) if i % 3 == 0}
+    assert "src2" not in by_src
+    # 0.5 keeps a strict, deterministic subset (h60 is uniform: the
+    # kept fraction lands well inside (0.2, 0.8) for n=100)
+    kept = len(by_src.get("src1", set()))
+    assert 20 < kept < 80
+    again = {
+        r["doc_id"]
+        for r in SP.mixture_sample(df, w).collect()
+        if r["source"] == "src1"
+    }
+    assert again == by_src["src1"]
+    # unlisted sources are dropped entirely
+    none = SP.mixture_sample(df, {"src0": 1.0}).select("source").distinct()
+    assert [r["source"] for r in none.collect()] == ["src0"]
+
+
+def test_repetition_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a b a b a b"),   # bigrams: ab ba ab ba ab -> 2 distinct of 5
+            (1, "one two three"), # all distinct
+            (2, "solo"),          # < n tokens -> zero n-grams
+            (3, ""),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in T.repetition_stats(df).collect()}
+    assert got[0]["n_ngrams"] == 5 and got[0]["n_distinct_ngrams"] == 2
+    assert abs(got[0]["dup_ngram_frac"] - (1 - 2 / 5)) < 1e-9
+    assert got[1]["dup_ngram_frac"] == 0.0 and got[1]["n_ngrams"] == 2
+    assert got[2]["n_ngrams"] == 0 and got[2]["dup_ngram_frac"] == 0.0
+    assert got[3]["n_tokens"] == 0 and got[3]["dup_ngram_frac"] == 0.0
