@@ -246,6 +246,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SS.lsh_topk(emb, _query_vec(spark, sf), 10, n_planes=4), "cosine"
         )
 
+    def q_ann_lsh_probe(spark, sf):
+        # multi-probe LSH: 6 planes, query bucket + the 6 margin-ordered
+        # single-plane flips (~7/64 scan) — measured 2.6× the recall of
+        # the single-bucket probe at the same plane count (BENCH §6)
+        emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+        return _r(
+            SS.lsh_topk(
+                emb, _query_vec(spark, sf), 10, n_planes=6, n_probes=7
+            ),
+            "cosine",
+        )
+
     def q_token_stats(spark, sf):
         return _r(TS.token_stats(_docs(spark, sf)), "mean_token_len")
 
@@ -416,6 +428,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embed_pairs": q_embed_pairs,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_lsh_probe": q_ann_lsh_probe,
         "token_stats": q_token_stats,
         "quality": q_quality,
         "lang_id": q_lang_id,
@@ -629,6 +642,41 @@ b AS (SELECT vec_id, v, {_duck_bucket_bits(_ANN_PLANES)} AS bucket FROM e),
 q AS (SELECT bucket AS qbucket, v AS qv FROM b WHERE vec_id = 0)
 SELECT b.vec_id, round({_DUCK_VCOS}, 9) AS cosine
 FROM b, q WHERE b.bucket = q.qbucket
+ORDER BY {_DUCK_VCOS} DESC, b.vec_id ASC LIMIT 10"""
+
+
+def _duck_dot(vexpr: str, plane: list[float]) -> str:
+    """Sequential-fold ⟨vexpr, plane⟩ — the same left-fold order as the
+    Spark aggregate/zip_with and Python sum, so doubles agree bitwise."""
+    plit = "[" + ", ".join(repr(float(x)) for x in plane) + "]"
+    return (
+        f"list_reduce(list_transform(range(1, {len(plane) + 1}), "
+        f"i -> {vexpr}[CAST(i AS INTEGER)] * ({plit})[CAST(i AS INTEGER)]), "
+        "(a, x) -> a + x)"
+    )
+
+
+# ann_lsh_probe: 6 planes, margin-ordered multi-probe (query bucket +
+# the 6 single-plane flips ordered by |⟨q, plane⟩|) — mirrors
+# simsearch.probe_buckets' single-flip regime exactly (same fold
+# arithmetic, same (abs(margin), plane-index) tie-break).
+_ANN_PLANES6 = SS._hyperplanes(_ANN_DIM, 6, 11)  # matches q_ann_lsh_probe
+_DUCK_ANN_LSH_PROBE = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_duck_bucket_bits(_ANN_PLANES6)} AS bucket FROM e),
+q AS (SELECT bucket AS qbucket, v AS qv FROM b WHERE vec_id = 0),
+m(mask, ad, i) AS ({" UNION ALL ".join(
+    f"SELECT {1 << i}, abs({_duck_dot('q.qv', p)}), {i} FROM q"
+    for i, p in enumerate(_ANN_PLANES6)
+)}),
+flips AS (SELECT mask FROM m ORDER BY ad, i LIMIT 6),
+probes AS (
+  SELECT qbucket AS pb FROM q
+  UNION ALL
+  SELECT xor(q.qbucket, flips.mask) FROM flips, q
+)
+SELECT b.vec_id, round({_DUCK_VCOS}, 9) AS cosine
+FROM b, q WHERE b.bucket IN (SELECT pb FROM probes)
 ORDER BY {_DUCK_VCOS} DESC, b.vec_id ASC LIMIT 10"""
 
 # ---- dup_clusters: connected components via recursive CTE over the
@@ -858,6 +906,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "simhash_pairs": _DUCK_SIMHASH_PAIRS,
         "ann_lsh": _DUCK_ANN_LSH,
+        "ann_lsh_probe": _DUCK_ANN_LSH_PROBE,
         "dup_clusters": _DUCK_DUP_CLUSTERS,
         "ivf_topk": _DUCK_IVF,
         "bpe_count": (

@@ -291,29 +291,76 @@ def ivf_assignments(
     )
 
 
+def probe_buckets(
+    query_vec: list[float], planes: list[list[float]], n_probes: int
+) -> list[int]:
+    """Multi-probe bucket set: the query's own bucket plus the
+    (n_probes−1) single-plane flips in order of the query's |margin| to
+    the plane (smallest first — the planes the query is nearest to are
+    the ones its true neighbors most likely land on the other side of).
+    Deterministic: margins are sequential-fold dots over the literal
+    planes, ties broken by plane index, so the identical selection is
+    replayable in SQL (the ann_lsh_probe oracle)."""
+    qbucket = 0
+    margins = []
+    for i, plane in enumerate(planes):
+        d = sum(a * b for a, b in zip(query_vec, plane))
+        if d >= 0.0:
+            qbucket |= 1 << i
+        margins.append((abs(d), i))
+    margins.sort()
+    if n_probes <= len(planes) + 1:
+        # single-plane flips only — the SQL-replayable regime the
+        # ann_lsh_probe oracle mirrors (ORDER BY abs(margin), i LIMIT)
+        flips = [i for _, i in margins[: max(0, n_probes - 1)]]
+        return [qbucket] + [qbucket ^ (1 << i) for i in flips]
+    # deeper probing: enumerate flip SETS over the lowest-margin planes
+    # by total flipped margin (standard multi-probe ordering), sizes ≤ 3
+    from itertools import combinations
+
+    t = min(len(margins), 14)
+    cand = []
+    for size in (1, 2, 3):
+        for combo in combinations(margins[:t], size):
+            cand.append((sum(m for m, _ in combo), [i for _, i in combo]))
+    cand.sort(key=lambda c: (c[0], c[1]))
+    out = [qbucket]
+    for _, idxs in cand[: n_probes - 1]:
+        b = qbucket
+        for i in idxs:
+            b ^= 1 << i
+        out.append(b)
+    return out
+
+
 def lsh_topk(
     embeddings: DataFrame,
     query_vec: list[float],
     k: int = 10,
     n_planes: int = 8,
     seed: int = 11,
+    n_probes: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k scanning only the query's hyperplane-LSH bucket.
-    Deterministic (seeded planes); recall trades against the 2^-n_planes
-    scan fraction. Bucket pruning pushes down to the scan when `bucket`
-    is a partition column of the stored table."""
+    """ANN top-k scanning only the query's hyperplane-LSH bucket(s).
+    Deterministic (seeded planes); recall trades against the
+    n_probes·2^-n_planes scan fraction — n_probes > 1 adds the
+    margin-ordered single-plane-flip buckets (multi-probe LSH), buying
+    recall without more buckets-per-row state. Measured on the sf0.1
+    fixtures (2000 vecs, recall@10 vs brute force over 20 queries):
+    4 planes × 1 probe = 0.12; 6 planes × 7 probes = see BENCH. Bucket
+    pruning pushes down to the scan when `bucket` is a partition column
+    of the stored table."""
     q = [float(x) for x in query_vec]
     planes = _hyperplanes(len(q), n_planes, seed)
-    qbucket = 0
-    for i, plane in enumerate(planes):
-        if sum(a * b for a, b in zip(q, plane)) >= 0.0:
-            qbucket |= 1 << i
+    probes = probe_buckets(q, planes, n_probes)
     vecs = embeddings.select(
         F.col(id_col).alias("vec_id"), F.expr(_as_double(vec_col)).alias("v")
     )
-    bucketed = with_lsh_bucket(vecs, planes).filter(F.col("bucket") == qbucket)
+    bucketed = with_lsh_bucket(vecs, planes).filter(
+        F.col("bucket").isin(probes)
+    )
     scored = with_query_cosine(bucketed, q)
     return (
         scored.select("vec_id", "cosine")

@@ -314,3 +314,46 @@ def test_repetition_stats(spark):
     assert got[1]["dup_ngram_frac"] == 0.0 and got[1]["n_ngrams"] == 2
     assert got[2]["n_ngrams"] == 0 and got[2]["dup_ngram_frac"] == 0.0
     assert got[3]["n_tokens"] == 0 and got[3]["dup_ngram_frac"] == 0.0
+
+
+def test_probe_buckets_properties():
+    planes = S._hyperplanes(8, 6, 11)
+    q = [1.0, 0.2, -0.3, 0.5, 0.0, 0.1, -0.9, 0.4]
+    single = S.probe_buckets(q, planes, 1)
+    assert len(single) == 1  # just the query bucket
+    multi = S.probe_buckets(q, planes, 7)
+    assert multi[0] == single[0] and len(multi) == 7 == len(set(multi))
+    # single-flip regime: every extra probe is Hamming distance 1
+    assert all(bin(multi[0] ^ b).count("1") == 1 for b in multi[1:])
+    deep = S.probe_buckets(q, planes, 20)
+    assert len(deep) == 20 == len(set(deep))
+    assert deep[0] == multi[0]  # query bucket always probed first
+    # deep regime flips margin-ordered SETS of up to 3 planes
+    assert all(1 <= bin(deep[0] ^ b).count("1") <= 3 for b in deep[1:])
+    assert S.probe_buckets(q, planes, 20) == deep  # deterministic
+
+
+def test_lsh_multiprobe_recall_dominates_single(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    qs = [
+        [float(x) for x in r["embedding"]]
+        for r in emb.filter("vec_id < 5").collect()
+    ]
+    hits1 = hitsM = 0
+    for q in qs:
+        truth = {r["vec_id"] for r in S.brute_topk(emb, q, 10).collect()}
+        b1 = {
+            r["vec_id"]
+            for r in S.lsh_topk(emb, q, 10, n_planes=6, n_probes=1).collect()
+        }
+        bM = {
+            r["vec_id"]
+            for r in S.lsh_topk(emb, q, 10, n_planes=6, n_probes=7).collect()
+        }
+        # a true top-k member in the candidate set always survives the
+        # candidate ranking, and the multiprobe candidate set is a
+        # superset — so per-query recall can only go up
+        hits1 += len(truth & b1)
+        hitsM += len(truth & bM)
+    assert hitsM >= hits1
+    emb.unpersist()
