@@ -60,10 +60,19 @@ def stream_crawl(
     robots_df: DataFrame,
     max_rounds: int = 10,
     tick_seconds: int = 1,
+    max_restarts: int = 2,
 ) -> int:
     """Run the frontier loop under a rate-source streaming query; stops
     when the frontier drains or max_rounds ticks fire. Returns the last
-    committed round."""
+    committed round.
+
+    A terminated query (e.g. a transient foreachBatch/Py4J callback
+    failure — observed in the wild on a loaded host) is restarted up to
+    max_restarts times: every round commits atomically (ST4), so a
+    fresh query resumes from `io.latest_round()` with no duplicated or
+    lost work — the same property that makes kill/resume exact makes
+    the stream self-healing. Past the budget the query's exception is
+    raised."""
     if io.latest_round() is None:
         FR.init_crawl(spark, io, cfg, robots_df)
 
@@ -80,17 +89,42 @@ def stream_crawl(
         if remaining == 0:
             state["done"] = True
 
-    q = (
-        spark.readStream.format("rate")
-        .option("rowsPerSecond", 1)
-        .load()
-        .writeStream.foreachBatch(_tick)
-        .trigger(processingTime=f"{tick_seconds} seconds")
-        .start()
-    )
+    def _start():
+        return (
+            spark.readStream.format("rate")
+            .option("rowsPerSecond", 1)
+            .load()
+            .writeStream.foreachBatch(_tick)
+            .trigger(processingTime=f"{tick_seconds} seconds")
+            .start()
+        )
+
+    from pyspark.errors.exceptions.base import StreamingQueryException
+
+    q = _start()
+    restarts = 0
     try:
         while not state["done"]:
-            q.processAllAvailable()
+            err = None
+            try:
+                q.processAllAvailable()
+            except StreamingQueryException as e:
+                # processAllAvailable raises when the query terminated
+                # with error (e.g. a transient foreachBatch failure)
+                err = e
+            if state["done"]:
+                break
+            if err is not None or not q.isActive:
+                if restarts >= max_restarts:
+                    if err is not None:
+                        raise err
+                    raise RuntimeError(
+                        "stream_crawl: query terminated before the "
+                        "crawl finished (no exception reported)"
+                    )
+                restarts += 1
+                q.stop()
+                q = _start()  # resumes from io.latest_round() (ST4)
     finally:
         q.stop()
     return io.latest_round()

@@ -217,3 +217,37 @@ def test_streaming_sessions_equal_batch(spark, events_dir, tmp_path):
     finally:
         q.stop()
     assert got == expected
+
+
+def test_stream_crawl_restarts_after_transient_failure(spark, tmp_path, monkeypatch):
+    """A tick that dies mid-crawl (transient foreachBatch/Py4J failure)
+    must not lose or duplicate work: the query restarts and resumes from
+    the last committed round (ST4), ending with the same crawl order as
+    the uninterrupted driver loop."""
+    from searchengine_spark.crawler import frontier as FR
+    from searchengine_spark.crawler.config import CrawlConfig
+    from searchengine_spark.crawler.synth import ALLOWED_HOST_RE, pages_df
+    from searchengine_spark.crawler.tableio import TableIO
+    from searchengine_spark.streaming import stream as SM
+
+    pdf, rdf, seeds = pages_df(spark, 40, 42)
+    cfg = CrawlConfig(seeds=seeds, allowed_host_re=ALLOWED_HOST_RE)
+
+    io_a = TableIO(spark, str(tmp_path / "loop"))
+    FR.crawl(spark, io_a, cfg, pdf, rdf, max_rounds=2)
+
+    real_run_round = FR.run_round
+    fail_once = {"armed": True}
+
+    def flaky_run_round(spark_, io_, cfg_, pages_, round_no, **kw):
+        if round_no == 2 and fail_once["armed"]:
+            fail_once["armed"] = False
+            raise RuntimeError("injected transient tick failure")
+        return real_run_round(spark_, io_, cfg_, pages_, round_no, **kw)
+
+    monkeypatch.setattr(SM.FR, "run_round", flaky_run_round)
+    io_b = TableIO(spark, str(tmp_path / "stream"))
+    last = SM.stream_crawl(spark, io_b, cfg, pdf, rdf, max_rounds=2)
+    assert last == 2 and not fail_once["armed"]  # failure really fired
+
+    assert FR.crawl_order(io_b) == FR.crawl_order(io_a)
