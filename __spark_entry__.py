@@ -4,7 +4,7 @@
 built end-to-end from sf0.001 documents (SURVEY.md §7 Phase 1 slice).
 
 ``queries()`` / ``oracle_sql()`` — one named query per implemented
-operator of SURVEY.md §2 + §2.11 (32 queries as of round 2), EVERY one
+operator of SURVEY.md §2 + §2.11 (41 queries as of round 3), EVERY one
 with a DuckDB-equivalent ANSI-SQL oracle — the rows-only set is empty.
 Float columns are rounded to 9 decimals on BOTH sides so the driver's
 value-hash compares bit-stable doubles (all underlying arithmetic is
@@ -41,6 +41,7 @@ from searchengine_spark.operators import simsearch as SS
 from searchengine_spark.operators import tagweights as TW
 from searchengine_spark.operators import textstats as TS
 from searchengine_spark.operators import tfidf as TF
+from searchengine_spark.operators import traindata as TD
 from searchengine_spark.sources.jsoncorpus import read_corpus
 
 
@@ -410,6 +411,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Gopher-style within-doc repetition (duplicate-bigram fraction)
         return TS.repetition_stats(_docs(spark, sf))
 
+    def q_decontaminate(spark, sf):
+        # benchmark decontamination: train docs sharing any word 5-gram
+        # with the deterministic doc_id % 97 == 0 eval slice (broadcast
+        # eval grams, map-side semi-join — the corpus never shuffles)
+        out = TD.decontaminate(_docs(spark, sf), n=5, eval_mod=97)
+        return out.withColumn(
+            "contaminated", F.col("contaminated").cast("int")
+        )
+
+    def q_span_dedup(spark, sf):
+        # corpus-wide first-occurrence dedup of 8-token spans (C4-style
+        # line dedup over fixed-span segmentation); winner per span via
+        # skew-proof min(struct) partial aggregation
+        return TD.span_dedup(_docs(spark, sf), span_tokens=8)
+
+    def q_pii_scrub(spark, sf):
+        # PII redaction counts + scrubbed-text md5 over the injected
+        # deterministic fixture (RE2-compatible regexes run identically
+        # in Java regex and DuckDB)
+        return TD.pii_scrub(TD.pii_table(_docs(spark, sf)))
+
+    def q_pack_sequences(spark, sf):
+        # GPT-style concat-and-chunk packing: per-shard running token
+        # offsets → training-sequence index spans (one window/shard)
+        return TD.pack_sequences(_docs(spark, sf), seq_len=512)
+
     return {
         "tumbling_counts": q_tumbling,
         "tf": q_tf,
@@ -448,6 +475,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "mixture_sample": q_mixture_sample,
         "repetition": q_repetition,
+        "decontaminate": q_decontaminate,
+        "span_dedup": q_span_dedup,
+        "pii_scrub": q_pii_scrub,
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -540,6 +571,97 @@ _DUCK_TOKENS_STEM = _DUCK_TOKENS.replace(
     f"SELECT doc_id, {stem_case_sql('token', FIXTURE_VOCAB)} AS token "
     "FROM tok WHERE",
 )
+
+# ---- traindata operators (operators/traindata.py): decontamination,
+# span dedup, PII scrub, sequence packing — window/list arithmetic with
+# exact DuckDB equivalents ----------------------------------------------
+
+# distinct sliding word 5-grams of the ordered token list (matches
+# traindata._sliding_grams with n=5)
+_DUCK_GRAMS5 = (
+    "CASE WHEN len(tl) < 5 THEN [] ELSE list_distinct(list_transform("
+    "range(len(tl) - 4), i -> array_to_string(tl[i+1 : i+5], ' '))) END"
+)
+
+_DUCK_DECONTAMINATE = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+g AS (
+  SELECT doc_id, doc_id % 97 = 0 AS is_eval, {_DUCK_GRAMS5} AS gs FROM toks
+),
+ev AS (
+  SELECT DISTINCT gr FROM (SELECT unnest(gs) AS gr FROM g WHERE is_eval)
+),
+tr AS (SELECT doc_id, gs FROM g WHERE NOT is_eval),
+x AS (SELECT doc_id, unnest(gs) AS gr FROM tr),
+hits AS (
+  SELECT doc_id, count(*) AS c FROM x JOIN ev USING (gr) GROUP BY doc_id
+)
+SELECT tr.doc_id, len(tr.gs) AS n_grams,
+       CAST(coalesce(h.c, 0) AS BIGINT) AS n_hit,
+       CAST(coalesce(h.c, 0) > 0 AS INTEGER) AS contaminated
+FROM tr LEFT JOIN hits h USING (doc_id)"""
+
+# non-overlapping 8-token spans, exploded with their index (matches
+# traindata._span_list with k=8; the frame_sample oracle's range-unnest
+# pattern)
+_DUCK_SPAN_DEDUP = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+x AS (
+  SELECT doc_id, CAST(i AS INTEGER) AS span_idx,
+         array_to_string(tl[(i*8+1):(i*8+8)], ' ') AS span
+  FROM toks, unnest(range(CAST(ceil(len(tl) / 8.0) AS BIGINT))) AS r(i)
+),
+rk AS (
+  SELECT doc_id, span_idx,
+         row_number() OVER (PARTITION BY span ORDER BY doc_id, span_idx) AS rn
+  FROM x
+)
+SELECT doc_id, count(*) AS n_spans,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 9) AS kept_frac
+FROM rk GROUP BY doc_id"""
+
+# the deterministic PII fixture (matches traindata.pii_table) + the
+# RE2 regexes shared verbatim with the Spark side
+_DUCK_PII_TEXT = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || "
+    "CAST((doc_id // 256) % 256 AS VARCHAR) || '.7 or +1-555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+)
+
+_DUCK_PII_SCRUB = f"""
+WITH p AS (SELECT doc_id, {_DUCK_PII_TEXT} AS t FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(t, '{TD.EMAIL_RE}')) AS n_emails,
+  len(regexp_extract_all(
+    regexp_replace(t, '{TD.EMAIL_RE}', '<EMAIL>', 'g'),
+    '{TD.IPV4_RE}')) AS n_ips,
+  len(regexp_extract_all(t, '{TD.PHONE_RE}')) AS n_phones,
+  md5(regexp_replace(regexp_replace(regexp_replace(
+    t, '{TD.EMAIL_RE}', '<EMAIL>', 'g'),
+    '{TD.IPV4_RE}', '<IP>', 'g'),
+    '{TD.PHONE_RE}', '<PHONE>', 'g')) AS clean_md5
+FROM p"""
+
+_DUCK_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id, source AS shard, len({_DUCK_TL}) AS n_tokens
+  FROM documents
+),
+o AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+         ) - n_tokens AS BIGINT) AS tok_offset
+  FROM t
+)
+SELECT doc_id, shard, n_tokens, tok_offset,
+       tok_offset // 512 AS first_seq,
+       (tok_offset + greatest(n_tokens, 1) - 1) // 512 AS last_seq
+FROM o"""
+
 
 def _sampling_thresholds() -> dict[str, int]:
     from searchengine_spark.operators.sampling import mixture_thresholds
@@ -961,6 +1083,10 @@ SELECT doc_id, n_tokens, len(grams) AS n_ngrams,
             ELSE round(1 - CAST(len(list_distinct(grams)) AS DOUBLE)
                        / len(grams), 9) END AS dup_ngram_frac
 FROM g""",
+        "decontaminate": _DUCK_DECONTAMINATE,
+        "span_dedup": _DUCK_SPAN_DEDUP,
+        "pii_scrub": _DUCK_PII_SCRUB,
+        "pack_sequences": _DUCK_PACK_SEQUENCES,
         "sessions": """
 WITH o AS (
   SELECT user_id, ts, value,

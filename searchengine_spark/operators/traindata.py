@@ -1,0 +1,267 @@
+"""Training-data assembly operators: benchmark decontamination,
+corpus-wide span dedup, PII scrubbing, and sequence packing.
+
+Beyond-reference pipeline operators (SURVEY §2.11) — the four
+operations every large-scale LLM pretraining pipeline runs between "we
+have a crawl" and "we have a training set", each re-expressed as a
+declarative Spark plan with an exact DuckDB oracle:
+
+  * decontaminate — flag training documents sharing any word n-gram
+    with an evaluation/benchmark set (the GPT-3/Llama "13-gram
+    decontamination" shape; n is a knob). Plan: the eval gram set is
+    tiny next to the corpus (benchmarks are ~1e5-1e6 grams), so it is
+    BROADCAST; train grams explode map-side into a broadcast semi-join
+    and only the HIT rows (a small fraction of the corpus) reach the
+    per-doc count shuffle. The hit table is broadcast back for the
+    final enrich, so the full corpus is never shuffled at all.
+  * span_dedup — corpus-wide first-occurrence dedup of fixed-length
+    token spans (the C4 "three-sentence span" dedup adapted to
+    span-of-k-tokens segmentation). Winner per span = min
+    (doc_id, span_idx) via groupBy + min(struct): map-side partial
+    aggregation makes a hyper-common boilerplate span (the skew case
+    that kills a window over PARTITION BY span) combine locally before
+    the shuffle.
+  * pii_scrub — redact emails / IPv4s / phone numbers with
+    RE2-compatible regexes (same pattern semantics in Java regex and
+    DuckDB's RE2) and count what was removed. Pure per-row projection:
+    no shuffle, whole-stage codegen, scales linearly.
+  * pack_sequences — the GPT-style "concatenate the corpus and chop
+    into fixed-length training sequences" mapping: per shard, each
+    document's token offset is the running sum of prior documents'
+    token counts, and first_seq/last_seq are the training-sequence
+    indices the document lands in. One window per shard (shards are
+    the unit of data parallelism — a real pipeline packs per shard
+    precisely so no global order is needed).
+
+All arithmetic is int/window math and string hashing that DuckDB
+reproduces bit-for-bit (md5 exists in both engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from searchengine_spark.functions.text import tokens_sql
+
+# RE2-compatible (no lookarounds/backrefs): identical match semantics in
+# Java regex (Spark) and RE2 (DuckDB). Order of redaction matters and is
+# fixed: email → ipv4 → phone.
+EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}\b"
+
+
+def _sliding_grams(toks: str, n: int) -> str:
+    """SQL expr: distinct sliding word n-gram strings of the token list
+    `toks` (space-joined). Empty array when the doc has < n tokens."""
+    return (
+        f"CASE WHEN size({toks}) < {n} THEN array() ELSE array_distinct("
+        f"transform(sequence(0, size({toks}) - {n}), "
+        f"i -> array_join(slice({toks}, i + 1, {n}), ' '))) END"
+    )
+
+
+def _span_list(toks: str, k: int) -> str:
+    """SQL expr: non-overlapping k-token span strings (stride k, ragged
+    tail kept) — the segmentation unit for corpus-wide span dedup."""
+    return (
+        f"CASE WHEN size({toks}) = 0 THEN array() ELSE "
+        f"transform(sequence(0, CAST(ceil(size({toks}) / {k}.0) AS INT) - 1), "
+        f"i -> array_join(slice({toks}, i * {k} + 1, {k}), ' ')) END"
+    )
+
+
+def decontaminate(
+    documents: DataFrame,
+    n: int = 8,
+    eval_mod: int = 97,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_grams, n_hit, contaminated) for every TRAINING doc
+    (docs with id % eval_mod != 0); the eval/benchmark set is the
+    deterministic id % eval_mod == 0 slice and its distinct n-grams are
+    the contamination fingerprints.
+
+    Plan shape (the 100 TB story): eval grams are broadcast (benchmark
+    suites are MBs, the corpus is TBs); the corpus-side explode feeds a
+    map-side broadcast semi-join, so only matching (doc, gram) rows —
+    bounded by |eval grams| × dup-rate, not by corpus size — are
+    shuffled for the per-doc count; the count table (≤ contaminated
+    docs) broadcasts back onto the per-doc gram summary. The full
+    corpus is never exchanged."""
+    toks = tokens_sql(text_col)
+    grams = documents.selectExpr(
+        f"{id_col} AS doc_id",
+        f"{id_col} % {eval_mod} = 0 AS is_eval",
+        f"{_sliding_grams(toks, n)} AS grams",
+    )
+    eval_grams = (
+        grams.filter("is_eval")
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    train = grams.filter(~F.col("is_eval"))
+    hits = (
+        train.select("doc_id", F.explode("grams").alias("gram"))
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        train.join(F.broadcast(hits), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("grams").alias("n_grams"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def span_dedup(
+    documents: DataFrame,
+    span_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_spans, n_kept, kept_frac) — corpus-wide
+    first-occurrence span dedup: segment each doc into non-overlapping
+    `span_tokens`-token spans and keep a span iff this (doc_id,
+    span_idx) is the globally first occurrence of its text (min doc_id,
+    then min span_idx — the C4 line-dedup rule over span segmentation).
+
+    Skew note: the winner per span is computed with
+    groupBy(span).agg(min(struct(doc_id, span_idx))) — partial
+    aggregation combines a boilerplate span's millions of occurrences
+    map-side, where a PARTITION BY span window would funnel them
+    through one task. The join back to the exploded spans is
+    co-partitioned on span (same key as the agg, so AQE reuses the
+    exchange); the final per-doc rollup is one more map-side-combining
+    aggregation."""
+    toks = tokens_sql(text_col)
+    spans = documents.selectExpr(
+        f"{id_col} AS doc_id", f"{_span_list(toks, span_tokens)} AS sp"
+    ).select("doc_id", F.posexplode("sp").alias("span_idx", "span"))
+    winners = spans.groupBy("span").agg(
+        F.min(F.struct("doc_id", "span_idx")).alias("w")
+    )
+    marked = spans.join(winners, "span").select(
+        "doc_id",
+        (
+            (F.col("doc_id") == F.col("w.doc_id"))
+            & (F.col("span_idx") == F.col("w.span_idx"))
+        )
+        .cast("long")
+        .alias("kept"),
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("kept").alias("n_kept"),
+        F.round(F.sum("kept") / F.count("*"), 9).alias("kept_frac"),
+    )
+
+
+def pii_table(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Deterministic PII fixture derived from `documents` (the synthetic
+    corpus contains no PII, so — like tagweights.html_table — the
+    fixture INJECTS it reproducibly in both engines): each doc's text
+    gains a contact line with an email, an IPv4 and a phone number that
+    are pure functions of doc_id."""
+    return documents.selectExpr(
+        f"{id_col} AS doc_id",
+        f"{text_col} || ' contact user' || CAST({id_col} AS STRING) || "
+        f"'@example.com at 10.' || CAST({id_col} % 256 AS STRING) || "
+        f"'.' || CAST(({id_col} div 256) % 256 AS STRING) || "
+        f"'.7 or +1-555-' || lpad(CAST({id_col} % 10000 AS STRING), 4, '0')"
+        f" AS text",
+    )
+
+
+def pii_scrub(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_emails, n_ips, n_phones, clean_md5) — count and redact
+    PII spans (email → <EMAIL>, IPv4 → <IP>, phone → <PHONE>, applied
+    in that fixed order) and fingerprint the scrubbed text. Pure
+    projection — no shuffle, codegen'd, linear at any scale."""
+    t = F.col(text_col)
+    clean = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(clean, IPV4_RE, "<IP>")
+    clean = F.regexp_replace(clean, PHONE_RE, "<PHONE>")
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(
+            F.regexp_extract_all(
+                F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+                F.lit(IPV4_RE),
+                F.lit(0),
+            )
+        ).alias("n_ips"),
+        F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+def pack_sequences(
+    documents: DataFrame,
+    seq_len: int = 512,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, shard, n_tokens, tok_offset, first_seq, last_seq) — the
+    concat-and-chunk training-sequence mapping: within a shard,
+    documents are laid end-to-end in doc_id order; tok_offset is the
+    running token count before this doc, and first_seq/last_seq are the
+    seq_len-sized training-sequence indices its tokens fall into
+    (a doc may span several). Empty docs occupy no tokens and map to
+    the sequence at their offset.
+
+    Scale shape: ONE window per shard — shards (here the source column;
+    a production corpus uses O(10·executors) shards) are the unit of
+    data parallelism, which is exactly why real packers work per shard
+    instead of imposing a global document order."""
+    toks = tokens_sql(text_col)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = documents.selectExpr(
+        f"{id_col} AS doc_id",
+        f"{shard_col} AS shard",
+        f"size({toks}) AS n_tokens",
+    )
+    return (
+        sized.withColumn(
+            "tok_offset",
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")).cast("long"),
+        )
+        .withColumn(
+            "first_seq", F.floor(F.col("tok_offset") / seq_len).cast("long")
+        )
+        .withColumn(
+            "last_seq",
+            F.floor(
+                (
+                    F.col("tok_offset")
+                    + F.greatest(F.col("n_tokens"), F.lit(1))
+                    - 1
+                )
+                / seq_len
+            ).cast("long"),
+        )
+        .select(
+            "doc_id", "shard", "n_tokens", "tok_offset", "first_seq",
+            "last_seq",
+        )
+    )

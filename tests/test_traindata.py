@@ -1,0 +1,171 @@
+"""Training-data assembly operators (operators/traindata.py):
+decontamination, span dedup, PII scrub, sequence packing — hand-built
+golden cases with exactly-known answers."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import traindata as TD
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_decontaminate_flags_shared_ngram(spark):
+    # doc 0 is the eval slice (0 % 97 == 0); doc 1 repeats one of its
+    # 3-grams verbatim, doc 2 shares no 3-gram, doc 3 is too short.
+    docs = _docs(
+        spark,
+        [
+            (0, "alpha beta gamma delta"),
+            (1, "zz alpha beta gamma yy"),
+            (2, "alpha beta delta gamma"),
+            (3, "alpha beta"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r.asDict()
+        for r in TD.decontaminate(docs, n=3, eval_mod=97).collect()
+    }
+    assert set(out) == {1, 2, 3}  # eval doc excluded from output
+    assert out[1]["n_hit"] == 1 and out[1]["contaminated"]
+    assert out[2]["n_hit"] == 0 and not out[2]["contaminated"]
+    assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    # the train doc repeats the eval 3-gram twice, but grams are
+    # DISTINCT per doc → n_hit counts the gram once
+    docs = _docs(
+        spark,
+        [(0, "a b c"), (1, "a b c x a b c")],
+    )
+    row = TD.decontaminate(docs, n=3, eval_mod=97).collect()[0]
+    assert row["n_hit"] == 1 and row["contaminated"]
+
+
+def test_span_dedup_first_occurrence_wins(spark):
+    # span size 2: doc 0 = [ "a b", "c d" ]; doc 1 = [ "c d", "e f" ];
+    # doc 2 = [ "a b" ]. Global first occurrence: doc 0 keeps both,
+    # doc 1 keeps only "e f", doc 2 keeps nothing.
+    docs = _docs(
+        spark,
+        [(0, "a b c d"), (1, "c d e f"), (2, "a b")],
+    )
+    out = {
+        r["doc_id"]: (r["n_spans"], r["n_kept"])
+        for r in TD.span_dedup(docs, span_tokens=2).collect()
+    }
+    assert out == {0: (2, 2), 1: (2, 1), 2: (1, 0)}
+
+
+def test_span_dedup_within_doc_repeat(spark):
+    # the same span twice inside ONE doc: only the first index kept
+    docs = _docs(spark, [(5, "a b a b")])
+    row = TD.span_dedup(docs, span_tokens=2).collect()[0]
+    assert (row["n_spans"], row["n_kept"]) == (2, 1)
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    docs = _docs(
+        spark,
+        [
+            (
+                1,
+                "mail me at jo.doe+x@sub.example.org or 192.168.0.1 "
+                "call +1-555-0199 now",
+            ),
+            (2, "no pii here"),
+        ],
+    )
+    out = {r["doc_id"]: r.asDict() for r in TD.pii_scrub(docs).collect()}
+    assert (out[1]["n_emails"], out[1]["n_ips"], out[1]["n_phones"]) == (
+        1,
+        1,
+        1,
+    )
+    expected = hashlib.md5(
+        b"mail me at <EMAIL> or <IP> call <PHONE> now"
+    ).hexdigest()
+    assert out[1]["clean_md5"] == expected
+    assert (out[2]["n_emails"], out[2]["n_ips"], out[2]["n_phones"]) == (
+        0,
+        0,
+        0,
+    )
+
+
+def test_pii_scrub_email_ip_precedence(spark):
+    # the email's host contains digits-and-dots; scrubbing the email
+    # FIRST must prevent the IP pass from matching inside it
+    docs = _docs(spark, [(1, "u@10.0.0.1.example.com and 10.0.0.2")])
+    row = TD.pii_scrub(docs).collect()[0]
+    assert row["n_emails"] == 1
+    assert row["n_ips"] == 1  # only the standalone IP
+    expected = hashlib.md5(b"<EMAIL> and <IP>").hexdigest()
+    assert row["clean_md5"] == expected
+
+
+def test_pii_fixture_is_scrubbed_clean(spark, sf_dir):
+    # every injected fixture row carries exactly 1 email + 1 ip + 1
+    # phone, and scrubbing removes every PII match
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pii = TD.pii_table(docs)
+    out = TD.pii_scrub(pii)
+    bad = out.filter(
+        (F.col("n_emails") != 1)
+        | (F.col("n_ips") != 1)
+        | (F.col("n_phones") != 1)
+    ).count()
+    assert bad == 0
+
+
+def test_pack_sequences_offsets_and_spans(spark):
+    # one shard, seq_len 4: docs of 3/4/2 tokens at offsets 0/3/7 →
+    # first/last seqs (0,0), (0,1), (1,2)
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "a b c"),
+            (2, "s", "d e f g"),
+            (3, "s", "h i"),
+        ],
+        "doc_id bigint, source string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["tok_offset"], r["first_seq"], r["last_seq"])
+        for r in TD.pack_sequences(docs, seq_len=4).collect()
+    }
+    assert out == {1: (0, 0, 0), 2: (3, 0, 1), 3: (7, 1, 2)}
+
+
+def test_pack_sequences_shards_independent(spark):
+    # two shards each start at offset 0 — packing is per-shard
+    docs = spark.createDataFrame(
+        [(1, "x", "a b"), (2, "y", "c d e")],
+        "doc_id bigint, source string, text string",
+    )
+    out = {
+        r["doc_id"]: r["tok_offset"]
+        for r in TD.pack_sequences(docs, seq_len=4).collect()
+    }
+    assert out == {1: 0, 2: 0}
+
+
+def test_pack_sequences_empty_doc(spark):
+    docs = spark.createDataFrame(
+        [(1, "s", "a b c d"), (2, "s", "..."), (3, "s", "e")],
+        "doc_id bigint, source string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["tok_offset"], r["first_seq"], r["last_seq"])
+        for r in TD.pack_sequences(docs, seq_len=4).collect()
+    }
+    # "..." tokenizes to nothing: occupies no tokens, maps to the
+    # sequence at its offset (4 // 4 = 1), and doc 3 starts at the
+    # same offset
+    assert out[2] == (0, 4, 1, 1)
+    assert out[3] == (1, 4, 1, 1)
