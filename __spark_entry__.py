@@ -4,7 +4,7 @@
 built end-to-end from sf0.001 documents (SURVEY.md §7 Phase 1 slice).
 
 ``queries()`` / ``oracle_sql()`` — one named query per implemented
-operator of SURVEY.md §2 + §2.11 (41 queries as of round 3), EVERY one
+operator of SURVEY.md §2 + §2.11 (42 queries as of round 3), EVERY one
 with a DuckDB-equivalent ANSI-SQL oracle — the rows-only set is empty.
 Float columns are rounded to 9 decimals on BOTH sides so the driver's
 value-hash compares bit-stable doubles (all underlying arithmetic is
@@ -297,6 +297,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "left_anti",
         )
 
+    def q_seen_antijoin_cuckoo(spark, sf):
+        # J5 cuckoo backend on driver tables, exercising the REAL fast
+        # path (cuckooseen.filter_new): seen-set = event actors, keyed
+        # by xxhash64 like the frontier; candidates = customers. The
+        # cuckoo filter short-circuits definite-new keys and the exact
+        # anti-join backstops maybe-seen ones — output ≡ plain anti-join
+        # (the oracle SQL) by construction.
+        from searchengine_spark.crawler import cuckooseen as CK
+
+        cust = spark.read.parquet(os.path.join(sf, "customer.parquet"))
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        seen = ev.select(
+            F.col("user_id").cast("long").alias("c_custkey")
+        ).withColumn("url_hash", F.xxhash64(F.col("c_custkey").cast("string")))
+        cands = cust.select(F.col("c_custkey").cast("long")).withColumn(
+            "url_hash", F.xxhash64(F.col("c_custkey").cast("string"))
+        )
+        segments = CK.build_segments(seen, n_segments=8, m_bits=1 << 10)
+        return CK.filter_new(cands, seen, segments, n_segments=8).select(
+            "c_custkey"
+        )
+
     def q_dup_clusters(spark, sf):
         # connected-components duplicate clustering over the exact
         # near-dup pair set; cluster_id = keeper (min doc_id)
@@ -463,6 +485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
         "seen_antijoin": q_seen_antijoin,
+        "seen_antijoin_cuckoo": q_seen_antijoin_cuckoo,
         "tag_weights": q_tag_weights,
         "resolve_urls": q_resolve_urls,
         "tf_lemma": q_tf_lemma,
@@ -1172,6 +1195,10 @@ SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
 FROM toks""",
         "seen_antijoin": (
             "SELECT c_custkey FROM customer "
+            "WHERE c_custkey NOT IN (SELECT user_id FROM events)"
+        ),
+        "seen_antijoin_cuckoo": (
+            "SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer "
             "WHERE c_custkey NOT IN (SELECT user_id FROM events)"
         ),
         "tumbling_counts": """

@@ -49,6 +49,14 @@ class CrawlConfig:
     n_bloom_segments: int = 16
     bloom_m_bits: int = 1 << 17
 
+    # ---- URL-seen backend (north rule: "bloom/cuckoo-filter URL-seen
+    # dedup"): "bloom" (insert-only, urlseen.py) or "cuckoo" (deletable
+    # fingerprints for recrawl/expiry, cuckooseen.py). Both share one
+    # function seam; the generation size param ("m_bits" in the commit
+    # manifest) means bloom bits or cuckoo buckets respectively.
+    seen_backend: str = "bloom"
+    cuckoo_n_buckets: int = 1 << 12
+
     # ---- compaction cadence (Iceberg rewrite-data-files): every
     # compact_every rounds the append tables (url_seen, bloom,
     # fingerprints, extracted, metrics) are squashed into one BASE
@@ -82,6 +90,27 @@ class CrawlConfig:
     ngram_threshold: float = 0.65  # J7 (reference ngrams.py:11)
     ngram_n: int = 3
     trap_threshold: float = 0.85  # J6 (reference link_similarity.py:12)
+
+    def seen_module(self):
+        """The URL-seen backend module (one seam: build_segments /
+        merge_segments / filter_new / segment_load / required_m_bits /
+        segment_bytes)."""
+        if self.seen_backend == "cuckoo":
+            from . import cuckooseen
+
+            return cuckooseen
+        from . import urlseen
+
+        return urlseen
+
+    @property
+    def seen_size0(self) -> int:
+        """Initial generation size param for the configured backend."""
+        return (
+            self.cuckoo_n_buckets
+            if self.seen_backend == "cuckoo"
+            else self.bloom_m_bits
+        )
 
     def quota(self, crawl_delay: float | None) -> int:
         d = crawl_delay if crawl_delay and crawl_delay > 0 else self.default_crawl_delay

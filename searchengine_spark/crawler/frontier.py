@@ -36,7 +36,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from searchengine_spark.crawler import gates, urlseen
+from searchengine_spark.crawler import gates
 from searchengine_spark.crawler.config import CrawlConfig, frontier_score
 from searchengine_spark.crawler.tableio import TableIO
 from searchengine_spark.functions.text import (
@@ -94,13 +94,14 @@ def init_crawl(
     io.stage("url_seen", _seen_projection(keyed, 0), 0, mode="append")
     io.stage("robots", robots_df, 0)
     io.stage(
-        "bloom",
-        urlseen.build_segments(
-            _seen_projection(keyed, 0), cfg.n_bloom_segments, cfg.bloom_m_bits
+        "bloom",  # table name is historic; holds the configured
+        # URL-seen backend's segments (bloom bitsets or cuckoo tables)
+        cfg.seen_module().build_segments(
+            _seen_projection(keyed, 0), cfg.n_bloom_segments, cfg.seen_size0
         ),
         0,
         mode="append",  # rounds append delta segments (O(new urls))
-        props={"m_bits": cfg.bloom_m_bits},
+        props={"m_bits": cfg.seen_size0},
     )
     io.stage("fingerprints", spark.createDataFrame([], FP_SCHEMA), 0, mode="append")
     io.stage("extracted", spark.createDataFrame([], EXTRACTED_SCHEMA), 0, mode="append")
@@ -213,12 +214,13 @@ def _run_round_body(
     url_seen = io.read("url_seen", round_no - 1)
     fps = io.read("fingerprints", round_no - 1)
     robots = io.read("robots", round_no - 1)
+    SEEN = cfg.seen_module()  # bloom or cuckoo — one function seam
     segments = io.read("bloom", round_no - 1)
-    # the bloom generation's segment size lives in the commit manifest
-    # (table_props — a driver-side file read): compaction may have
-    # resized past cfg.bloom_m_bits, and this round's delta segments
-    # must match the generation to stay OR-mergeable
-    cur_m = int(io.table_props("bloom", round_no - 1).get("m_bits", cfg.bloom_m_bits))
+    # the seen-filter generation's segment size lives in the commit
+    # manifest (table_props — a driver-side file read): compaction may
+    # have resized past the configured floor, and this round's delta
+    # segments must match the generation to stay mergeable
+    cur_m = int(io.table_props("bloom", round_no - 1).get("m_bits", cfg.seen_size0))
 
     rb = F.broadcast(robots)  # J8: robots cache is a broadcast dim
 
@@ -331,9 +333,9 @@ def _run_round_body(
     ).repartition(n_parts, "host", "salt")
 
     cands = gates.trap_reject(cands, url_seen, cfg.trap_threshold)  # J6
-    new_urls = urlseen.filter_new(  # J5: bloom fast path + exact backstop
+    new_urls = SEEN.filter_new(  # J5: filter fast path + exact backstop
         cands, url_seen, segments, cfg.n_bloom_segments,
-        total_bloom_bytes=cfg.n_bloom_segments * cur_m // 8,
+        total_bloom_bytes=cfg.n_bloom_segments * SEEN.segment_bytes(cur_m),
     ).persist()
 
     # ---- 7. assemble + commit next snapshots
@@ -410,25 +412,25 @@ def _run_round_body(
     # resize is a rebuild — compaction already pays the O(seen) pass).
     do_compact = cfg.compact_every > 0 and round_no % cfg.compact_every == 0
     if do_compact:
-        n_prev, _ = urlseen.segment_load(segments)
+        n_prev, _ = SEEN.segment_load(segments)
         total_seen = n_prev + new_urls.count()  # cached — cheap action
-        new_m = urlseen.required_m_bits(
+        new_m = SEEN.required_m_bits(
             total_seen,
             cfg.n_bloom_segments,
             cfg.bloom_target_bits_per_key,
-            floor_m_bits=cfg.bloom_m_bits,
+            floor_m_bits=cfg.seen_size0,
         )
         seen_full = url_seen.unionByName(seen_delta)
         if new_m > cur_m:  # saturation → new generation at new_m
             bloom_next, next_m = (
-                urlseen.build_segments(seen_full, cfg.n_bloom_segments, new_m),
+                SEEN.build_segments(seen_full, cfg.n_bloom_segments, new_m),
                 new_m,
             )
-        else:  # healthy → OR-merge the accumulated delta blobs
-            delta_segs = urlseen.build_segments(
+        else:  # healthy → merge the accumulated delta blobs
+            delta_segs = SEEN.build_segments(
                 seen_delta, cfg.n_bloom_segments, cur_m
             )
-            bloom_next, next_m = urlseen.merge_segments(segments, delta_segs), cur_m
+            bloom_next, next_m = SEEN.merge_segments(segments, delta_segs), cur_m
         ex_prev = io.read("extracted", round_no - 1)
         stage_args = [
             ("url_seen", seen_full, round_no, "append", 4, True, None),
@@ -446,9 +448,9 @@ def _run_round_body(
         ]
     else:
         # incremental path: append ONLY this round's delta segments —
-        # O(new urls) staged bytes; probes OR multiple blobs per segment
-        # on the fly until the next compaction bounds them again
-        delta_segs = urlseen.build_segments(
+        # O(new urls) staged bytes; probes merge multiple blobs per
+        # segment on the fly until the next compaction bounds them again
+        delta_segs = SEEN.build_segments(
             seen_delta, cfg.n_bloom_segments, cur_m
         )
         stage_args = [

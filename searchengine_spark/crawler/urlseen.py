@@ -175,6 +175,12 @@ def segment_load(segments: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["m"])
 
 
+def segment_bytes(m_bits: int) -> int:
+    """Bytes per segment for size param m_bits (backend seam — the
+    cuckoo backend's size param is n_buckets; see cuckooseen.py)."""
+    return int(m_bits) // 8
+
+
 def _probe_cogroup(
     candidates: DataFrame, segments: DataFrame, n_segments: int
 ) -> DataFrame:
