@@ -4,7 +4,7 @@
 built end-to-end from sf0.001 documents (SURVEY.md §7 Phase 1 slice).
 
 ``queries()`` / ``oracle_sql()`` — one named query per implemented
-operator of SURVEY.md §2 + §2.11 (42 queries as of round 3), EVERY one
+operator of SURVEY.md §2 + §2.11 (43 queries as of round 3), EVERY one
 with a DuckDB-equivalent ANSI-SQL oracle — the rows-only set is empty.
 Float columns are rounded to 9 decimals on BOTH sides so the driver's
 value-hash compares bit-stable doubles (all underlying arithmetic is
@@ -319,6 +319,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "c_custkey"
         )
 
+    def q_link_rank(spark, sf):
+        # Distributed PageRank (operators/linkrank.py) over a
+        # deterministic synthetic link graph on documents: doc d links
+        # to (2d+1)%N, (3d+7)%N, (5d+11)%N — arithmetic both engines
+        # reproduce exactly. 5 fixed iterations, damping 0.85; the
+        # DuckDB oracle unrolls the identical chain.
+        from searchengine_spark.operators import linkrank as LR
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        ranks = LR.pagerank(
+            edges, docs.select(F.col("doc_id").alias("id")), n_iters=5
+        )
+        return ranks.select(
+            F.col("id").alias("doc_id"), F.round("rank", 9).alias("rank")
+        )
+
     def q_dup_clusters(spark, sf):
         # connected-components duplicate clustering over the exact
         # near-dup pair set; cluster_id = keeper (min doc_id)
@@ -492,6 +517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tf_stem": q_tf_stem,
         "json_ingest": q_json_ingest,
         "dup_clusters": q_dup_clusters,
+        "link_rank": q_link_rank,
         "ivf_topk": q_ivf_topk,
         "bpe_count": q_bpe_count,
         "sessions": q_sessions,
@@ -684,6 +710,41 @@ SELECT doc_id, shard, n_tokens, tok_offset,
        tok_offset // 512 AS first_seq,
        (tok_offset + greatest(n_tokens, 1) - 1) // 512 AS last_seq
 FROM o"""
+
+
+def _pagerank_sql(n_iters: int = 5, damping: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank over the same deterministic
+    synthetic doc link graph as q_link_rank — one CTE per iteration,
+    identical arithmetic (teleport + damped in-link shares; the graph
+    has out-degree 3 everywhere, so no dangling term)."""
+    teleport = f"{1.0 - damping}/(SELECT c FROM nn)"
+    ctes = [
+        "nn AS (SELECT count(*) AS c FROM documents)",
+        """e AS (
+  SELECT doc_id AS src, (doc_id*2+1) % (SELECT c FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*3+7) % (SELECT c FROM nn) FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*5+11) % (SELECT c FROM nn) FROM documents
+)""",
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src)",
+        "r0 AS (SELECT doc_id AS id, 1.0/(SELECT c FROM nn) AS r FROM documents)",
+    ]
+    for k in range(1, n_iters + 1):
+        ctes.append(
+            f"""r{k} AS (
+  SELECT docs.doc_id AS id,
+         {teleport} + {damping}*COALESCE(s.v, 0) AS r
+  FROM documents docs LEFT JOIN (
+    SELECT e.dst AS id, sum(r{k-1}.r/deg.d) AS v
+    FROM e JOIN r{k-1} ON r{k-1}.id = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.id = docs.doc_id
+)"""
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT id AS doc_id, round(r, 9) AS rank FROM r{n_iters}"
+    )
 
 
 def _sampling_thresholds() -> dict[str, int]:
@@ -1053,6 +1114,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _DUCK_ANN_LSH,
         "ann_lsh_probe": _DUCK_ANN_LSH_PROBE,
         "dup_clusters": _DUCK_DUP_CLUSTERS,
+        "link_rank": _pagerank_sql(),
         "ivf_topk": _DUCK_IVF,
         "bpe_count": (
             "SELECT doc_id, "

@@ -1,0 +1,119 @@
+"""Link-graph ranking: distributed PageRank power iteration.
+
+Why in a crawler engine: the north rule's frontier is a "score-ordered
+priority queue"; the reference orders by insertion depth (rebuilt as
+config.frontier_score). Real crawl schedulers order by link importance
+(PageRank / OPIC family — public algorithms); this operator computes
+that score over an (src, dst) edge table so a deployment can seed or
+re-prioritize the frontier by rank (e.g. rank the extracted link graph
+between crawls and feed `score` on re-seed).
+
+Plan shape (the 100 TB audit): one equi-join (edges ⋈ ranks on src,
+both hash-partitioned on the join key) + one groupBy(dst) partial-agg
+per iteration — no driver-side row data ever. Dangling-node mass
+(vertices with no out-links) is folded in via a single-row aggregate
+whose collect doubles as the per-iteration cache materializer, so the
+loop adds no extra action (same generation-safe persist handoff as
+dedup.dup_clusters). Driver traffic is O(iters) scalars.
+
+Semantics: standard damped PageRank
+    r_{k+1}(v) = (1-d)/N + d * (Σ_{u→v} r_k(u)/outdeg(u) + dangling_k/N)
+with uniform init 1/N. Fixed iteration count keeps the arithmetic
+reproducible in ANSI SQL (the DuckDB oracle unrolls the same chain), a
+deliberate choice over convergence-threshold stopping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    n_iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """edges(src, dst) [+ vertices(id)] → (id, rank).
+
+    `vertices` defaults to the distinct endpoints of `edges`; pass it
+    explicitly when isolated vertices (no in- or out-links) must be
+    ranked too — they receive the teleport share. Duplicate edges are
+    legitimate (parallel links weigh twice, matching a link-graph's
+    multi-edge semantics)."""
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    vertices = vertices.select("id").persist()
+    n = vertices.count()  # also materializes the vertex cache
+    if n == 0:  # typed-empty result regardless of the id column's type
+        return vertices.select("id", F.lit(0.0).alias("rank"))
+
+    deg = edges.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    # out-shares: static across iterations — persist ONCE so each
+    # iteration's join reuses the exchange instead of rescanning edges
+    shares = (
+        edges.join(deg.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", "deg")
+        .persist()
+    )
+    base = float(1.0 - damping) / n
+
+    ranks = vertices.select("id", F.lit(1.0 / n).alias("rank")).persist()
+    dangling = vertices.join(
+        deg, "id", "left_anti"
+    ).persist()  # vertices with no out-links donate their mass uniformly
+
+    for _ in range(n_iters):
+        # one scalar action per iteration: the dangling-mass agg — it
+        # forces ranks' cache, so the loop needs no separate count()
+        dmass = (
+            dangling.join(ranks, "id")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contrib = (
+            shares.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("s"))
+        )
+        nxt = (
+            vertices.join(contrib, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dmass / n))
+                ).alias("rank"),
+            )
+            .persist()
+        )
+        nxt.count()  # materialize BEFORE dropping the parent generation
+        ranks.unpersist()
+        ranks = nxt
+
+    out = ranks
+    shares.unpersist()
+    dangling.unpersist()
+    vertices.unpersist()
+    return out
+
+
+def host_rank(edges: DataFrame, n_iters: int = 5, damping: float = 0.85) -> DataFrame:
+    """Host-level rank over a URL link graph: edges(src_host, dst_host)
+    → (host, rank). The crawl-scheduling granularity — a frontier
+    re-seed scores hosts, not single URLs (10^10 URLs but ~10^7 hosts;
+    the rank table broadcast-joins onto the frontier)."""
+    e = edges.select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return pagerank(e, n_iters=n_iters, damping=damping).withColumnRenamed(
+        "id", "host"
+    )
