@@ -38,6 +38,16 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--politeness", type=float, default=0.5)
     ap.add_argument("--allowed-host-re", default=None)
     ap.add_argument("--restart", action="store_true")
+    ap.add_argument(
+        "--track-host-graph", action="store_true",
+        help="stage per-round (src_host, dst_host, n) link edges",
+    )
+    ap.add_argument(
+        "--reseed", action="store_true",
+        help="after crawling, PageRank the host graph and re-score the "
+        "QUEUED frontier (requires --track-host-graph on this or a "
+        "previous run)",
+    )
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("searchengine-crawl").getOrCreate()
@@ -58,6 +68,7 @@ def main(argv: list[str]) -> int:
         default_crawl_delay=args.politeness,
         n_salts=args.salts,
         n_partitions=args.partitions,
+        track_host_graph=args.track_host_graph,
     )
     io = TableIO(spark, args.warehouse)
     if args.restart:
@@ -72,6 +83,9 @@ def main(argv: list[str]) -> int:
             f"queued={r['queued_remaining']}"
         )
     print(f"done at round {last}")
+    if args.reseed:
+        r = FR.reseed_frontier(spark, io, cfg)
+        print(f"frontier reseeded by host rank at round {r}")
     spark.stop()
     return 0
 

@@ -57,6 +57,17 @@ class CrawlConfig:
     seen_backend: str = "bloom"
     cuckoo_n_buckets: int = 1 << 12
 
+    # ---- host link-graph tracking (default OFF — adds one small
+    # aggregate + write per round): when on, each round stages its
+    # scraped links aggregated to (src_host, dst_host, n) edges, so a
+    # deployment can PageRank the host graph between crawls and reseed
+    # frontier priorities (linkrank.host_rank via frontier.
+    # reseed_frontier) — OPIC/PageRank-family scheduling, the public
+    # upgrade over the reference's insertion-depth priority. Host
+    # granularity keeps the table tiny relative to the crawl (10^10
+    # urls but ~10^7 hosts) and the rank join broadcastable.
+    track_host_graph: bool = False
+
     # ---- compaction cadence (Iceberg rewrite-data-files): every
     # compact_every rounds the append tables (url_seen, bloom,
     # fingerprints, extracted, metrics) are squashed into one BASE

@@ -61,6 +61,7 @@ METRICS_SCHEMA = (
     "round int, batch_size bigint, fetched_ok bigint, errors bigint, "
     "dup_pages bigint, candidates bigint, new_urls bigint, queued_remaining bigint"
 )
+HOST_GRAPH_SCHEMA = "src_host string, dst_host string, n bigint, round_added int"
 
 
 def _seen_projection(df: DataFrame, round_no: int) -> DataFrame:
@@ -104,6 +105,11 @@ def init_crawl(
         props={"m_bits": cfg.seen_size0},
     )
     io.stage("fingerprints", spark.createDataFrame([], FP_SCHEMA), 0, mode="append")
+    if cfg.track_host_graph:
+        io.stage(
+            "host_graph", spark.createDataFrame([], HOST_GRAPH_SCHEMA), 0,
+            mode="append",
+        )
     io.stage("extracted", spark.createDataFrame([], EXTRACTED_SCHEMA), 0, mode="append")
     io.stage("metrics", spark.createDataFrame([], METRICS_SCHEMA), 0, mode="append")
     io.commit_round(0)
@@ -394,6 +400,26 @@ def _run_round_body(
     # (Spark schedules parallel actions from one session; staging cost
     # per round ≈ the slowest write, not the sum — the multi-output
     # materialization pattern).
+    # host link-graph delta (cfg.track_host_graph): the round's scraped
+    # links aggregated to host granularity — the reseed_frontier input.
+    # Aggregated BEFORE staging so the table is O(host-pairs), not
+    # O(links); dup pages excluded to match the scrape contract.
+    hg_delta = None
+    if cfg.track_host_graph:
+        hg_delta = (
+            page_stage.join(dup_keys, "url_hash", "left_anti")
+            .select(
+                F.col("host").alias("src_host"),
+                F.explode("links").alias("_link"),
+            )
+            .filter(F.col("_link").isNotNull())
+            .withColumn("dst_host", F.expr("lower(parse_url(_link, 'HOST'))"))
+            .filter(F.col("dst_host").isNotNull())
+            .groupBy("src_host", "dst_host")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("round_added", F.lit(round_no))
+        )
+
     seen_delta = _seen_projection(new_urls, round_no)
     fp_delta = fpdf.join(dup_keys, "url_hash", "left_anti").select(
         "url_hash", "canon_url", "fp", F.lit(round_no).alias("round_added")
@@ -446,6 +472,17 @@ def _run_round_body(
             ),
             ("bloom", bloom_next, round_no, "append", 4, True, {"m_bits": next_m}),
         ]
+        if hg_delta is not None:
+            # tracking may have been enabled mid-crawl: no prior snapshot
+            hg_prev = io.read("host_graph", round_no - 1)
+            hg_full = (
+                hg_delta
+                if hg_prev is None
+                else hg_prev.unionByName(hg_delta)
+            )
+            stage_args.append(
+                ("host_graph", hg_full, round_no, "append", 4, True, None)
+            )
     else:
         # incremental path: append ONLY this round's delta segments —
         # O(new urls) staged bytes; probes merge multiple blobs per
@@ -461,9 +498,13 @@ def _run_round_body(
             ("extracted", ex_delta, round_no, "append", cfg.n_partitions, False, None),
             ("bloom", delta_segs, round_no, "append", 4, False, {"m_bits": cur_m}),
         ]
+        if hg_delta is not None:
+            stage_args.append(
+                ("host_graph", hg_delta, round_no, "append", 4, False, None)
+            )
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=len(stage_args)) as pool:
         futs = [
             pool.submit(io.stage, t, df, rn, mode, n_files=nf, base=b, props=pr)
             for (t, df, rn, mode, nf, b, pr) in stage_args
@@ -485,7 +526,10 @@ def _run_round_body(
     def _commit_and_prune() -> None:
         io.commit_round(round_no)
         if do_compact:  # reclaim superseded snapshots (post-commit, safe)
-            for t in ("url_seen", "fingerprints", "extracted", "bloom", "metrics"):
+            tables = ["url_seen", "fingerprints", "extracted", "bloom", "metrics"]
+            if hg_delta is not None:
+                tables.append("host_graph")
+            for t in tables:
                 io.prune_compacted(t)
 
     if cfg.light_metrics:
@@ -578,6 +622,68 @@ def crawl(
         if remaining == 0:
             break
     return io.latest_round()
+
+
+def reseed_frontier(
+    spark: SparkSession,
+    io: TableIO,
+    cfg: CrawlConfig,
+    n_iters: int = 5,
+    damping: float = 0.85,
+) -> int:
+    """Between-crawls frontier re-prioritization (OPIC/PageRank-family
+    scheduling — the public upgrade over the reference's insertion-depth
+    priority, README.md:196-203's FIFO queue):
+
+      1. rank hosts over the accumulated host_graph edges
+         (linkrank.host_rank, weighted power iteration),
+      2. rewrite each QUEUED row's score to rank(host)/max_rank —
+         normalized into the depth prior's (0, 1] scale so a reseeded
+         queue and later depth-scored discoveries stay comparable,
+      3. commit a frontier-only snapshot at latest_round()+1 (the other
+         tables' reads fall through to their last snapshots).
+
+    FETCHED/ERROR rows keep their historic score, so crawl_order parity
+    over already-executed rounds is unchanged. Requires a crawl run
+    with cfg.track_host_graph=True. Plan shape: one host-level groupBy
+    (O(host-pairs)) + the pagerank loop + ONE broadcast join onto the
+    frontier — hosts are ~10^3× fewer than urls, so the rank table
+    broadcasts even at 10^10-url scale. Returns the committed round."""
+    r = io.latest_round()
+    assert r is not None, "reseed_frontier needs an initialized crawl"
+    hg = io.read("host_graph", r)
+    if hg is None:
+        raise ValueError(
+            "no host_graph table — run the crawl with "
+            "CrawlConfig.track_host_graph=True to record link edges"
+        )
+    from searchengine_spark.operators.linkrank import host_rank
+
+    edges = hg.groupBy("src_host", "dst_host").agg(F.sum("n").alias("n"))
+    ranks = host_rank(edges, n_iters=n_iters, damping=damping, weight_col="n")
+    mx_row = ranks.agg(F.max("rank").alias("m")).collect()[0]
+    frontier = io.read("frontier", r)
+    if mx_row["m"] is None:  # empty graph (e.g. 0 fetched rounds)
+        io.stage("frontier", frontier, r + 1, n_files=cfg.n_partitions)
+        io.commit_round(r + 1)
+        return r + 1
+    norm = ranks.select(
+        "host", (F.col("rank") / F.lit(float(mx_row["m"]))).alias("_hr")
+    )
+    reseeded = (
+        frontier.join(F.broadcast(norm), "host", "left")
+        .withColumn(
+            "score",
+            F.when(
+                (F.col("status") == "QUEUED") & F.col("_hr").isNotNull(),
+                F.col("_hr"),
+            ).otherwise(F.col("score")),
+        )
+        .select(*frontier.columns)
+    )
+    io.stage("frontier", reseeded, r + 1, n_files=cfg.n_partitions)
+    io.commit_round(r + 1)
+    return r + 1
 
 
 def crawl_order(io: TableIO, round_no: int | None = None) -> list[str]:

@@ -34,14 +34,24 @@ def pagerank(
     vertices: DataFrame | None = None,
     n_iters: int = 5,
     damping: float = 0.85,
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """edges(src, dst) [+ vertices(id)] → (id, rank).
+    """edges(src, dst[, weight]) [+ vertices(id)] → (id, rank).
 
     `vertices` defaults to the distinct endpoints of `edges`; pass it
     explicitly when isolated vertices (no in- or out-links) must be
     ranked too — they receive the teleport share. Duplicate edges are
     legitimate (parallel links weigh twice, matching a link-graph's
-    multi-edge semantics)."""
+    multi-edge semantics). `weight_col` names an edge-multiplicity /
+    weight column: a weight-w edge behaves exactly like w parallel
+    unit edges (out-mass splits proportionally to weight) — the
+    pre-aggregated form a crawl's host graph stores."""
+    if weight_col is None:
+        edges = edges.select("src", "dst", F.lit(1.0).alias("w"))
+    else:
+        edges = edges.select(
+            "src", "dst", F.col(weight_col).cast("double").alias("w")
+        )
     if vertices is None:
         vertices = (
             edges.select(F.col("src").alias("id"))
@@ -54,13 +64,13 @@ def pagerank(
         return vertices.select("id", F.lit(0.0).alias("rank"))
 
     deg = edges.groupBy(F.col("src").alias("id")).agg(
-        F.count(F.lit(1)).alias("deg")
+        F.sum("w").alias("deg")
     )
     # out-shares: static across iterations — persist ONCE so each
     # iteration's join reuses the exchange instead of rescanning edges
     shares = (
         edges.join(deg.withColumnRenamed("id", "src"), "src")
-        .select("src", "dst", "deg")
+        .select("src", "dst", "w", "deg")
         .persist()
     )
     base = float(1.0 - damping) / n
@@ -81,7 +91,7 @@ def pagerank(
         contrib = (
             shares.join(ranks.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("s"))
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("deg")).alias("s"))
         )
         nxt = (
             vertices.join(contrib, "id", "left")
@@ -106,14 +116,22 @@ def pagerank(
     return out
 
 
-def host_rank(edges: DataFrame, n_iters: int = 5, damping: float = 0.85) -> DataFrame:
-    """Host-level rank over a URL link graph: edges(src_host, dst_host)
-    → (host, rank). The crawl-scheduling granularity — a frontier
-    re-seed scores hosts, not single URLs (10^10 URLs but ~10^7 hosts;
-    the rank table broadcast-joins onto the frontier)."""
-    e = edges.select(
-        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
-    )
-    return pagerank(e, n_iters=n_iters, damping=damping).withColumnRenamed(
-        "id", "host"
-    )
+def host_rank(
+    edges: DataFrame,
+    n_iters: int = 5,
+    damping: float = 0.85,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Host-level rank over a URL link graph: edges(src_host, dst_host
+    [, weight]) → (host, rank). The crawl-scheduling granularity — a
+    frontier re-seed scores hosts, not single URLs (10^10 URLs but
+    ~10^7 hosts; the rank table broadcast-joins onto the frontier).
+    `weight_col` carries link multiplicity when the graph is stored
+    pre-aggregated (the crawler's host_graph table)."""
+    cols = [F.col("src_host").alias("src"), F.col("dst_host").alias("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col))
+    e = edges.select(*cols)
+    return pagerank(
+        e, n_iters=n_iters, damping=damping, weight_col=weight_col
+    ).withColumnRenamed("id", "host")

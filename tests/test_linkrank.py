@@ -59,6 +59,25 @@ def test_pagerank_default_vertices_and_host_rank(spark):
     assert hr["a.test"] > hr["b.test"] > hr["c.test"]
 
 
+def test_pagerank_weighted_equals_parallel_edges(spark):
+    # a weight-w edge must behave exactly like w parallel unit edges
+    unit = spark.createDataFrame(EDGES, "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    from collections import Counter
+
+    weighted = spark.createDataFrame(
+        [(s, t, float(w)) for (s, t), w in Counter(EDGES).items()],
+        "src long, dst long, n double",
+    )
+    a = {r["id"]: r["rank"] for r in LR.pagerank(unit, verts).collect()}
+    b = {
+        r["id"]: r["rank"]
+        for r in LR.pagerank(weighted, verts, weight_col="n").collect()
+    }
+    for i in a:
+        assert a[i] == pytest.approx(b[i], abs=1e-12)
+
+
 def test_pagerank_empty(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     assert LR.pagerank(edges).count() == 0
