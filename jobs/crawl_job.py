@@ -29,7 +29,13 @@ def main(argv: list[str]) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--pages-table")
-    ap.add_argument("--robots-table")
+    ap.add_argument("--robots-table", help="pre-parsed (host, deny_prefixes, crawl_delay)")
+    ap.add_argument(
+        "--robots-txt-table",
+        help="RAW (host, robots_txt) table — parsed via the RFC 9309 "
+        "subset parser (functions/robots.py)",
+    )
+    ap.add_argument("--user-agent", default="*")
     ap.add_argument("--seeds", nargs="*")
     ap.add_argument("--synth-pages", type=int, default=2000)
     ap.add_argument("--rounds", type=int, default=10)
@@ -53,9 +59,16 @@ def main(argv: list[str]) -> int:
     spark = SparkSession.builder.appName("searchengine-crawl").getOrCreate()
     if args.pages_table:
         pages = spark.read.parquet(args.pages_table)
-        robots = (
-            spark.read.parquet(args.robots_table) if args.robots_table else None
-        )
+        if args.robots_txt_table:
+            from searchengine_spark.functions.robots import robots_table
+
+            robots = robots_table(
+                spark.read.parquet(args.robots_txt_table), agent=args.user_agent
+            )
+        elif args.robots_table:
+            robots = spark.read.parquet(args.robots_table)
+        else:
+            robots = None
         seeds = args.seeds or []
         host_re = args.allowed_host_re
     else:
