@@ -49,6 +49,19 @@ def main(argv: list[str]) -> int:
         help="stage per-round (src_host, dst_host, n) link edges",
     )
     ap.add_argument(
+        "--recrawl-age", type=int, default=0,
+        help="after crawling, requeue/prune FETCHED rows older than "
+        "this many rounds (0 = off)",
+    )
+    ap.add_argument(
+        "--recrawl-mode", choices=["requeue", "prune"], default="requeue",
+        help="requeue = flip stale rows back to QUEUED; prune = drop "
+        "them + expire from the seen backend (cuckoo only)",
+    )
+    ap.add_argument(
+        "--seen-backend", choices=["bloom", "cuckoo"], default="bloom",
+    )
+    ap.add_argument(
         "--reseed", action="store_true",
         help="after crawling, PageRank the host graph and re-score the "
         "QUEUED frontier (requires --track-host-graph on this or a "
@@ -82,6 +95,7 @@ def main(argv: list[str]) -> int:
         n_salts=args.salts,
         n_partitions=args.partitions,
         track_host_graph=args.track_host_graph,
+        seen_backend=args.seen_backend,
     )
     io = TableIO(spark, args.warehouse)
     if args.restart:
@@ -99,6 +113,11 @@ def main(argv: list[str]) -> int:
     if args.reseed:
         r = FR.reseed_frontier(spark, io, cfg)
         print(f"frontier reseeded by host rank at round {r}")
+    if args.recrawl_age > 0:
+        r = FR.recrawl_frontier(
+            spark, io, cfg, args.recrawl_age, mode=args.recrawl_mode
+        )
+        print(f"recrawl ({args.recrawl_mode}) committed at round {r}")
     spark.stop()
     return 0
 

@@ -686,6 +686,97 @@ def reseed_frontier(
     return r + 1
 
 
+def recrawl_frontier(
+    spark: SparkSession,
+    io: TableIO,
+    cfg: CrawlConfig,
+    max_age_rounds: int,
+    mode: str = "requeue",
+    score: float = 1.0,
+) -> int:
+    """Freshness recrawl (public crawl-scheduling concept): act on
+    FETCHED rows with round_fetched ≤ latest_round − max_age_rounds.
+    ERROR rows are never retried (ST5 contract).
+
+    mode="requeue": flip stale rows back to QUEUED at `score` — their
+    url_seen/filter entries stay (links to them keep deduping) — and
+    PURGE their stored fingerprints so the refetch isn't near-dup-gated
+    against its own previous content (J7 rule a compares vs the store).
+    Works with either seen backend. `extracted` thereby becomes a
+    fetch-history log: one row per (url, round_fetched), latest wins.
+
+    mode="prune": REMOVE stale rows from the frontier and expire them
+    from the URL-seen backend (exact cuckoo segment rebuild,
+    cuckooseen.expire — a bloom filter can't delete), so the urls
+    re-enter the crawl only when rediscovered via links. Requires
+    cfg.seen_backend="cuckoo". Never combine semantics: requeue keeps
+    the row so seen-expiry would double-admit; prune drops the row so
+    the seen entry must go.
+
+    Both purge fingerprints and rewrite the affected append tables as
+    BASE snapshots — an O(table) periodic op, the same cost class (and
+    sensibly the same cadence) as compaction. Returns the committed
+    round."""
+    assert mode in ("requeue", "prune"), mode
+    r = io.latest_round()
+    assert r is not None, "recrawl_frontier needs an initialized crawl"
+    frontier = io.read("frontier", r)
+    stale = (F.col("status") == "FETCHED") & (
+        F.col("round_fetched") <= F.lit(r - max_age_rounds)
+    )
+    stale_keys = frontier.filter(stale).select("url_hash").persist()
+    if stale_keys.count() == 0:
+        stale_keys.unpersist()
+        return r  # nothing stale — no snapshot, no round consumed
+
+    rewritten = ["fingerprints"]
+    fps_next = io.read("fingerprints", r).join(
+        stale_keys, "url_hash", "left_anti"
+    )
+    io.stage("fingerprints", fps_next, r + 1, mode="append", base=True)
+
+    if mode == "requeue":
+        frontier_next = frontier.select(
+            "canon_url", "url_hash", "host",
+            F.when(stale, F.lit(score)).otherwise(F.col("score")).alias("score"),
+            F.when(stale, F.lit("QUEUED")).otherwise(F.col("status")).alias("status"),
+            "round_added",
+            F.when(stale, F.lit(-1)).otherwise(F.col("round_fetched")).alias(
+                "round_fetched"
+            ),
+            "error",
+        )
+    else:
+        if cfg.seen_backend != "cuckoo":
+            raise ValueError(
+                "mode='prune' needs the deletable cuckoo seen backend "
+                f"(cfg.seen_backend={cfg.seen_backend!r}): a bloom "
+                "filter cannot expire keys"
+            )
+        frontier_next = frontier.join(stale_keys, "url_hash", "left_anti")
+        cur_m = int(io.table_props("bloom", r).get("m_bits", cfg.seen_size0))
+        seen_next, segs_next = cfg.seen_module().expire(
+            io.read("url_seen", r),
+            io.read("bloom", r),
+            frontier.filter(stale).select("url_hash"),
+            cfg.n_bloom_segments,
+            cur_m,
+        )
+        io.stage("url_seen", seen_next, r + 1, mode="append", base=True)
+        io.stage(
+            "bloom", segs_next, r + 1, mode="append", base=True,
+            props={"m_bits": cur_m},
+        )
+        rewritten += ["url_seen", "bloom"]
+
+    io.stage("frontier", frontier_next, r + 1, n_files=cfg.n_partitions)
+    io.commit_round(r + 1)
+    for t in rewritten:  # reclaim superseded snapshots (post-commit)
+        io.prune_compacted(t)
+    stale_keys.unpersist()
+    return r + 1
+
+
 def crawl_order(io: TableIO, round_no: int | None = None) -> list[str]:
     """The deterministic crawl-order record: fetched urls sorted by
     (round_fetched, score desc, canon_url) — the parity surface vs the
