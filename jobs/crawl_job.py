@@ -36,6 +36,11 @@ def main(argv: list[str]) -> int:
         "subset parser (functions/robots.py)",
     )
     ap.add_argument("--user-agent", default="*")
+    ap.add_argument(
+        "--sitemap-table",
+        help="table with a sitemap_xml column — parsed into distributed "
+        "priority-scored seeds (functions/sitemap.py) on first run",
+    )
     ap.add_argument("--seeds", nargs="*")
     ap.add_argument("--synth-pages", type=int, default=2000)
     ap.add_argument("--rounds", type=int, default=10)
@@ -102,7 +107,15 @@ def main(argv: list[str]) -> int:
         io.destroy()
     else:
         io.gc_orphans()
-    last = FR.crawl(spark, io, cfg, pages, robots, max_rounds=args.rounds)
+    seeds_df = None
+    if args.sitemap_table:
+        from searchengine_spark.functions.sitemap import sitemap_seeds
+
+        seeds_df = sitemap_seeds(spark.read.parquet(args.sitemap_table))
+    last = FR.crawl(
+        spark, io, cfg, pages, robots, max_rounds=args.rounds,
+        seeds_df=seeds_df,
+    )
     for r in io.read("metrics").orderBy("round").collect():
         print(
             f"round {r['round']}: batch={r['batch_size']} ok={r['fetched_ok']} "

@@ -72,20 +72,42 @@ def _seen_projection(df: DataFrame, round_no: int) -> DataFrame:
 
 
 def init_crawl(
-    spark: SparkSession, io: TableIO, cfg: CrawlConfig, robots_df: DataFrame
+    spark: SparkSession,
+    io: TableIO,
+    cfg: CrawlConfig,
+    robots_df: DataFrame,
+    seeds_df: DataFrame | None = None,
 ) -> None:
     """Round 0: admit canonical seeds to frontier + url_seen, stage the
-    robots cache, build the initial bloom segments, commit."""
+    robots cache, build the initial bloom segments, commit.
+
+    `seeds_df` (optional) adds DISTRIBUTED seeds — (canon_url[, score])
+    rows, e.g. functions.sitemap.sitemap_seeds output — alongside the
+    config seed list (which stays driver-side: a config seed list is
+    config-scale, a sitemap corpus is not). Rows without a score take
+    the depth-0 prior; duplicate urls keep the highest score."""
     canon_seeds = sorted({c for c in (canonicalize(s) for s in cfg.seeds) if c})
-    seeds_df = spark.createDataFrame(
-        [(u,) for u in canon_seeds], "canon_url string"
+    base = spark.createDataFrame(
+        [(u, frontier_score(0)) for u in canon_seeds],
+        "canon_url string, score double",
     )
-    keyed = gates.with_trap_cols(seeds_df).withColumn(
+    if seeds_df is not None:
+        extra = seeds_df.select(
+            "canon_url",
+            (
+                F.col("score")
+                if "score" in seeds_df.columns
+                else F.lit(frontier_score(0))
+            ).cast("double").alias("score"),
+        ).filter(F.col("canon_url").isNotNull())
+        base = base.unionByName(extra)
+    seeds_scored = base.groupBy("canon_url").agg(F.max("score").alias("score"))
+    keyed = gates.with_trap_cols(seeds_scored).withColumn(
         "url_hash", F.xxhash64("canon_url")
     )
     frontier0 = keyed.select(
         "canon_url", "url_hash", "host",
-        F.lit(frontier_score(0)).alias("score"),
+        "score",
         F.lit("QUEUED").alias("status"),
         F.lit(0).alias("round_added"),
         F.lit(-1).alias("round_fetched"),
@@ -603,12 +625,15 @@ def crawl(
     pages: DataFrame,
     robots_df: DataFrame | None = None,
     max_rounds: int = 50,
+    seeds_df: DataFrame | None = None,
 ) -> int:
     """Run (or RESUME — ST4) the crawl until the frontier drains or
-    max_rounds is hit; returns the last executed round number."""
+    max_rounds is hit; returns the last executed round number.
+    `seeds_df` (first run only): distributed extra seeds, see
+    init_crawl."""
     if io.latest_round() is None:
         assert robots_df is not None, "first run needs the robots table"
-        init_crawl(spark, io, cfg, robots_df)
+        init_crawl(spark, io, cfg, robots_df, seeds_df=seeds_df)
     pages_kv = (
         pages
         if "canon_url" in pages.columns

@@ -41,6 +41,22 @@ def _lines(text: str):
             yield field, value.strip()
 
 
+def sitemap_urls(text: str | None) -> list[str]:
+    """The robots.txt `Sitemap:` lines (RFC 9309 §2.2.4 treats them as
+    group-independent): ordered, de-duplicated absolute sitemap URLs —
+    the discovery hook for pycore.sitemap.parse_sitemap."""
+    if not text:
+        return []
+    seen: set[str] = set()
+    out: list[str] = []
+    for field, value in _lines(text):
+        if field == "sitemap" and value and not (
+            value in seen or seen.add(value)
+        ):
+            out.append(value)
+    return out
+
+
 def parse_robots(
     text: str | None, agent: str = "*"
 ) -> tuple[list[str], float | None]:
