@@ -4,7 +4,7 @@
 built end-to-end from sf0.001 documents (SURVEY.md §7 Phase 1 slice).
 
 ``queries()`` / ``oracle_sql()`` — one named query per implemented
-operator of SURVEY.md §2 + §2.11 (43 queries as of round 3), EVERY one
+operator of SURVEY.md §2 + §2.11 (44 queries as of round 3), EVERY one
 with a DuckDB-equivalent ANSI-SQL oracle — the rows-only set is empty.
 Float columns are rounded to 9 decimals on BOTH sides so the driver's
 value-hash compares bit-stable doubles (all underlying arithmetic is
@@ -344,6 +344,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id").alias("doc_id"), F.round("rank", 9).alias("rank")
         )
 
+    def q_link_rank_weighted(spark, sf):
+        # Weighted PageRank over the same synthetic graph: edge j of
+        # doc d carries multiplicity w = (d+j)%3 + 1 (deg = Σw, shares
+        # r·w/deg) — puts linkrank's weight_col path (the crawler's
+        # pre-aggregated host_graph form) under the oracle gate.
+        from searchengine_spark.operators import linkrank as LR
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        pairs = F.array(
+            *[
+                F.struct(
+                    ((F.col("doc_id") * a + b) % n).alias("dst"),
+                    ((F.col("doc_id") + j) % 3 + 1).cast("double").alias("w"),
+                )
+                for j, (a, b) in enumerate([(2, 1), (3, 7), (5, 11)])
+            ]
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(pairs).alias("e")
+        ).select("src", F.col("e.dst").alias("dst"), F.col("e.w").alias("w"))
+        ranks = LR.pagerank(
+            edges,
+            docs.select(F.col("doc_id").alias("id")),
+            n_iters=5,
+            weight_col="w",
+        )
+        return ranks.select(
+            F.col("id").alias("doc_id"), F.round("rank", 9).alias("rank")
+        )
+
     def q_dup_clusters(spark, sf):
         # connected-components duplicate clustering over the exact
         # near-dup pair set; cluster_id = keeper (min doc_id)
@@ -518,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_ingest": q_json_ingest,
         "dup_clusters": q_dup_clusters,
         "link_rank": q_link_rank,
+        "link_rank_weighted": q_link_rank_weighted,
         "ivf_topk": q_ivf_topk,
         "bpe_count": q_bpe_count,
         "sessions": q_sessions,
@@ -712,22 +744,33 @@ SELECT doc_id, shard, n_tokens, tok_offset,
 FROM o"""
 
 
-def _pagerank_sql(n_iters: int = 5, damping: float = 0.85) -> str:
+def _pagerank_sql(
+    n_iters: int = 5, damping: float = 0.85, weighted: bool = False
+) -> str:
     """Unrolled fixed-iteration PageRank over the same deterministic
     synthetic doc link graph as q_link_rank — one CTE per iteration,
     identical arithmetic (teleport + damped in-link shares; the graph
-    has out-degree 3 everywhere, so no dangling term)."""
+    has out-degree 3 everywhere, so no dangling term). weighted=True
+    is the q_link_rank_weighted variant: edge j of doc d carries
+    w = (d+j)%3 + 1, deg = Σw, shares r·w/deg."""
     teleport = f"{1.0 - damping}/(SELECT c FROM nn)"
+    edge_selects = []
+    for j, (a, b) in enumerate([(2, 1), (3, 7), (5, 11)]):
+        w = f", CAST((doc_id+{j}) % 3 + 1 AS DOUBLE) AS w" if weighted else ""
+        edge_selects.append(
+            f"  SELECT doc_id AS src, (doc_id*{a}+{b}) % (SELECT c FROM nn)"
+            f" AS dst{w} FROM documents"
+        )
+    deg = (
+        "deg AS (SELECT src, sum(w) AS d FROM e GROUP BY src)"
+        if weighted
+        else "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src)"
+    )
+    share = "r{k}.r*e.w/deg.d" if weighted else "r{k}.r/deg.d"
     ctes = [
         "nn AS (SELECT count(*) AS c FROM documents)",
-        """e AS (
-  SELECT doc_id AS src, (doc_id*2+1) % (SELECT c FROM nn) AS dst FROM documents
-  UNION ALL
-  SELECT doc_id, (doc_id*3+7) % (SELECT c FROM nn) FROM documents
-  UNION ALL
-  SELECT doc_id, (doc_id*5+11) % (SELECT c FROM nn) FROM documents
-)""",
-        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY src)",
+        "e AS (\n" + "\n  UNION ALL\n".join(edge_selects) + "\n)",
+        deg,
         "r0 AS (SELECT doc_id AS id, 1.0/(SELECT c FROM nn) AS r FROM documents)",
     ]
     for k in range(1, n_iters + 1):
@@ -736,7 +779,7 @@ def _pagerank_sql(n_iters: int = 5, damping: float = 0.85) -> str:
   SELECT docs.doc_id AS id,
          {teleport} + {damping}*COALESCE(s.v, 0) AS r
   FROM documents docs LEFT JOIN (
-    SELECT e.dst AS id, sum(r{k-1}.r/deg.d) AS v
+    SELECT e.dst AS id, sum({share.format(k=k - 1)}) AS v
     FROM e JOIN r{k-1} ON r{k-1}.id = e.src JOIN deg ON deg.src = e.src
     GROUP BY e.dst
   ) s ON s.id = docs.doc_id
@@ -1115,6 +1158,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_probe": _DUCK_ANN_LSH_PROBE,
         "dup_clusters": _DUCK_DUP_CLUSTERS,
         "link_rank": _pagerank_sql(),
+        "link_rank_weighted": _pagerank_sql(weighted=True),
         "ivf_topk": _DUCK_IVF,
         "bpe_count": (
             "SELECT doc_id, "
