@@ -4,7 +4,7 @@
 built end-to-end from sf0.001 documents (SURVEY.md §7 Phase 1 slice).
 
 ``queries()`` / ``oracle_sql()`` — one named query per implemented
-operator of SURVEY.md §2 + §2.11 (44 queries as of round 3), EVERY one
+operator of SURVEY.md §2 + §2.11 (45 queries as of round 3), EVERY one
 with a DuckDB-equivalent ANSI-SQL oracle — the rows-only set is empty.
 Float columns are rounded to 9 decimals on BOTH sides so the driver's
 value-hash compares bit-stable doubles (all underlying arithmetic is
@@ -166,6 +166,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_postings(spark, sf):
         return _r(_postings(spark, sf), "tf", "idf", "tf_idf")
+
+    def q_index_update(spark, sf):
+        # Incremental index maintenance (tfidf.update_tf +
+        # postings_from_tf): start from a STALE tf table in which every
+        # doc_id ≡ 0 (mod 10) was indexed with only the first half of
+        # its text, apply the full-text versions as the changed delta,
+        # and refresh. The oracle is the PLAIN batch postings SQL over
+        # the unmodified corpus — equality proves the delta path erases
+        # every trace of the old versions and converges to a rebuild.
+        docs = _docs(spark, sf)
+        changed = docs.filter(F.col("doc_id") % 10 == 0)
+        old = docs.withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.expr(
+                    "substring(text, 1, CAST(ceil(length(text)/2) AS INT))"
+                ),
+            ).otherwise(F.col("text")),
+        )
+        tf_prev = TF.term_frequencies(TF.doc_tokens(old))
+        tf_next = TF.update_tf(tf_prev, changed)
+        return _r(TF.postings_from_tf(tf_next), "tf", "idf", "tf_idf")
 
     def q_and(spark, sf):
         return _r(Q.and_query(_postings(spark, sf), _AND_TERMS), "tf_idf")
@@ -521,6 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_freq": q_doc_freq,
         "idf": q_idf,
         "postings": q_postings,
+        "index_update": q_index_update,
         "and_query": q_and,
         "dnf_query": q_dnf,
         "topk": q_topk,
@@ -1124,6 +1148,12 @@ def oracle_sql() -> dict[str, str]:
         "doc_freq": f"WITH {_DUCK_TOKENS} SELECT token, df FROM dfreq",
         "idf": f"WITH {_DUCK_TOKENS} SELECT token, round(idf, 9) AS idf FROM idf",
         "postings": (
+            f"WITH {_DUCK_TOKENS} SELECT doc_id, token, round(tf,9) AS tf, "
+            "round(idf,9) AS idf, round(tf_idf,9) AS tf_idf FROM postings"
+        ),
+        # incremental update must converge to the batch rebuild — the
+        # oracle IS the plain postings query over the unmodified corpus
+        "index_update": (
             f"WITH {_DUCK_TOKENS} SELECT doc_id, token, round(tf,9) AS tf, "
             "round(idf,9) AS idf, round(tf_idf,9) AS tf_idf FROM postings"
         ),

@@ -112,6 +112,53 @@ def build_postings(
     )
 
 
+def postings_from_tf(tf: DataFrame, broadcast_idf: bool = False) -> DataFrame:
+    """Index refresh from a MAINTAINED tf table: df/idf re-derive in one
+    aggregate pass over (doc_id, token, tf) — the tokenize stage (the
+    expensive one at corpus scale) is never re-run for unchanged docs.
+    n_docs = distinct doc ids in tf, ≡ A3's n_terms>0 count since empty
+    docs never enter tf."""
+    n_docs = tf.select("doc_id").distinct().count()
+    idf = idf_table(doc_frequencies(tf), n_docs)
+    if broadcast_idf:
+        idf = F.broadcast(idf)
+    return tf.join(idf, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "idf",
+        (F.col("tf") * F.col("idf")).alias("tf_idf"),
+    )
+
+
+def update_tf(
+    tf_prev: DataFrame,
+    changed_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lemma_map: dict[str, str] | None = None,
+    stem: bool = False,
+) -> DataFrame:
+    """Incremental A1 maintenance — the index-side consumer of a
+    freshness recrawl (frontier.recrawl_frontier): replace the changed
+    docs' (doc_id, token, tf) rows with freshly tokenized ones.
+
+    `changed_docs` carries the NEW text; a row whose text is null/empty
+    (or tokenizes to nothing) DELETES the doc from the index — the
+    P1/P3 drop rules double as the deletion path. Cost: O(changed)
+    tokenize + one anti-join on doc_id, never a corpus re-tokenize;
+    pair with postings_from_tf for the downstream refresh (df/idf are
+    corpus-global, so they always re-aggregate — from the tf table, not
+    from text). Equal by construction to a batch rebuild over the
+    merged corpus; the driver's index_update query proves that against
+    the batch-rebuild oracle."""
+    delta = term_frequencies(
+        doc_tokens(changed_docs, id_col, text_col, lemma_map, stem)
+    )
+    keys = changed_docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return tf_prev.join(keys, "doc_id", "left_anti").unionByName(delta)
+
+
 def index_analytics(postings: DataFrame) -> DataFrame:
     """A7 — doc count + unique tokens (index_construction.py:247-250)."""
     return postings.agg(

@@ -21,7 +21,9 @@ from searchengine_spark.operators.tfidf import (
     doc_frequencies,
     doc_tokens,
     index_analytics,
+    postings_from_tf,
     term_frequencies,
+    update_tf,
 )
 
 DOCS = [
@@ -119,3 +121,36 @@ def test_reference_mini_index(spark):
     assert got == {2, 6}
     # MAX_LINKS_SHOWN=5 cap
     assert search(p, "hello", 5).count() == 5
+
+
+def _posting_rows(df):
+    return {
+        (r["doc_id"], r["token"]): (
+            round(r["tf"], 12), round(r["idf"], 12), round(r["tf_idf"], 12)
+        )
+        for r in df.collect()
+    }
+
+
+def test_update_tf_converges_to_rebuild(spark):
+    """Incremental maintenance ≡ batch rebuild: index stale versions,
+    apply new text as the delta, compare postings to a from-scratch
+    build of the final corpus. Covers modify + add + delete."""
+    old = spark.createDataFrame(
+        [(0, "the cat sat"), (1, "the dog sat"), (2, "old stale words")],
+        ["doc_id", "text"],
+    )
+    # doc 0 changes, doc 2 is deleted (empty text), doc 3 is new
+    changed = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (2, ""), (3, "cat dog cat")],
+        ["doc_id", "text"],
+    )
+    final = spark.createDataFrame(
+        [(0, "the cat sat on the mat"), (1, "the dog sat"), (3, "cat dog cat")],
+        ["doc_id", "text"],
+    )
+    tf_next = update_tf(term_frequencies(doc_tokens(old)), changed)
+    got = _posting_rows(postings_from_tf(tf_next))
+    want = _posting_rows(build_postings(final))
+    assert got == want
+    assert not any(d == 2 for d, _ in got)  # deletion really deletes
