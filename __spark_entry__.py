@@ -4,7 +4,7 @@
 built end-to-end from sf0.001 documents (SURVEY.md §7 Phase 1 slice).
 
 ``queries()`` / ``oracle_sql()`` — one named query per implemented
-operator of SURVEY.md §2 + §2.11 (45 queries as of round 3), EVERY one
+operator of SURVEY.md §2 + §2.11 (46 queries as of round 3), EVERY one
 with a DuckDB-equivalent ANSI-SQL oracle — the rows-only set is empty.
 Float columns are rounded to 9 decimals on BOTH sides so the driver's
 value-hash compares bit-stable doubles (all underlying arithmetic is
@@ -398,6 +398,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id").alias("doc_id"), F.round("rank", 9).alias("rank")
         )
 
+    def q_hits_rank(spark, sf):
+        # HITS hubs & authorities (linkrank.hits) over the same
+        # deterministic synthetic graph as link_rank; single final L1
+        # normalization (per-iteration norms cancel — see operator
+        # docstring), oracle unrolls the identical chain.
+        from searchengine_spark.operators import linkrank as LR
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        hr = LR.hits(edges, docs.select(F.col("doc_id").alias("id")), n_iters=5)
+        return hr.select(
+            F.col("id").alias("doc_id"),
+            F.round("authority", 9).alias("authority"),
+            F.round("hub", 9).alias("hub"),
+        )
+
     def q_dup_clusters(spark, sf):
         # connected-components duplicate clustering over the exact
         # near-dup pair set; cluster_id = keeper (min doc_id)
@@ -574,6 +598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters": q_dup_clusters,
         "link_rank": q_link_rank,
         "link_rank_weighted": q_link_rank_weighted,
+        "hits_rank": q_hits_rank,
         "ivf_topk": q_ivf_topk,
         "bpe_count": q_bpe_count,
         "sessions": q_sessions,
@@ -811,6 +836,55 @@ def _pagerank_sql(
         )
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT id AS doc_id, round(r, 9) AS rank FROM r{n_iters}"
+    )
+
+
+def _hits_sql(n_iters: int = 5) -> str:
+    """Unrolled fixed-iteration HITS over the q_hits_rank graph: one
+    authority CTE + one hub CTE per iteration (a_k(v)=Σ_{u→v}h_{k-1}(u),
+    h_k(u)=Σ_{u→v}a_k(v), no in-loop normalization), single final L1
+    scaling done as ×(1/sum) to match the engine's arithmetic exactly."""
+    ctes = [
+        "nn AS (SELECT count(*) AS c FROM documents)",
+        """e AS (
+  SELECT doc_id AS src, (doc_id*2+1) % (SELECT c FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*3+7) % (SELECT c FROM nn) FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*5+11) % (SELECT c FROM nn) FROM documents
+)""",
+        # CAST: DuckDB reads bare 1.0 as DECIMAL, which would thread
+        # decimal arithmetic through the chain and break value parity
+        "h0 AS (SELECT doc_id AS id, CAST(1.0 AS DOUBLE) AS h FROM documents)",
+    ]
+    for k in range(1, n_iters + 1):
+        ctes.append(
+            f"""a{k} AS (
+  SELECT docs.doc_id AS id, COALESCE(s.v, CAST(0 AS DOUBLE)) AS a
+  FROM documents docs LEFT JOIN (
+    SELECT e.dst AS id, sum(h{k-1}.h) AS v FROM e
+    JOIN h{k-1} ON h{k-1}.id = e.src GROUP BY e.dst
+  ) s ON s.id = docs.doc_id
+)"""
+        )
+        ctes.append(
+            f"""h{k} AS (
+  SELECT docs.doc_id AS id, COALESCE(s.v, CAST(0 AS DOUBLE)) AS h
+  FROM documents docs LEFT JOIN (
+    SELECT e.src AS id, sum(a{k}.a) AS v FROM e
+    JOIN a{k} ON a{k}.id = e.dst GROUP BY e.src
+  ) s ON s.id = docs.doc_id
+)"""
+        )
+    k = n_iters
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a{k}.id AS doc_id,
+       round(a{k}.a * (CAST(1.0 AS DOUBLE)/(SELECT sum(a) FROM a{k})), 9) AS authority,
+       round(h{k}.h * (CAST(1.0 AS DOUBLE)/(SELECT sum(h) FROM h{k})), 9) AS hub
+FROM a{k} JOIN h{k} ON a{k}.id = h{k}.id"""
     )
 
 
@@ -1189,6 +1263,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_clusters": _DUCK_DUP_CLUSTERS,
         "link_rank": _pagerank_sql(),
         "link_rank_weighted": _pagerank_sql(weighted=True),
+        "hits_rank": _hits_sql(),
         "ivf_topk": _DUCK_IVF,
         "bpe_count": (
             "SELECT doc_id, "

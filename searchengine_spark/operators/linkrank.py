@@ -116,6 +116,90 @@ def pagerank(
     return out
 
 
+def hits(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    n_iters: int = 5,
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg, public algorithm):
+    edges(src, dst) [+ vertices(id)] → (id, authority, hub).
+
+    Iteration: a'(v) = Σ_{u→v} h(u), then h'(u) = Σ_{u→v} a'(v); init
+    h = 1. Normalization is applied ONCE at the end (L1: ÷ the sum):
+    L1 scaling is linear through both update steps, so per-iteration
+    normalizing cancels exactly — skipping it saves 2 driver actions
+    per iteration and keeps the unrolled SQL oracle norm-free (values
+    stay well inside double range for fixed small n_iters). Duplicate
+    edges weigh multiply, matching the multi-edge link-graph semantics.
+
+    Plan shape mirrors pagerank: two equi-joins + two partial aggs per
+    iteration, generation-safe persist handoff, one cache-materializing
+    count per half-iteration — driver traffic is O(iters) scalars.
+    Vertices with no in-links (out-links) hold authority (hub) 0."""
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    vertices = vertices.select("id").persist()
+    n = vertices.count()
+    if n == 0:
+        return vertices.select(
+            "id", F.lit(0.0).alias("authority"), F.lit(0.0).alias("hub")
+        )
+    e = edges.select("src", "dst").persist()
+
+    hub = vertices.select("id", F.lit(1.0).alias("h")).persist()
+    auth = None
+    for _ in range(n_iters):
+        a_next = (
+            vertices.join(
+                e.join(hub.withColumnRenamed("id", "src"), "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("h").alias("a")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce(F.col("a"), F.lit(0.0)).alias("a"))
+            .persist()
+        )
+        a_next.count()  # materialize BEFORE dropping the parent auth
+        if auth is not None:
+            auth.unpersist()
+        auth = a_next
+        h_next = (
+            vertices.join(
+                e.join(auth.withColumnRenamed("id", "dst"), "dst")
+                .groupBy(F.col("src").alias("id"))
+                .agg(F.sum("a").alias("h")),
+                "id",
+                "left",
+            )
+            .select("id", F.coalesce(F.col("h"), F.lit(0.0)).alias("h"))
+            .persist()
+        )
+        h_next.count()
+        hub.unpersist()
+        hub = h_next
+
+    sums = auth.agg(F.sum("a").alias("sa")).crossJoin(
+        hub.agg(F.sum("h").alias("sh"))
+    ).collect()[0]
+    # an all-zero side (e.g. empty edge set over explicit vertices)
+    # stays all-zero instead of dividing by zero
+    inv_a = 1.0 / sums["sa"] if sums["sa"] else 0.0
+    inv_h = 1.0 / sums["sh"] if sums["sh"] else 0.0
+    out = auth.join(hub, "id").select(
+        "id",
+        (F.col("a") * F.lit(inv_a)).alias("authority"),
+        (F.col("h") * F.lit(inv_h)).alias("hub"),
+    )
+    e.unpersist()
+    vertices.unpersist()
+    return out
+
+
 def host_rank(
     edges: DataFrame,
     n_iters: int = 5,

@@ -78,6 +78,40 @@ def test_pagerank_weighted_equals_parallel_edges(spark):
         assert a[i] == pytest.approx(b[i], abs=1e-12)
 
 
+def _numpy_hits(n, edges, n_iters=5):
+    h = np.ones(n)
+    a = np.zeros(n)
+    for _ in range(n_iters):
+        a = np.zeros(n)
+        for s, t in edges:
+            a[t] += h[s]
+        h = np.zeros(n)
+        for s, t in edges:
+            h[s] += a[t]
+    a *= (1.0 / a.sum()) if a.sum() else 0.0
+    h *= (1.0 / h.sum()) if h.sum() else 0.0
+    return a, h
+
+
+def test_hits_matches_dense_reference(spark):
+    n = 7
+    edges = spark.createDataFrame(EDGES, "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "id long")
+    got = {r["id"]: r for r in LR.hits(edges, verts).collect()}
+    wa, wh = _numpy_hits(n, EDGES)
+    assert set(got) == set(range(n))
+    for i in range(n):
+        assert got[i]["authority"] == pytest.approx(wa[i], abs=1e-12)
+        assert got[i]["hub"] == pytest.approx(wh[i], abs=1e-12)
+    # isolated vertex 6: both roles zero; dangling 5: authority > 0, hub 0
+    assert got[6]["authority"] == 0.0 and got[6]["hub"] == 0.0
+    assert got[5]["authority"] > 0.0 and got[5]["hub"] == 0.0
+    # empty edge set over explicit vertices: all-zero, no div-by-zero
+    e0 = spark.createDataFrame([], "src long, dst long")
+    z = LR.hits(e0, verts).collect()
+    assert all(r["authority"] == 0.0 and r["hub"] == 0.0 for r in z)
+
+
 def test_pagerank_empty(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     assert LR.pagerank(edges).count() == 0
