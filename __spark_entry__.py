@@ -4,7 +4,7 @@
 built end-to-end from sf0.001 documents (SURVEY.md §7 Phase 1 slice).
 
 ``queries()`` / ``oracle_sql()`` — one named query per implemented
-operator of SURVEY.md §2 + §2.11 (46 queries as of round 3), EVERY one
+operator of SURVEY.md §2 + §2.11 (47 queries as of round 3), EVERY one
 with a DuckDB-equivalent ANSI-SQL oracle — the rows-only set is empty.
 Float columns are rounded to 9 decimals on BOTH sides so the driver's
 value-hash compares bit-stable doubles (all underlying arithmetic is
@@ -398,6 +398,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("id").alias("doc_id"), F.round("rank", 9).alias("rank")
         )
 
+    def q_anchor_text(spark, sf):
+        # Anchor-text index (operators/anchortext.py) over a
+        # deterministic html fixture: doc d links to (2d+1)%N anchored
+        # with chars 1-32 of its own text and to (3d+7)%N anchored with
+        # chars 33-64. The REAL pycore anchor extractor parses the
+        # fixture on the Spark side; DuckDB rebuilds the known slices
+        # (the tag_weights oracle pattern). Self-links (d = N-1 under
+        # rule 1) are excluded on both sides.
+        from searchengine_spark.operators import anchortext as AT
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        t1 = ((F.col("doc_id") * 2 + 1) % n).cast("string")
+        t2 = ((F.col("doc_id") * 3 + 7) % n).cast("string")
+        html = F.concat(
+            F.lit('<html><body><a href="https://docs.test/'), t1,
+            F.lit('">'), F.expr("substring(text, 1, 32)"), F.lit("</a>"),
+            F.lit('<a href="https://docs.test/'), t2,
+            F.lit('">'), F.expr("substring(text, 33, 32)"),
+            F.lit("</a></body></html>"),
+        )
+        pages = docs.select(
+            F.concat(
+                F.lit("https://docs.test/"), F.col("doc_id").cast("string")
+            ).alias("url"),
+            html.alias("html"),
+        )
+        return AT.anchor_postings(pages)
+
     def q_hits_rank(spark, sf):
         # HITS hubs & authorities (linkrank.hits) over the same
         # deterministic synthetic graph as link_rank; single final L1
@@ -599,6 +628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_rank": q_link_rank,
         "link_rank_weighted": q_link_rank_weighted,
         "hits_rank": q_hits_rank,
+        "anchor_text": q_anchor_text,
         "ivf_topk": q_ivf_topk,
         "bpe_count": q_bpe_count,
         "sessions": q_sessions,
@@ -675,6 +705,31 @@ stok AS (
 SELECT doc_id AS url, token, round(sum(w), 9) AS weight
 FROM stok WHERE token <> '' AND length(token) <= 10000
 GROUP BY doc_id, token"""
+
+# ---- anchor_text: DuckDB rebuilds the q_anchor_text fixture's known
+# target-id arithmetic + anchor slices and tokenizes with the shared
+# idiom; self-links (tid = doc_id) excluded to match the operator ------
+_DUCK_ANCHOR_TEXT = """
+WITH nn AS (SELECT count(*) AS c FROM documents),
+pair AS (
+  SELECT (doc_id*2+1) % (SELECT c FROM nn) AS tid, doc_id,
+         substring(text, 1, 32) AS anchor FROM documents
+  UNION ALL
+  SELECT (doc_id*3+7) % (SELECT c FROM nn), doc_id,
+         substring(text, 33, 32) FROM documents
+),
+pair2 AS (
+  SELECT 'https://docs.test/' || CAST(tid AS VARCHAR) AS target, anchor
+  FROM pair WHERE tid <> doc_id
+),
+atok AS (
+  SELECT target, trim(t, ' ''') AS token
+  FROM pair2,
+       unnest(regexp_split_to_array(lower(anchor), '[^a-z0-9'']+')) AS u(t)
+)
+SELECT target AS target_url, token, count(*) AS weight
+FROM atok WHERE token <> '' AND length(token) <= 10000
+GROUP BY target, token"""
 
 # ---- tf_lemma (F3): the token pipeline with the shipped lemma map
 # applied in tok2 — the exact CASE both engines share ------------------
@@ -1264,6 +1319,7 @@ def oracle_sql() -> dict[str, str]:
         "link_rank": _pagerank_sql(),
         "link_rank_weighted": _pagerank_sql(weighted=True),
         "hits_rank": _hits_sql(),
+        "anchor_text": _DUCK_ANCHOR_TEXT,
         "ivf_topk": _DUCK_IVF,
         "bpe_count": (
             "SELECT doc_id, "

@@ -126,6 +126,24 @@ _HREF_RE = re.compile(
 )
 
 
+def _href_target(m: re.Match, base_url: str) -> str | None:
+    """Resolve one _HREF_RE match to an absolute defragged url (None =
+    dropped: empty, non-fetchable scheme, or unjoinable)."""
+    raw = m.group(2) if m.group(2) is not None else (
+        m.group(3) if m.group(3) is not None else m.group(4)
+    )
+    raw = _htmllib.unescape(raw.strip())
+    if not raw or raw.startswith(("javascript:", "mailto:", "tel:", "data:")):
+        return None
+    try:
+        absu = urljoin(base_url, raw)
+    except ValueError:
+        return None
+    # defragment (reference imports urldefrag, link_similarity.py:7)
+    absu = absu.split("#", 1)[0]
+    return absu or None
+
+
 def extract_links(html: bytes | str | None, base_url: str) -> list[str]:
     """All <a href> targets, resolved absolute against base_url, defragmented.
 
@@ -139,18 +157,42 @@ def extract_links(html: bytes | str | None, base_url: str) -> list[str]:
     s = _decode_html(html)
     out: list[str] = []
     for m in _HREF_RE.finditer(s):
-        raw = m.group(2) if m.group(2) is not None else (
-            m.group(3) if m.group(3) is not None else m.group(4)
-        )
-        raw = _htmllib.unescape(raw.strip())
-        if not raw or raw.startswith(("javascript:", "mailto:", "tel:", "data:")):
-            continue
-        try:
-            absu = urljoin(base_url, raw)
-        except ValueError:
-            continue
-        # defragment (reference imports urldefrag, link_similarity.py:7)
-        absu = absu.split("#", 1)[0]
+        absu = _href_target(m, base_url)
         if absu:
             out.append(absu)
+    return out
+
+
+_ANCHOR_CLOSE_RE = re.compile(r"</a\s*>", re.IGNORECASE)
+_INNER_TAG_RE = re.compile(r"<[^>]*>")
+
+
+def extract_anchors(
+    html: bytes | str | None, base_url: str
+) -> list[tuple[str, str]]:
+    """(target url, anchor text) pairs for every <a href> — the classic
+    target-description signal an anchor-text index aggregates (rebuild-
+    only: the reference scraper keeps hrefs and drops the text).
+
+    Target resolution is IDENTICAL to extract_links (same regex, same
+    drop rules). Anchor text = the inner text from the opening tag's
+    '>' to the first matching '</a>': nested tags stripped, entities
+    unescaped, whitespace collapsed, lowercased; an unclosed tag yields
+    ''. Order preserved, duplicates kept (an aggregation weighs them)."""
+    if html is None:
+        return []
+    s = _decode_html(html)
+    out: list[tuple[str, str]] = []
+    for m in _HREF_RE.finditer(s):
+        absu = _href_target(m, base_url)
+        if not absu:
+            continue
+        text = ""
+        gt = s.find(">", m.end())
+        if gt != -1:
+            cm = _ANCHOR_CLOSE_RE.search(s, gt + 1)
+            if cm:
+                inner = _INNER_TAG_RE.sub(" ", s[gt + 1 : cm.start()])
+                text = " ".join(_htmllib.unescape(inner).split()).lower()
+        out.append((absu, text))
     return out
