@@ -35,7 +35,9 @@ from searchengine_spark.functions.text import (
 from searchengine_spark.operators import dedup as DD
 from searchengine_spark.operators import docmap as DM
 from searchengine_spark.operators import multimodal as MM
+from searchengine_spark.operators import positional as PX
 from searchengine_spark.operators import query as Q
+from searchengine_spark.operators import ranking as RK
 from searchengine_spark.operators import sampling as SP
 from searchengine_spark.operators import simsearch as SS
 from searchengine_spark.operators import tagweights as TW
@@ -119,6 +121,9 @@ postings AS (
 
 _AND_TERMS = ["spark", "window", "dup"]
 _DNF = [["spark", "dup"], ["fast", "the"]]
+_BM25_TERMS = ["spark", "window", "dup"]
+_PHRASE = ["table", "value"]
+_SPELL_TERM = "quary"
 
 # corpus-mixture weights for the sampling contract queries: literal in
 # BOTH engines (the integer thresholds floor(w·2^60) are derived once in
@@ -591,6 +596,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # offsets → training-sequence index spans (one window/shard)
         return TD.pack_sequences(_docs(spark, sf), seq_len=512)
 
+    def q_bm25(spark, sf):
+        # Okapi BM25 top-10 (any-term): weight table shares the index's
+        # two shuffles; per-term contributions pivot into fixed columns
+        # so the float sum order is deterministic in both engines
+        w = RK.bm25_table(_docs(spark, sf))
+        return _r(RK.bm25_search(w, _BM25_TERMS, k=10), "score")
+
+    def q_phrase(spark, sf):
+        # positional index + adjusted-offset phrase match: k pruned
+        # scans + ONE groupBy(doc_id, start) — no k-way self-join
+        pp = PX.positional_postings(_docs(spark, sf))
+        return PX.phrase_match(pp, _PHRASE)
+
+    def q_colloc(spark, sf):
+        # adjacent-bigram PMI over exact integer counts (Church & Hanks
+        # estimator); ln arithmetic bit-matches the oracle
+        return _r(PX.collocations(_docs(spark, sf), min_count=5), "pmi")
+
+    def q_spell(spark, sf):
+        # dictionary spell suggest: levenshtein ≤ 2 over the (token, df)
+        # vocabulary, ranked (dist ASC, df DESC, token ASC) top 5
+        vocab = TF.doc_frequencies(
+            TF.term_frequencies(TF.doc_tokens(_docs(spark, sf)))
+        )
+        return PX.suggest(vocab, _SPELL_TERM, max_dist=2, k=5)
+
     return {
         "tumbling_counts": q_tumbling,
         "tf": q_tf,
@@ -639,6 +670,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": q_span_dedup,
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
+        "bm25": q_bm25,
+        "phrase_query": q_phrase,
+        "colloc_pmi": q_colloc,
+        "spell_suggest": q_spell,
     }
 
 
@@ -650,6 +685,112 @@ _DUCK_TL = (
     "'[^a-z0-9'']+'), t -> trim(t, ' ''')), "
     "t -> t <> '' AND length(t) <= 10000)"
 )
+
+# positional postings (doc_id, pos, token), pos 0-based in the filtered
+# token sequence — mirrors operators/positional.positional_postings
+# (Spark posexplode; DuckDB indexed lambda is 1-based, hence i - 1)
+_DUCK_POSIT = f"""
+tokarr AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+posit AS (
+  SELECT doc_id,
+         unnest(list_transform(tl, (t, i) -> struct_pack(pos := i - 1,
+                                                         token := t)),
+                recursive := true)
+  FROM tokarr WHERE len(tl) > 0
+)"""
+
+
+def _duck_bm25(terms: list[str], k: int) -> str:
+    """BM25 oracle — identical expression tree to operators/ranking
+    (double literals as e-notation so DuckDB parses DOUBLE, not
+    DECIMAL; fixed-order CASE pivot so the float sum is deterministic).
+    """
+    case = " + ".join(
+        f"coalesce(max(CASE WHEN token = '{t}' THEN w END), 0.0e0)"
+        for t in dict.fromkeys(t.lower() for t in terms)
+    )
+    inlist = ", ".join(
+        f"'{t}'" for t in dict.fromkeys(t.lower() for t in terms)
+    )
+    return f"""
+WITH {_DUCK_TOKENS},
+lens AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+stat AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM lens),
+fq AS (SELECT doc_id, token, count(*) AS f FROM tok2 GROUP BY doc_id, token),
+idfq AS (
+  SELECT token,
+         ln(1.0e0 + (CAST((SELECT n FROM stat) AS DOUBLE) - df + 0.5e0)
+                    / (df + 0.5e0)) AS idf
+  FROM dfreq
+),
+wts AS (
+  SELECT fq.doc_id, fq.token,
+         idfq.idf * (CAST(f AS DOUBLE) * 2.2e0)
+           / (CAST(f AS DOUBLE)
+              + 1.2e0 * (1.0e0 - 0.75e0
+                         + (0.75e0 * CAST(lens.dl AS DOUBLE))
+                           / (CAST((SELECT sumdl FROM stat) AS DOUBLE)
+                              / CAST((SELECT n FROM stat) AS DOUBLE)))) AS w
+  FROM fq JOIN idfq USING (token) JOIN lens USING (doc_id)
+),
+scored AS (
+  SELECT doc_id, {case} AS sc
+  FROM wts WHERE token IN ({inlist}) GROUP BY doc_id
+)
+SELECT doc_id, round(sc, 9) AS score FROM scored
+ORDER BY sc DESC, doc_id ASC LIMIT {k}"""
+
+
+def _duck_phrase(phrase: list[str]) -> str:
+    """Adjusted-offset phrase oracle over the positional CTE."""
+    parts = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, pos - {i} AS start, {i} AS slot "
+        f"FROM posit WHERE token = '{t.lower()}'"
+        for i, t in enumerate(phrase)
+    )
+    return f"""
+WITH {_DUCK_POSIT},
+cand AS (
+{parts}
+),
+starts AS (
+  SELECT doc_id, start FROM cand WHERE start >= 0
+  GROUP BY doc_id, start HAVING count(DISTINCT slot) = {len(phrase)}
+)
+SELECT doc_id, count(*) AS n_occ FROM starts GROUP BY doc_id"""
+
+
+_DUCK_COLLOC = f"""
+WITH {_DUCK_POSIT},
+big AS (
+  SELECT unnest(list_transform(tl[1:len(tl)-1],
+                               (x, i) -> struct_pack(a := x, b := tl[i+1])),
+                recursive := true)
+  FROM tokarr WHERE len(tl) > 1
+),
+cab AS (SELECT a, b, count(*) AS n_ab FROM big GROUP BY a, b),
+uni AS (SELECT token, count(*) AS n_x FROM posit GROUP BY token),
+tot AS (SELECT (SELECT count(*) FROM posit) AS t,
+               (SELECT count(*) FROM big) AS bcnt)
+SELECT cab.a, cab.b, n_ab,
+       round(ln((CAST(n_ab AS DOUBLE) * CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+                / (CAST(bcnt AS DOUBLE) * CAST(ua.n_x AS DOUBLE)
+                   * CAST(ub.n_x AS DOUBLE))), 9) AS pmi
+FROM cab JOIN uni ua ON cab.a = ua.token JOIN uni ub ON cab.b = ub.token, tot
+WHERE n_ab >= 5"""
+
+
+def _duck_spell(term: str, max_dist: int, k: int) -> str:
+    t = term.lower()
+    return f"""
+WITH {_DUCK_TOKENS},
+cand AS (
+  SELECT token, df, CAST(levenshtein(token, '{t}') AS BIGINT) AS dist
+  FROM dfreq WHERE abs(length(token) - {len(t)}) <= {max_dist}
+    AND token <> '{t}'
+)
+SELECT token, df, dist FROM cand WHERE dist <= {max_dist}
+ORDER BY dist ASC, df DESC, token ASC LIMIT {k}"""
 
 # distinct word-3-gram strings (stride 3, ragged tail kept) — the string
 # form of the fingerprint (hash-free: Jaccard over gram strings equals
@@ -1377,6 +1518,10 @@ FROM g""",
         "span_dedup": _DUCK_SPAN_DEDUP,
         "pii_scrub": _DUCK_PII_SCRUB,
         "pack_sequences": _DUCK_PACK_SEQUENCES,
+        "bm25": _duck_bm25(_BM25_TERMS, k=10),
+        "phrase_query": _duck_phrase(_PHRASE),
+        "colloc_pmi": _DUCK_COLLOC,
+        "spell_suggest": _duck_spell(_SPELL_TERM, max_dist=2, k=5),
         "sessions": """
 WITH o AS (
   SELECT user_id, ts, value,

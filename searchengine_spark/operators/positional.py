@@ -1,0 +1,149 @@
+"""Positional index: phrase queries and bigram collocation mining.
+
+The reference's index is position-free (index_construction.py postings
+carry only tf·idf), so its boolean retrieval cannot answer phrase
+queries. This module adds the classic positional-postings layer on the
+same normative tokenizer (F2):
+
+  positional_postings : (doc_id, pos, token), pos = 0-based offset in
+                        the FILTERED token sequence
+  phrase_match        : exact-adjacency phrase occurrences
+  collocations        : PMI-ranked adjacent bigrams (public pointwise
+                        mutual information estimator)
+
+Scale notes (100 TB):
+* positional postings are ~1 row/token — the same cardinality the
+  tf explode already pays; sink token-sorted like S4 and phrase scans
+  prune by token IN (...) pushdown.
+* phrase_match is the textbook adjusted-offset trick: an occurrence of
+  phrase term i at position p proposes a phrase START at p - i; a start
+  where all |phrase| distinct i's agree is a match. That is k pruned
+  scans unioned + ONE groupBy(doc_id, start) — no k-way self-join, no
+  window over the whole index, cost O(Σ postings of the query terms).
+* collocations build bigrams from the token array via slice+zip
+  (no shuffle until the count), then two integer-exact aggregates;
+  PMI = ln((c_ab·T·T)/(B·c_a·c_b)) is derived from exact longs in a
+  fixed expression tree, so the DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.tfidf import doc_tokens
+
+
+def positional_postings(
+    documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, pos, token) — posexplode of the normative token array."""
+    toks = doc_tokens(documents, id_col, text_col).filter(F.col("n_terms") > 0)
+    return toks.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "token")
+    )
+
+
+def phrase_match(postings: DataFrame, phrase: list[str]) -> DataFrame:
+    """(doc_id, n_occ) — docs containing the exact adjacent phrase, with
+    occurrence counts. Repeated phrase terms are handled: term i only
+    proposes starts for slot i, and a start must collect ALL slots."""
+    terms = [t.lower() for t in phrase]
+    if not terms:
+        return postings.select("doc_id", F.lit(0).cast("long").alias("n_occ")).limit(0)
+    parts = []
+    for i, t in enumerate(terms):
+        parts.append(
+            postings.filter(F.col("token") == t).select(
+                "doc_id",
+                (F.col("pos") - F.lit(i)).alias("start"),
+                F.lit(i).alias("slot"),
+            )
+        )
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    starts = (
+        u.filter(F.col("start") >= 0)
+        .groupBy("doc_id", "start")
+        .agg(F.count_distinct("slot").alias("k"))
+        .filter(F.col("k") == len(terms))
+    )
+    return starts.groupBy("doc_id").agg(F.count("*").alias("n_occ"))
+
+
+def collocations(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """(a, b, n_ab, pmi) — adjacent-bigram pointwise mutual information.
+
+    PMI(a,b) = ln( P(ab) / (P(a)·P(b)) ) with P(ab) = c_ab/B over B
+    bigram slots and P(x) = c_x/T over T token slots — the standard
+    collocation estimator (Church & Hanks 1990). min_count filters the
+    unstable low-frequency tail.
+    """
+    toks = doc_tokens(documents, id_col, text_col)
+    bi = (
+        toks.filter(F.col("n_terms") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "arrays_zip(slice(tokens, 1, size(tokens) - 1),"
+                    " slice(tokens, 2, size(tokens) - 1))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+    )
+    c_ab = bi.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+
+    pos = toks.filter(F.col("n_terms") > 0).select(F.explode("tokens").alias("token"))
+    c_x = pos.groupBy("token").agg(F.count("*").alias("n_x"))
+    totals = pos.agg(F.count("*").alias("t")).crossJoin(
+        bi.agg(F.count("*").alias("bcnt"))
+    )
+
+    # broadcast the (tiny) unigram dictionary twice; totals is one row
+    joined = (
+        c_ab.join(F.broadcast(c_x.withColumnRenamed("token", "a").withColumnRenamed("n_x", "n_a")), "a")
+        .join(F.broadcast(c_x.withColumnRenamed("token", "b").withColumnRenamed("n_x", "n_b")), "b")
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.log(
+        (F.col("n_ab").cast("double") * F.col("t").cast("double") * F.col("t").cast("double"))
+        / (F.col("bcnt").cast("double") * F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+    )
+    return (
+        joined.filter(F.col("n_ab") >= min_count)
+        .select("a", "b", "n_ab", pmi.alias("pmi"))
+    )
+
+
+def suggest(
+    vocab: DataFrame, term: str, max_dist: int = 2, k: int = 5
+) -> DataFrame:
+    """Spell-correction candidates: vocabulary tokens within edit
+    distance max_dist of `term`, ranked (distance ASC, df DESC, token
+    ASC), top k. `vocab` is the (token, df) dictionary (A2 output).
+
+    Scale: one scan of the dictionary (orders of magnitude smaller than
+    the corpus); the length pre-filter is a no-op on results but prunes
+    the levenshtein evaluation to the plausible band.
+    """
+    t = term.lower()
+    cand = vocab.filter(
+        (F.abs(F.length("token") - F.lit(len(t))) <= max_dist)
+        & (F.col("token") != t)
+    ).select(
+        "token",
+        "df",
+        F.levenshtein(F.col("token"), F.lit(t)).cast("long").alias("dist"),
+    )
+    return (
+        cand.filter(F.col("dist") <= max_dist)
+        .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("token").asc())
+        .limit(k)
+    )

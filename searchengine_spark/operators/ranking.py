@@ -1,0 +1,113 @@
+"""Okapi BM25 ranked retrieval — the modern counterpart to the
+reference's tf·idf-ASC ranking (retrieve_query.py:54,86,142; kept
+verbatim in operators/query.py as the faithful T2 quirk).
+
+BM25 is the public Robertson/Spärck Jones ranking function in its
+Lucene-default form:
+
+  idf(t)     = ln(1 + (N - df + 0.5) / (df + 0.5))
+  w(t, d)    = idf(t) * f * (k1 + 1) / (f + k1 * (1 - b + b * dl/avgdl))
+  score(q,d) = Σ_{t ∈ q} w(t, d)
+
+with k1 = 1.2, b = 0.75, f the raw in-doc term count, dl the doc token
+length and avgdl the corpus mean length.
+
+Scale notes (100 TB): the weight table needs exactly the shuffles the
+tf·idf index already pays — one (doc_id, token) aggregate and one
+per-token df aggregate joined back (broadcastable dictionary). N and
+Σdl are a single integer-exact agg (avgdl is derived as a double from
+two exact longs, so Spark and the DuckDB oracle agree bit-for-bit).
+Query scoring is a token-IN pruned scan (parquet min/max pushdown on
+the token-sorted index layout, T4) + ONE groupBy(doc_id) — the
+per-term contributions are pivoted into fixed columns and summed in
+query order, so float addition order is deterministic, not
+shuffle-order dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.tfidf import doc_tokens
+
+K1 = 1.2
+B = 0.75
+
+
+def bm25_table(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """(doc_id, token, weight) — precomputed BM25 per-term weights.
+
+    Same materialization shape as build_postings: build once, sink
+    token-sorted (S4/write_sorted_index works unchanged), serve many
+    queries off the pruned scan.
+    """
+    toks = doc_tokens(documents, id_col, text_col).filter(F.col("n_terms") > 0)
+    # one integer-exact pass: N docs + total token count (avgdl = sum/N
+    # computed as double ONCE, identically in the oracle)
+    stats = toks.agg(
+        F.count("*").alias("n"), F.sum("n_terms").alias("sumdl")
+    ).collect()[0]
+    n_docs, sumdl = int(stats["n"]), int(stats["sumdl"])
+    avgdl = F.lit(float(sumdl)) / F.lit(float(n_docs))
+
+    f_tab = (
+        toks.select("doc_id", "n_terms", F.explode("tokens").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("f"), F.first("n_terms").alias("dl"))
+    )
+    df_tab = f_tab.groupBy("token").agg(F.count("*").alias("df"))
+    idf = df_tab.select(
+        "token",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+    )
+    fd, dl = F.col("f").cast("double"), F.col("dl").cast("double")
+    return f_tab.join(idf, "token").select(
+        "doc_id",
+        "token",
+        (
+            F.col("idf")
+            * (fd * F.lit(k1 + 1.0))
+            / (fd + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * dl / avgdl))
+        ).alias("weight"),
+    )
+
+
+def bm25_search(weights: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
+    """Top-k docs by Σ of per-term BM25 weights (any-term match).
+
+    The per-term contributions are pivoted into one column per query
+    term and added IN QUERY ORDER — a deterministic float-sum tree, so
+    the score is reproducible across partitionings (and in the DuckDB
+    oracle). One pruned scan + one shuffle, independent of |terms|.
+    """
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    if not uniq:
+        return weights.select("doc_id", F.lit(0.0).alias("score")).limit(0)
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("token") == t, F.col("weight"))), F.lit(0.0)
+        ).alias(f"w{i}")
+        for i, t in enumerate(uniq)
+    ]
+    pivoted = (
+        weights.filter(F.col("token").isin(uniq)).groupBy("doc_id").agg(*per_term)
+    )
+    score = F.col("w0")
+    for i in range(1, len(uniq)):
+        score = score + F.col(f"w{i}")
+    return (
+        pivoted.select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -1,0 +1,130 @@
+"""Positional index (phrase match, PMI collocations), BM25 and spell
+suggest — hand-built fixtures with independently computed expectations.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators import positional as P
+from searchengine_spark.operators import ranking as R
+from searchengine_spark.operators.tfidf import (
+    doc_frequencies,
+    doc_tokens,
+    term_frequencies,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_positional_postings_offsets(spark):
+    pp = P.positional_postings(_docs(spark, [(1, "Foo, bar!  baz")]))
+    got = sorted((r.pos, r.token) for r in pp.collect())
+    assert got == [(0, "foo"), (1, "bar"), (2, "baz")]
+
+
+def test_phrase_match_basic_and_counts(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "the quick fox and the quick fox again"),
+            (2, "quick the fox"),  # terms present, wrong order
+            (3, "the quick brown fox"),
+        ],
+    )
+    pp = P.positional_postings(docs)
+    got = {r.doc_id: r.n_occ for r in P.phrase_match(pp, ["the", "quick", "fox"]).collect()}
+    assert got == {1: 2}
+
+
+def test_phrase_match_repeated_terms(spark):
+    # "a b a b a": phrase (a b a) occurs at starts 0 and 2 — slot-distinct
+    # counting must not let one 'a' occurrence satisfy both slots
+    docs = _docs(spark, [(1, "a b a b a"), (2, "a b b a")])
+    pp = P.positional_postings(docs)
+    got = {r.doc_id: r.n_occ for r in P.phrase_match(pp, ["a", "b", "a"]).collect()}
+    assert got == {1: 2}
+
+
+def test_collocations_pmi_matches_hand_computation(spark):
+    # corpus: doc1 = x y x y  → bigrams (x,y),(y,x),(x,y)
+    #         doc2 = z z      → bigram (z,z)
+    docs = _docs(spark, [(1, "x y x y"), (2, "z z")])
+    got = {
+        (r.a, r.b): (r.n_ab, r.pmi)
+        for r in P.collocations(docs, min_count=1).collect()
+    }
+    T, B = 6, 4  # token slots, bigram slots
+    c = {"x": 2, "y": 2, "z": 2}
+    exp_xy = math.log((2 * T * T) / (B * c["x"] * c["y"]))
+    exp_zz = math.log((1 * T * T) / (B * c["z"] * c["z"]))
+    assert got[("x", "y")][0] == 2
+    assert abs(got[("x", "y")][1] - exp_xy) < 1e-12
+    assert abs(got[("z", "z")][1] - exp_zz) < 1e-12
+    assert ("y", "x") in got and got[("y", "x")][0] == 1
+
+
+def test_bm25_weight_matches_formula(spark):
+    # two docs; verify the (doc, token) weight against the public formula
+    docs = _docs(spark, [(1, "cat cat dog"), (2, "cat fish")])
+    w = {
+        (r.doc_id, r.token): r.weight
+        for r in R.bm25_table(docs).collect()
+    }
+    n, avgdl = 2, (3 + 2) / 2
+    k1, b = 1.2, 0.75
+
+    def bm25(f, dl, df):
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        return idf * (f * (k1 + 1)) / (f + k1 * (1 - b + b * dl / avgdl))
+
+    assert abs(w[(1, "cat")] - bm25(2, 3, 2)) < 1e-12
+    assert abs(w[(1, "dog")] - bm25(1, 3, 1)) < 1e-12
+    assert abs(w[(2, "fish")] - bm25(1, 2, 1)) < 1e-12
+
+
+def test_bm25_search_ranks_rare_terms_higher(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "common common common rare"),
+            (2, "common common"),
+            (3, "common other words here"),
+        ],
+    )
+    w = R.bm25_table(docs)
+    top = R.bm25_search(w, ["rare", "common"], k=3).collect()
+    assert top[0].doc_id == 1  # only doc with the rare term wins
+    assert [r.doc_id for r in top] == sorted(
+        [r.doc_id for r in top],
+        key=lambda d: (-[x.score for x in top if x.doc_id == d][0], d),
+    )
+
+
+def test_suggest_orders_by_distance_then_df(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "table table table label tab tables"),
+            (2, "table tabby label"),
+        ],
+    )
+    vocab = doc_frequencies(term_frequencies(doc_tokens(docs)))
+    got = [(r.token, r.dist) for r in P.suggest(vocab, "tabel", max_dist=2, k=5).collect()]
+    # label is 1 substitution away and wins despite lower df; table/tab/
+    # tables are all distance 2, ordered df DESC then token ASC
+    assert got[0] == ("label", 1)
+    assert got[1] == ("table", 2)
+    assert set(t for t, _ in got) == {"label", "table", "tab", "tabby", "tables"}
+    assert all(d <= 2 for _, d in got)
+
+
+def test_phrase_empty_and_no_match(spark):
+    docs = _docs(spark, [(1, "a b c")])
+    pp = P.positional_postings(docs)
+    assert P.phrase_match(pp, []).count() == 0
+    assert P.phrase_match(pp, ["c", "a"]).count() == 0
