@@ -124,6 +124,7 @@ _DNF = [["spark", "dup"], ["fast", "the"]]
 _BM25_TERMS = ["spark", "window", "dup"]
 _PHRASE = ["table", "value"]
 _SPELL_TERM = "quary"
+_SNIPPET_TERMS = ["dup"]
 
 # corpus-mixture weights for the sampling contract queries: literal in
 # BOTH engines (the integer thresholds floor(w·2^60) are derived once in
@@ -614,6 +615,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # estimator); ln arithmetic bit-matches the oracle
         return _r(PX.collocations(_docs(spark, sf), min_count=5), "pmi")
 
+    def q_champions(spark, sf):
+        # impact-ordered index: exact per-token top-3 via salted
+        # two-phase window (stopword posting lists never hit one task)
+        w = RK.bm25_table(_docs(spark, sf))
+        return _r(RK.champion_lists(w, k=3), "weight")
+
+    def q_snippets(spark, sf):
+        # result-page snippet: 11-token context around the first hit of
+        # any query term; text never leaves the executors
+        return PX.snippets(_docs(spark, sf), _SNIPPET_TERMS, window=5)
+
     def q_spell(spark, sf):
         # dictionary spell suggest: levenshtein ≤ 2 over the (token, df)
         # vocabulary, ranked (dist ASC, df DESC, token ASC) top 5
@@ -674,6 +686,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_query": q_phrase,
         "colloc_pmi": q_colloc,
         "spell_suggest": q_spell,
+        "champions": q_champions,
+        "snippets": q_snippets,
     }
 
 
@@ -700,20 +714,10 @@ posit AS (
 )"""
 
 
-def _duck_bm25(terms: list[str], k: int) -> str:
-    """BM25 oracle — identical expression tree to operators/ranking
-    (double literals as e-notation so DuckDB parses DOUBLE, not
-    DECIMAL; fixed-order CASE pivot so the float sum is deterministic).
-    """
-    case = " + ".join(
-        f"coalesce(max(CASE WHEN token = '{t}' THEN w END), 0.0e0)"
-        for t in dict.fromkeys(t.lower() for t in terms)
-    )
-    inlist = ", ".join(
-        f"'{t}'" for t in dict.fromkeys(t.lower() for t in terms)
-    )
-    return f"""
-WITH {_DUCK_TOKENS},
+# BM25 weight CTE chain — identical expression tree to
+# operators/ranking.bm25_table (double literals as e-notation so DuckDB
+# parses DOUBLE, not DECIMAL)
+_DUCK_BM25_WTS = f"""{_DUCK_TOKENS},
 lens AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
 stat AS (SELECT count(*) AS n, sum(dl) AS sumdl FROM lens),
 fq AS (SELECT doc_id, token, count(*) AS f FROM tok2 GROUP BY doc_id, token),
@@ -732,13 +736,58 @@ wts AS (
                            / (CAST((SELECT sumdl FROM stat) AS DOUBLE)
                               / CAST((SELECT n FROM stat) AS DOUBLE)))) AS w
   FROM fq JOIN idfq USING (token) JOIN lens USING (doc_id)
-),
+)"""
+
+
+def _duck_bm25(terms: list[str], k: int) -> str:
+    """BM25 oracle — fixed-order CASE pivot so the float sum is
+    deterministic, matching bm25_search's column pivot."""
+    case = " + ".join(
+        f"coalesce(max(CASE WHEN token = '{t}' THEN w END), 0.0e0)"
+        for t in dict.fromkeys(t.lower() for t in terms)
+    )
+    inlist = ", ".join(
+        f"'{t}'" for t in dict.fromkeys(t.lower() for t in terms)
+    )
+    return f"""
+WITH {_DUCK_BM25_WTS},
 scored AS (
   SELECT doc_id, {case} AS sc
   FROM wts WHERE token IN ({inlist}) GROUP BY doc_id
 )
 SELECT doc_id, round(sc, 9) AS score FROM scored
 ORDER BY sc DESC, doc_id ASC LIMIT {k}"""
+
+
+def _duck_champions(k: int) -> str:
+    """Impact-ordered index oracle: per-token top-k by (weight DESC,
+    doc_id ASC) — the salted two-phase Spark plan is exact, so a plain
+    window rank reproduces it."""
+    return f"""
+WITH {_DUCK_BM25_WTS},
+ranked AS (
+  SELECT token, doc_id, w,
+         CAST(row_number() OVER (PARTITION BY token
+                                 ORDER BY w DESC, doc_id ASC) AS BIGINT) AS rk
+  FROM wts
+)
+SELECT token, doc_id, round(w, 9) AS weight, rk FROM ranked WHERE rk <= {k}"""
+
+
+def _duck_snippets(terms: list[str], window: int) -> str:
+    inlist = ", ".join(f"'{t.lower()}'" for t in dict.fromkeys(terms))
+    w, span = window, 2 * window
+    return f"""
+WITH {_DUCK_POSIT},
+firsts AS (
+  SELECT doc_id, CAST(min(pos) AS BIGINT) AS first_pos
+  FROM posit WHERE token IN ({inlist}) GROUP BY doc_id
+)
+SELECT t.doc_id, first_pos,
+       array_to_string(
+         tl[greatest(1, first_pos + 1 - {w})
+            : greatest(1, first_pos + 1 - {w}) + {span}], ' ') AS snippet
+FROM tokarr t JOIN firsts USING (doc_id)"""
 
 
 def _duck_phrase(phrase: list[str]) -> str:
@@ -1522,6 +1571,8 @@ FROM g""",
         "phrase_query": _duck_phrase(_PHRASE),
         "colloc_pmi": _DUCK_COLLOC,
         "spell_suggest": _duck_spell(_SPELL_TERM, max_dist=2, k=5),
+        "champions": _duck_champions(k=3),
+        "snippets": _duck_snippets(_SNIPPET_TERMS, window=5),
         "sessions": """
 WITH o AS (
   SELECT user_id, ts, value,

@@ -122,6 +122,39 @@ def collocations(
     )
 
 
+def snippets(
+    documents: DataFrame,
+    terms: list[str],
+    window: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, first_pos, snippet) — a result-page snippet: the
+    2·window+1-token context around the FIRST occurrence of any query
+    term (clamped at document edges), space-joined.
+
+    Cost: the positional scan prunes to the query tokens (one
+    token-IN filter + a min() agg), then ONE join back to the token
+    arrays; the document text itself is never shipped to the driver.
+    """
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    toks = doc_tokens(documents, id_col, text_col).filter(F.col("n_terms") > 0)
+    pp = toks.select("doc_id", F.posexplode("tokens").alias("pos", "token"))
+    firsts = (
+        pp.filter(F.col("token").isin(uniq))
+        .groupBy("doc_id")
+        .agg(F.min("pos").cast("long").alias("first_pos"))
+    )
+    start = F.greatest(F.lit(1), F.col("first_pos") + F.lit(1) - F.lit(window))
+    return toks.join(firsts, "doc_id").select(
+        "doc_id",
+        "first_pos",
+        F.array_join(
+            F.slice(F.col("tokens"), start, F.lit(2 * window + 1)), " "
+        ).alias("snippet"),
+    )
+
+
 def suggest(
     vocab: DataFrame, term: str, max_dist: int = 2, k: int = 5
 ) -> DataFrame:

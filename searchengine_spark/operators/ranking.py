@@ -26,7 +26,7 @@ shuffle-order dependent.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from searchengine_spark.operators.tfidf import doc_tokens
@@ -110,4 +110,37 @@ def bm25_search(weights: DataFrame, terms: list[str], k: int = 10) -> DataFrame:
         pivoted.select("doc_id", score.alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
+    )
+
+
+def champion_lists(
+    weights: DataFrame, k: int = 10, n_salts: int = 16
+) -> DataFrame:
+    """Impact-ordered index (champion lists): the top-k docs per token
+    by weight — the classic serve-time pruning structure (answer
+    any-term queries from k·|terms| rows instead of full posting lists).
+
+    (token, doc_id, weight, rk), rk = 1-based impact rank.
+
+    Skew note: posting lists are Zipf-distributed — a stopword's list
+    can be 10^6× the median, so a single per-token window would put the
+    whole stopword list in one task. Two-phase exact top-k instead
+    (same shape as the frontier's per-host quota): rank within
+    (token, salt) keeping ≤k — the global top-k per token is necessarily
+    a union of per-salt top-k's — then re-rank the ≤ k·n_salts
+    survivors per token. Ties break by doc_id ASC for determinism.
+    """
+    w1 = Window.partitionBy("token", "salt").orderBy(
+        F.col("weight").desc(), F.col("doc_id").asc()
+    )
+    w2 = Window.partitionBy("token").orderBy(
+        F.col("weight").desc(), F.col("doc_id").asc()
+    )
+    return (
+        weights.withColumn("salt", F.pmod(F.col("doc_id"), F.lit(n_salts)))
+        .withColumn("prk", F.row_number().over(w1))
+        .filter(F.col("prk") <= k)
+        .withColumn("rk", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rk") <= k)
+        .select("token", "doc_id", "weight", "rk")
     )

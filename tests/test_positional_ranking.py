@@ -123,6 +123,55 @@ def test_suggest_orders_by_distance_then_df(spark):
     assert all(d <= 2 for _, d in got)
 
 
+def test_champion_lists_exact_topk_per_token(spark):
+    # doc 1 mentions 'cat' most often relative to length → highest weight
+    docs = _docs(
+        spark,
+        [
+            (1, "cat cat cat"),
+            (2, "cat dog dog dog dog dog dog dog"),
+            (3, "cat mouse"),
+            (4, "dog mouse"),
+        ],
+    )
+    w = R.bm25_table(docs)
+    champs = R.champion_lists(w, k=2, n_salts=4)
+    got = {
+        (r.token, r.rk): r.doc_id for r in champs.collect()
+    }
+    # exact reference: per-token sort of the full weight table
+    full = sorted(
+        ((r.token, -r.weight, r.doc_id) for r in w.collect())
+    )
+    exp = {}
+    seen = {}
+    for token, negw, doc in full:
+        n = seen.get(token, 0) + 1
+        seen[token] = n
+        if n <= 2:
+            exp[(token, n)] = doc
+    assert got == exp
+    assert all(rk <= 2 for _, rk in got)
+
+
+def test_snippets_window_and_clamping(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a b c TARGET d e f"),   # interior hit: full window
+            (2, "TARGET x y z"),          # hit at position 0: left-clamped
+            (3, "no hit here"),           # filtered out
+        ],
+    )
+    got = {r.doc_id: (r.first_pos, r.snippet) for r in
+           P.snippets(docs, ["target"], window=2).collect()}
+    assert got == {
+        1: (3, "b c target d e"),
+        # left-clamped: slice still takes up to 2w+1 tokens from pos 0
+        2: (0, "target x y z"),
+    }
+
+
 def test_phrase_empty_and_no_match(spark):
     docs = _docs(spark, [(1, "a b c")])
     pp = P.positional_postings(docs)
