@@ -37,6 +37,7 @@ from searchengine_spark.operators import docmap as DM
 from searchengine_spark.operators import multimodal as MM
 from searchengine_spark.operators import positional as PX
 from searchengine_spark.operators import query as Q
+from searchengine_spark.operators import rankeval as RE
 from searchengine_spark.operators import ranking as RK
 from searchengine_spark.operators import sampling as SP
 from searchengine_spark.operators import simsearch as SS
@@ -626,6 +627,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # any query term; text never leaves the executors
         return PX.snippets(_docs(spark, sf), _SNIPPET_TERMS, window=5)
 
+    def q_rank_eval(spark, sf):
+        # nDCG/P/R@10 of the BM25 page against graded judgments derived
+        # from the corpus itself (rel = # distinct query terms present);
+        # the global-order windows run over the 10-row result page only
+        docs = _docs(spark, sf)
+        ranked = RK.bm25_search(RK.bm25_table(docs), _BM25_TERMS, k=10)
+        uniq = list(dict.fromkeys(t.lower() for t in _BM25_TERMS))
+        rels = (
+            TF.term_frequencies(TF.doc_tokens(docs))
+            .filter(F.col("token").isin(uniq))
+            .groupBy("doc_id")
+            .agg(F.count_distinct("token").alias("rel"))
+        )
+        return _r(
+            RE.rank_eval(ranked, rels, k=10),
+            "dcg", "idcg", "ndcg", "precision", "recall",
+        )
+
     def q_spell(spark, sf):
         # dictionary spell suggest: levenshtein ≤ 2 over the (token, df)
         # vocabulary, ranked (dist ASC, df DESC, token ASC) top 5
@@ -688,6 +707,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spell_suggest": q_spell,
         "champions": q_champions,
         "snippets": q_snippets,
+        "rank_eval": q_rank_eval,
     }
 
 
@@ -827,6 +847,67 @@ SELECT cab.a, cab.b, n_ab,
                    * CAST(ub.n_x AS DOUBLE))), 9) AS pmi
 FROM cab JOIN uni ua ON cab.a = ua.token JOIN uni ub ON cab.b = ub.token, tot
 WHERE n_ab >= 5"""
+
+
+def _duck_rank_eval(terms: list[str], k: int) -> str:
+    """nDCG/P/R oracle — same rank tie-breaks, ln-ratio log2, and
+    rank-ordered running sums as operators/rankeval.rank_eval."""
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    case = " + ".join(
+        f"coalesce(max(CASE WHEN token = '{t}' THEN w END), 0.0e0)"
+        for t in uniq
+    )
+    inlist = ", ".join(f"'{t}'" for t in uniq)
+    gain = (
+        "(pow(2.0e0, CAST(rel AS DOUBLE)) - 1.0e0)"
+        " / (ln(CAST({rk} AS DOUBLE) + 1.0e0) / ln(2.0e0))"
+    )
+    return f"""
+WITH {_DUCK_BM25_WTS},
+scored AS (
+  SELECT doc_id, {case} AS sc
+  FROM wts WHERE token IN ({inlist}) GROUP BY doc_id
+),
+page0 AS (
+  SELECT doc_id, sc,
+         CAST(row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS BIGINT) AS rk
+  FROM scored
+),
+rels AS (
+  SELECT doc_id, CAST(count(DISTINCT token) AS BIGINT) AS rel
+  FROM tok2 WHERE token IN ({inlist}) GROUP BY doc_id
+),
+page AS (
+  SELECT p.rk, p.doc_id, coalesce(r.rel, 0) AS rel
+  FROM page0 p LEFT JOIN rels r USING (doc_id) WHERE p.rk <= {k}
+),
+cum AS (
+  SELECT rk, doc_id, rel,
+         sum({gain.format(rk='rk')}) OVER (ORDER BY rk
+             ROWS UNBOUNDED PRECEDING) AS dcg,
+         sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) OVER (ORDER BY rk
+             ROWS UNBOUNDED PRECEDING) AS hits
+  FROM page
+),
+ideal0 AS (
+  SELECT rel,
+         CAST(row_number() OVER (ORDER BY rel DESC, doc_id ASC) AS BIGINT)
+           AS irk
+  FROM rels ORDER BY rel DESC, doc_id ASC LIMIT {k}
+),
+ideal AS (
+  SELECT irk AS rk,
+         sum({gain.format(rk='irk')}) OVER (ORDER BY irk
+             ROWS UNBOUNDED PRECEDING) AS idcg
+  FROM ideal0
+),
+nrel AS (SELECT count(*) AS n FROM rels WHERE rel > 0)
+SELECT c.rk, c.doc_id, c.rel, round(c.dcg, 9) AS dcg,
+       round(i.idcg, 9) AS idcg, round(c.dcg / i.idcg, 9) AS ndcg,
+       round(CAST(c.hits AS DOUBLE) / CAST(c.rk AS DOUBLE), 9) AS precision,
+       round(CAST(c.hits AS DOUBLE)
+             / CAST((SELECT n FROM nrel) AS DOUBLE), 9) AS recall
+FROM cum c JOIN ideal i ON c.rk = i.rk"""
 
 
 def _duck_spell(term: str, max_dist: int, k: int) -> str:
@@ -1573,6 +1654,7 @@ FROM g""",
         "spell_suggest": _duck_spell(_SPELL_TERM, max_dist=2, k=5),
         "champions": _duck_champions(k=3),
         "snippets": _duck_snippets(_SNIPPET_TERMS, window=5),
+        "rank_eval": _duck_rank_eval(_BM25_TERMS, k=10),
         "sessions": """
 WITH o AS (
   SELECT user_id, ts, value,

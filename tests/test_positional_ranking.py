@@ -172,6 +172,36 @@ def test_snippets_window_and_clamping(spark):
     }
 
 
+def test_rank_eval_hand_computed_ndcg(spark):
+    from searchengine_spark.operators.rankeval import rank_eval
+
+    ranked = spark.createDataFrame(
+        [(1, 3.0), (2, 2.0), (3, 1.0)], "doc_id long, score double"
+    )
+    # doc 4 is relevant but not retrieved — hits recall, not precision
+    rels = spark.createDataFrame(
+        [(2, 2), (3, 1), (4, 3)], "doc_id long, rel long"
+    )
+    rows = {r.rk: r for r in rank_eval(ranked, rels, k=3).collect()}
+
+    lg = math.log2
+    dcg2 = (2**2 - 1) / lg(3)
+    dcg3 = dcg2 + (2**1 - 1) / lg(4)
+    idcg1 = (2**3 - 1) / lg(2)
+    idcg2 = idcg1 + (2**2 - 1) / lg(3)
+    idcg3 = idcg2 + (2**1 - 1) / lg(4)
+
+    assert rows[1].doc_id == 1 and rows[1].rel == 0
+    assert abs(rows[1].dcg - 0.0) < 1e-12
+    assert abs(rows[2].dcg - dcg2) < 1e-12
+    assert abs(rows[3].dcg - dcg3) < 1e-12
+    assert abs(rows[3].idcg - idcg3) < 1e-12
+    assert abs(rows[3].ndcg - dcg3 / idcg3) < 1e-12
+    assert abs(rows[2].precision - 1 / 2) < 1e-12
+    assert abs(rows[3].precision - 2 / 3) < 1e-12
+    assert abs(rows[3].recall - 2 / 3) < 1e-12  # 2 of 3 relevant retrieved
+
+
 def test_phrase_empty_and_no_match(spark):
     docs = _docs(spark, [(1, "a b c")])
     pp = P.positional_postings(docs)
