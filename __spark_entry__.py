@@ -38,6 +38,7 @@ from searchengine_spark.operators import multimodal as MM
 from searchengine_spark.operators import positional as PX
 from searchengine_spark.operators import query as Q
 from searchengine_spark.operators import rankeval as RE
+from searchengine_spark.operators import redirects as RD
 from searchengine_spark.operators import ranking as RK
 from searchengine_spark.operators import sampling as SP
 from searchengine_spark.operators import simsearch as SS
@@ -627,6 +628,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # any query term; text never leaves the executors
         return PX.snippets(_docs(spark, sf), _SNIPPET_TERMS, window=5)
 
+    def q_redirects(spark, sf):
+        # redirect graph synthesized from doc_ids: every 50-block has a
+        # terminal (m=0), a 2-cycle (48↔49) and chains walking down to
+        # the terminal; resolution is pointer doubling, 6 join rounds
+        # for 64-hop chains instead of 64 sequential walks
+        m = F.col("doc_id") % 50
+        d = F.col("doc_id")
+        pages = _docs(spark, sf).select(
+            F.concat(F.lit("u"), d.cast("string")).alias("url"),
+            F.when(m == 0, F.lit(None).cast("string"))
+            .when(m == 48, F.concat(F.lit("u"), (d + 1).cast("string")))
+            .otherwise(F.concat(F.lit("u"), (d - 1).cast("string")))
+            .alias("redirect_to"),
+        )
+        return RD.resolve_redirects(pages, max_hops=64)
+
     def q_rank_eval(spark, sf):
         # nDCG/P/R@10 of the BM25 page against graded judgments derived
         # from the corpus itself (rel = # distinct query terms present);
@@ -708,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "champions": q_champions,
         "snippets": q_snippets,
         "rank_eval": q_rank_eval,
+        "redirects": q_redirects,
     }
 
 
@@ -908,6 +926,39 @@ SELECT c.rk, c.doc_id, c.rel, round(c.dcg, 9) AS dcg,
        round(CAST(c.hits AS DOUBLE)
              / CAST((SELECT n FROM nrel) AS DOUBLE), 9) AS recall
 FROM cum c JOIN ideal i ON c.rk = i.rk"""
+
+
+# redirect resolution oracle: the sequential walk (recursive CTE) the
+# distributed pointer-doubling plan must agree with; same 64-hop bound,
+# same loop rule (unterminated within the bound ⇒ loop)
+_DUCK_REDIRECTS = """
+WITH RECURSIVE rpages AS (
+  SELECT 'u' || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 50 = 0 THEN NULL
+              WHEN doc_id % 50 = 48 THEN 'u' || CAST(doc_id + 1 AS VARCHAR)
+              ELSE 'u' || CAST(doc_id - 1 AS VARCHAR) END AS redirect_to
+  FROM documents
+),
+walk AS (
+  SELECT url AS origin, redirect_to AS cur, CAST(1 AS BIGINT) AS hops
+  FROM rpages WHERE redirect_to IS NOT NULL
+  UNION ALL
+  SELECT w.origin, p.redirect_to, w.hops + 1
+  FROM walk w JOIN rpages p ON w.cur = p.url
+  WHERE p.redirect_to IS NOT NULL AND w.hops < 64
+),
+term AS (
+  SELECT origin, cur AS final_url, hops
+  FROM walk
+  WHERE cur NOT IN (SELECT url FROM rpages WHERE redirect_to IS NOT NULL)
+)
+SELECT r.origin AS url, t.final_url, t.hops AS n_hops,
+       t.final_url IS NULL AS is_loop
+FROM (SELECT url AS origin FROM rpages WHERE redirect_to IS NOT NULL) r
+LEFT JOIN term t USING (origin)
+UNION ALL
+SELECT url, url AS final_url, CAST(0 AS BIGINT) AS n_hops, FALSE AS is_loop
+FROM rpages WHERE redirect_to IS NULL"""
 
 
 def _duck_spell(term: str, max_dist: int, k: int) -> str:
@@ -1655,6 +1706,7 @@ FROM g""",
         "champions": _duck_champions(k=3),
         "snippets": _duck_snippets(_SNIPPET_TERMS, window=5),
         "rank_eval": _duck_rank_eval(_BM25_TERMS, k=10),
+        "redirects": _DUCK_REDIRECTS,
         "sessions": """
 WITH o AS (
   SELECT user_id, ts, value,
