@@ -628,6 +628,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # any query term; text never leaves the executors
         return PX.snippets(_docs(spark, sf), _SNIPPET_TERMS, window=5)
 
+    def q_more_like_this(spark, sf):
+        # sparse tf-idf cosine "more like this" for doc 0: broadcast
+        # query vector → token equi-join; folded sums for bit parity
+        return _r(SS.more_like_this(_postings(spark, sf), 0, k=10), "cosine")
+
     def q_redirects(spark, sf):
         # redirect graph synthesized from doc_ids: every 50-block has a
         # terminal (m=0), a 2-cycle (48↔49) and chains walking down to
@@ -726,6 +731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snippets": q_snippets,
         "rank_eval": q_rank_eval,
         "redirects": q_redirects,
+        "more_like_this": q_more_like_this,
     }
 
 
@@ -926,6 +932,34 @@ SELECT c.rk, c.doc_id, c.rel, round(c.dcg, 9) AS dcg,
        round(CAST(c.hits AS DOUBLE)
              / CAST((SELECT n FROM nrel) AS DOUBLE), 9) AS recall
 FROM cum c JOIN ideal i ON c.rk = i.rk"""
+
+
+def _duck_more_like_this(qid: int, k: int) -> str:
+    """Sparse-cosine oracle — list_reduce over token-ordered lists is
+    the same sequential fold as Spark's aggregate(sort_array(...))."""
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list({x} ORDER BY token)), (a, b) -> a + b)"
+    )
+    return f"""
+WITH {_DUCK_TOKENS},
+norms AS (
+  SELECT doc_id, sqrt({fold.format(x='tf_idf * tf_idf')}) AS nrm
+  FROM postings GROUP BY doc_id
+),
+qv AS (SELECT token, tf_idf AS qw FROM postings WHERE doc_id = {qid}),
+dots AS (
+  SELECT p.doc_id, {fold.format(x='p.tf_idf * qv.qw')} AS dot
+  FROM postings p JOIN qv USING (token)
+  WHERE p.doc_id <> {qid} GROUP BY p.doc_id
+),
+qn AS (SELECT nrm AS qnrm FROM norms WHERE doc_id = {qid}),
+cosd AS (
+  SELECT d.doc_id, d.dot / (n.nrm * (SELECT qnrm FROM qn)) AS c
+  FROM dots d JOIN norms n USING (doc_id)
+)
+SELECT doc_id, round(c, 9) AS cosine FROM cosd
+ORDER BY c DESC, doc_id ASC LIMIT {k}"""
 
 
 # redirect resolution oracle: the sequential walk (recursive CTE) the
@@ -1707,6 +1741,7 @@ FROM g""",
         "snippets": _duck_snippets(_SNIPPET_TERMS, window=5),
         "rank_eval": _duck_rank_eval(_BM25_TERMS, k=10),
         "redirects": _DUCK_REDIRECTS,
+        "more_like_this": _duck_more_like_this(0, k=10),
         "sessions": """
 WITH o AS (
   SELECT user_id, ts, value,

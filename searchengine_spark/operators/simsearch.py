@@ -367,3 +367,68 @@ def lsh_topk(
         .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def more_like_this(
+    postings: DataFrame, query_doc: int, k: int = 10
+) -> DataFrame:
+    """(doc_id, cosine) — top-k documents most similar to `query_doc`
+    by SPARSE tf·idf cosine over the postings index ("more like this").
+
+    Plan shape at corpus scale: the query vector is one token-pruned
+    scan (|query doc vocabulary| rows) broadcast into a token equi-join
+    — candidate docs are ONLY those sharing ≥1 token, never the corpus.
+    Per-doc norms are one aggregate over the postings table and are
+    query-independent (a deployment materializes them once per index
+    build).
+
+    Determinism: dot products and norms are folded in token-sorted
+    order (aggregate over sort_array, a sequential left fold), so the
+    cosine is bit-reproducible across partitionings — and bit-equal to
+    the DuckDB oracle's list_reduce. A plain sum() would be faster but
+    shuffle-order dependent in the last ulp; per-doc vocabularies are
+    small (10^3-ish), so the fold cost is negligible next to the join.
+    """
+    fold = "aggregate(sort_array(lst), 0.0D, (acc, s) -> acc + s.p)"
+    norms = (
+        postings.groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("token").alias("t"),
+                    (F.col("tf_idf") * F.col("tf_idf")).alias("p"),
+                )
+            ).alias("lst")
+        )
+        .select("doc_id", F.sqrt(F.expr(fold)).alias("nrm"))
+    )
+    qv = postings.filter(F.col("doc_id") == query_doc).select(
+        "token", F.col("tf_idf").alias("qw")
+    )
+    dots = (
+        postings.join(F.broadcast(qv), "token")
+        .filter(F.col("doc_id") != query_doc)
+        .groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("token").alias("t"),
+                    (F.col("tf_idf") * F.col("qw")).alias("p"),
+                )
+            ).alias("lst")
+        )
+        .select("doc_id", F.expr(fold).alias("dot"))
+    )
+    qn = norms.filter(F.col("doc_id") == query_doc).select(
+        F.col("nrm").alias("qnrm")
+    )
+    return (
+        dots.join(norms, "doc_id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "doc_id",
+            (F.col("dot") / (F.col("nrm") * F.col("qnrm"))).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -202,6 +202,28 @@ def test_rank_eval_hand_computed_ndcg(spark):
     assert abs(rows[3].recall - 2 / 3) < 1e-12  # 2 of 3 relevant retrieved
 
 
+def test_more_like_this_identical_doc_wins(spark):
+    from searchengine_spark.operators.simsearch import more_like_this
+    from searchengine_spark.operators.tfidf import build_postings
+
+    docs = _docs(
+        spark,
+        [
+            (1, "x y"),
+            (2, "x y"),      # identical tf-idf vector to doc 1
+            (3, "z w"),      # no shared tokens — must be absent
+            (4, "x q"),      # shares only x
+        ],
+    )
+    postings = build_postings(docs)
+    got = [(r.doc_id, r.cosine) for r in more_like_this(postings, 1, k=5).collect()]
+    assert got[0][0] == 2
+    assert abs(got[0][1] - 1.0) < 1e-12
+    ids = [d for d, _ in got]
+    assert 3 not in ids and 1 not in ids
+    assert 4 in ids and dict(got)[4] < 1.0
+
+
 def test_phrase_empty_and_no_match(spark):
     docs = _docs(spark, [(1, "a b c")])
     pp = P.positional_postings(docs)
