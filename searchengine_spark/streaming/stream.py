@@ -107,10 +107,17 @@ def stream_crawl(
         while not state["done"]:
             err = None
             try:
-                q.processAllAvailable()
+                # bounded poll, NOT processAllAvailable: a rate source
+                # always has backlog, and under host load micro-batches
+                # can run slower than the tick — "wait until drained"
+                # then never returns even though the crawl has finished
+                # (observed: a 3-round crawl wedged for 36 min on a
+                # contended box). awaitTermination(1s) re-checks the
+                # round-driven done flag every second instead.
+                q.awaitTermination(1)
             except StreamingQueryException as e:
-                # processAllAvailable raises when the query terminated
-                # with error (e.g. a transient foreachBatch failure)
+                # raised when the query terminated with error (e.g. a
+                # transient foreachBatch failure)
                 err = e
             if state["done"]:
                 break
