@@ -54,6 +54,12 @@ def bm25_table(
     stats = toks.agg(
         F.count("*").alias("n"), F.sum("n_terms").alias("sumdl")
     ).collect()[0]
+    if not stats["n"]:
+        # empty/all-empty corpus: typed empty weights frame, not a
+        # divide-by-zero (sumdl is NULL when no rows aggregate)
+        return documents.sparkSession.createDataFrame(
+            [], "doc_id long, token string, weight double"
+        )
     n_docs, sumdl = int(stats["n"]), int(stats["sumdl"])
     avgdl = F.lit(float(sumdl)) / F.lit(float(n_docs))
 

@@ -105,6 +105,16 @@ def test_bm25_search_ranks_rare_terms_higher(spark):
     )
 
 
+def test_bm25_empty_corpus_yields_typed_empty_frame(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    w = R.bm25_table(empty)
+    assert w.count() == 0
+    assert [f.name for f in w.schema.fields] == ["doc_id", "token", "weight"]
+    # docs that tokenize to nothing count as empty too
+    blank = spark.createDataFrame([(1, "  ")], "doc_id long, text string")
+    assert R.bm25_table(blank).count() == 0
+
+
 def test_suggest_orders_by_distance_then_df(spark):
     docs = _docs(
         spark,
