@@ -34,6 +34,7 @@ from searchengine_spark.functions.text import (
 )
 from searchengine_spark.operators import dedup as DD
 from searchengine_spark.operators import docmap as DM
+from searchengine_spark.operators import mirrors as MI
 from searchengine_spark.operators import multimodal as MM
 from searchengine_spark.operators import positional as PX
 from searchengine_spark.operators import query as Q
@@ -628,6 +629,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # any query term; text never leaves the executors
         return PX.snippets(_docs(spark, sf), _SNIPPET_TERMS, window=5)
 
+    def q_mirror_hosts(spark, sf):
+        # host mirror detection: hosts from doc_id % 20 plus a true
+        # mirror m7 (h7's docs verbatim → jaccard 1.0); threshold at
+        # 0.04 also surfaces the natural background overlap pairs
+        docs = _docs(spark, sf)
+        hosted = docs.select(
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 20).cast("string")
+            ).alias("host"),
+            "text",
+        )
+        mirror = docs.filter(F.col("doc_id") % 20 == 7).select(
+            F.lit("m7").alias("host"), "text"
+        )
+        return _r(
+            MI.mirror_pairs(
+                hosted.unionByName(mirror),
+                threshold=0.04,
+                max_hosts_per_gram=16,
+            ),
+            "jaccard",
+        )
+
     def q_more_like_this(spark, sf):
         # sparse tf-idf cosine "more like this" for doc 0: broadcast
         # query vector → token equi-join; folded sums for bit parity
@@ -732,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_eval": q_rank_eval,
         "redirects": q_redirects,
         "more_like_this": q_more_like_this,
+        "mirror_hosts": q_mirror_hosts,
     }
 
 
@@ -1014,6 +1039,34 @@ _DUCK_GRAMS = (
     "list_distinct(list_transform(range(CAST(ceil(len(tl)/3.0) AS BIGINT)), "
     "i -> array_to_string(tl[i*3+1 : i*3+3], '')))"
 )
+
+# host mirror detection oracle — mirrors operators/mirrors.mirror_pairs:
+# per-host distinct gram-string sets, df-cut at 16 hosts/gram, exact
+# intersection counts, Jaccard ≥ 0.04 (e-notation = DOUBLE literal)
+_DUCK_MIRROR_HOSTS = f"""
+WITH hosted AS (
+  SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) AS host, text FROM documents
+  UNION ALL
+  SELECT 'm7' AS host, text FROM documents WHERE doc_id % 20 = 7
+),
+t AS (SELECT host, {_DUCK_TL} AS tl FROM hosted),
+hg0 AS (
+  SELECT DISTINCT host, g
+  FROM t, unnest({_DUCK_GRAMS}) AS u(g) WHERE len(tl) > 0
+),
+gc AS (SELECT g, count(*) AS nh FROM hg0 GROUP BY g),
+hg AS (SELECT host, hg0.g FROM hg0 JOIN gc USING (g) WHERE nh <= 16),
+sz AS (SELECT host, count(*) AS sz FROM hg GROUP BY host),
+inter AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS n_shared
+  FROM hg a JOIN hg b ON a.g = b.g AND a.host < b.host
+  GROUP BY a.host, b.host
+)
+SELECT host_a, host_b, n_shared,
+       round(CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared), 9)
+         AS jaccard
+FROM inter JOIN sz sa ON host_a = sa.host JOIN sz sb ON host_b = sb.host
+WHERE CAST(n_shared AS DOUBLE) / (sa.sz + sb.sz - n_shared) >= 0.04e0"""
 
 _DUCK_NGRAM_PAIRS = f"""
 WITH toks AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
@@ -1742,6 +1795,7 @@ FROM g""",
         "rank_eval": _duck_rank_eval(_BM25_TERMS, k=10),
         "redirects": _DUCK_REDIRECTS,
         "more_like_this": _duck_more_like_this(0, k=10),
+        "mirror_hosts": _DUCK_MIRROR_HOSTS,
         "sessions": """
 WITH o AS (
   SELECT user_id, ts, value,
