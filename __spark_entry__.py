@@ -36,6 +36,7 @@ from searchengine_spark.operators import dedup as DD
 from searchengine_spark.operators import docmap as DM
 from searchengine_spark.operators import mirrors as MI
 from searchengine_spark.operators import multimodal as MM
+from searchengine_spark.operators import percolate as PC
 from searchengine_spark.operators import positional as PX
 from searchengine_spark.operators import query as Q
 from searchengine_spark.operators import rankeval as RE
@@ -128,6 +129,11 @@ _BM25_TERMS = ["spark", "window", "dup"]
 _PHRASE = ["table", "value"]
 _SPELL_TERM = "quary"
 _SNIPPET_TERMS = ["dup"]
+_ALERTS = [
+    (1, "spark AND window"),
+    (2, "dup"),
+    (3, "vector AND batch OR stream AND slow"),
+]
 
 # corpus-mixture weights for the sampling contract queries: literal in
 # BOTH engines (the integer thresholds floor(w·2^60) are derived once in
@@ -629,6 +635,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # any query term; text never leaves the executors
         return PX.snippets(_docs(spark, sf), _SNIPPET_TERMS, window=5)
 
+    def q_percolate(spark, sf):
+        # reverse search: route docs to registered boolean alerts; the
+        # registry broadcasts, only registry-term postings shuffle
+        reg = PC.registry_from_strings(spark, _ALERTS)
+        return PC.percolate(_docs(spark, sf), reg)
+
     def q_mirror_hosts(spark, sf):
         # host mirror detection: hosts from doc_id % 20 plus a true
         # mirror m7 (h7's docs verbatim → jaccard 1.0); threshold at
@@ -757,6 +769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirects": q_redirects,
         "more_like_this": q_more_like_this,
         "mirror_hosts": q_mirror_hosts,
+        "percolate": q_percolate,
     }
 
 
@@ -957,6 +970,34 @@ SELECT c.rk, c.doc_id, c.rel, round(c.dcg, 9) AS dcg,
        round(CAST(c.hits AS DOUBLE)
              / CAST((SELECT n FROM nrel) AS DOUBLE), 9) AS recall
 FROM cum c JOIN ideal i ON c.rk = i.rk"""
+
+
+def _duck_percolate(alerts: list[tuple[int, str]]) -> str:
+    """Percolation oracle — the registry VALUES rows derive from the
+    SAME parse_query call as the Spark registry, so the two stay in
+    lockstep with the fixture."""
+    from searchengine_spark.operators.query import parse_query
+
+    rows = []
+    for qid, qstr in alerts:
+        for cid, terms in enumerate(parse_query(qstr)):
+            for t in dict.fromkeys(terms):
+                rows.append(f"({qid}, {cid}, '{t}')")
+    values = ", ".join(rows)
+    return f"""
+WITH {_DUCK_TOKENS},
+dt AS (SELECT DISTINCT doc_id, token FROM tok2),
+reg AS (SELECT * FROM (VALUES {values}) AS v(query_id, conj_id, term)),
+need AS (SELECT query_id, conj_id, count(*) AS k FROM reg
+         GROUP BY query_id, conj_id),
+hits AS (
+  SELECT r.query_id, r.conj_id, d.doc_id,
+         count(DISTINCT d.token) AS got
+  FROM dt d JOIN reg r ON d.token = r.term
+  GROUP BY r.query_id, r.conj_id, d.doc_id
+)
+SELECT DISTINCT CAST(h.query_id AS BIGINT) AS query_id, h.doc_id
+FROM hits h JOIN need USING (query_id, conj_id) WHERE got = k"""
 
 
 def _duck_more_like_this(qid: int, k: int) -> str:
@@ -1796,6 +1837,7 @@ FROM g""",
         "redirects": _DUCK_REDIRECTS,
         "more_like_this": _duck_more_like_this(0, k=10),
         "mirror_hosts": _DUCK_MIRROR_HOSTS,
+        "percolate": _duck_percolate(_ALERTS),
         "sessions": """
 WITH o AS (
   SELECT user_id, ts, value,
