@@ -635,6 +635,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # any query term; text never leaves the executors
         return PX.snippets(_docs(spark, sf), _SNIPPET_TERMS, window=5)
 
+    def q_prefix(spark, sf):
+        # wildcard s*: range predicate (token >= 's' AND < 't') pushes
+        # to the token-sorted index's min/max stats; folded per-doc sum
+        return _r(Q.prefix_search(_postings(spark, sf), "s", k=10), "score")
+
+    def q_proximity(spark, sf):
+        # NEAR/3 proximity: two pruned positional scans, band join
+        pp = PX.positional_postings(_docs(spark, sf))
+        return PX.proximity_match(pp, "spark", "window", window=3)
+
     def q_percolate(spark, sf):
         # reverse search: route docs to registered boolean alerts; the
         # registry broadcasts, only registry-term postings shuffle
@@ -770,6 +780,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this": q_more_like_this,
         "mirror_hosts": q_mirror_hosts,
         "percolate": q_percolate,
+        "prefix_query": q_prefix,
+        "proximity": q_proximity,
     }
 
 
@@ -1838,6 +1850,31 @@ FROM g""",
         "more_like_this": _duck_more_like_this(0, k=10),
         "mirror_hosts": _DUCK_MIRROR_HOSTS,
         "percolate": _duck_percolate(_ALERTS),
+        "prefix_query": f"""
+WITH {_DUCK_TOKENS},
+hits AS (
+  SELECT doc_id, token, tf_idf FROM postings
+  WHERE token >= 's' AND token < 't'
+),
+sc AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(tf_idf ORDER BY token)),
+                     (a, b) -> a + b) AS s
+  FROM hits GROUP BY doc_id
+)
+SELECT doc_id, round(s, 9) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT 10""",
+        "proximity": f"""
+WITH {_DUCK_POSIT},
+pa AS (SELECT doc_id, pos AS p1 FROM posit WHERE token = 'spark'),
+pb AS (SELECT doc_id, pos AS p2 FROM posit WHERE token = 'window'),
+prs AS (
+  SELECT pa.doc_id, abs(p1 - p2) AS d
+  FROM pa JOIN pb ON pa.doc_id = pb.doc_id AND abs(p1 - p2) <= 3
+)
+SELECT doc_id, CAST(min(d) AS BIGINT) AS min_dist, count(*) AS n_pairs
+FROM prs GROUP BY doc_id""",
         "sessions": """
 WITH o AS (
   SELECT user_id, ts, value,

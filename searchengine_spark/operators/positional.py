@@ -72,6 +72,37 @@ def phrase_match(postings: DataFrame, phrase: list[str]) -> DataFrame:
     return starts.groupBy("doc_id").agg(F.count("*").alias("n_occ"))
 
 
+def proximity_match(
+    postings: DataFrame, term_a: str, term_b: str, window: int
+) -> DataFrame:
+    """(doc_id, min_dist, n_pairs) — docs where `term_a` and `term_b`
+    occur within `window` token positions ("NEAR/W" proximity search).
+    min_dist = the closest pair's |pos_a - pos_b|; n_pairs = how many
+    occurrence pairs fall inside the window.
+
+    Plan: two token-pruned positional scans joined per doc with the
+    band predicate abs(pa - pb) <= window — per-doc cost is the product
+    of the two terms' occurrence counts (bounded: these are single-term
+    posting rows, already the retrieval unit), never a corpus scan.
+    Integer-only arithmetic — the oracle matches exactly.
+    """
+    a = postings.filter(F.col("token") == term_a.lower()).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = postings.filter(F.col("token") == term_b.lower()).select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    pairs = a.join(
+        b,
+        (a["doc_id"] == b["doc_b"])
+        & (F.abs(F.col("pa") - F.col("pb")) <= window),
+    )
+    return pairs.groupBy("doc_id").agg(
+        F.min(F.abs(F.col("pa") - F.col("pb"))).cast("long").alias("min_dist"),
+        F.count("*").alias("n_pairs"),
+    )
+
+
 def collocations(
     documents: DataFrame,
     id_col: str = "doc_id",

@@ -91,3 +91,40 @@ def rank_topk(results: DataFrame, k: int = MAX_LINKS_SHOWN) -> DataFrame:
 
 def search(postings: DataFrame, query: str, k: int = MAX_LINKS_SHOWN) -> DataFrame:
     return rank_topk(dnf_query(postings, parse_query(query)), k)
+
+
+def _prefix_upper(prefix: str) -> str:
+    """Smallest string greater than every string with this prefix —
+    the right bound of the token range scan (last char + 1)."""
+    return prefix[:-1] + chr(ord(prefix[-1]) + 1)
+
+
+def prefix_search(postings: DataFrame, prefix: str, k: int = 10) -> DataFrame:
+    """Wildcard query `prefix*`: top-k docs by the summed tf_idf of
+    their tokens matching the prefix.
+
+    The vocabulary filter is a RANGE predicate (token >= p AND
+    token < p̄) — on the token-sorted index layout (S4/T4) it pushes to
+    parquet min/max stats, so only the matching token range is read;
+    a LIKE would scan the dictionary. The per-doc sum folds in
+    token-sorted order (deterministic float addition, oracle
+    bit-parity).
+    """
+    p = prefix.lower()
+    hits = postings.filter(
+        (F.col("token") >= p) & (F.col("token") < _prefix_upper(p))
+    )
+    fold = "aggregate(sort_array(lst), 0.0D, (acc, s) -> acc + s.p)"
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("token").alias("t"), F.col("tf_idf").alias("p")
+                )
+            ).alias("lst")
+        )
+        .select("doc_id", F.expr(fold).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

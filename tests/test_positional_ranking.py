@@ -182,6 +182,47 @@ def test_snippets_window_and_clamping(spark):
     }
 
 
+def test_prefix_search_range_and_sum(spark):
+    from searchengine_spark.operators.query import prefix_search
+    from searchengine_spark.operators.tfidf import build_postings
+
+    docs = _docs(
+        spark,
+        [
+            (1, "star stone zebra"),   # two s-tokens
+            (2, "star zebra"),
+            (3, "zebra zebra"),        # no s-token → absent
+            (4, "t-boundary tau"),     # 'tau' must NOT match prefix 's'
+        ],
+    )
+    postings = build_postings(docs)
+    w = {
+        (r.doc_id, r.token): r.tf_idf for r in postings.collect()
+    }
+    got = {r.doc_id: r.score for r in prefix_search(postings, "s", k=10).collect()}
+    assert set(got) == {1, 2}
+    assert abs(got[1] - (w[(1, "star")] + w[(1, "stone")])) < 1e-12
+    assert abs(got[2] - w[(2, "star")]) < 1e-12
+
+
+def test_proximity_match_window_and_counts(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "a x b"),          # dist 2 → within 3
+            (2, "a x y z z b"),    # dist 5 → outside 3
+            (3, "a b a"),          # pairs: |0-1|=1, |2-1|=1 → 2 pairs
+            (4, "a only"),
+        ],
+    )
+    pp = P.positional_postings(docs)
+    got = {
+        r.doc_id: (r.min_dist, r.n_pairs)
+        for r in P.proximity_match(pp, "a", "b", window=3).collect()
+    }
+    assert got == {1: (2, 1), 3: (1, 2)}
+
+
 def test_rank_eval_hand_computed_ndcg(spark):
     from searchengine_spark.operators.rankeval import rank_eval
 
