@@ -635,6 +635,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # any query term; text never leaves the executors
         return PX.snippets(_docs(spark, sf), _SNIPPET_TERMS, window=5)
 
+    def q_cocitation(spark, sf):
+        # co-citation relatedness over the same synthetic link graph as
+        # link_rank; fan-out bounded by out-degree (3), integer-exact
+        from searchengine_spark.operators import linkrank as LR
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        return LR.cocitation(edges, min_count=2)
+
     def q_prefix(spark, sf):
         # wildcard s*: range predicate (token >= 's' AND < 't') pushes
         # to the token-sorted index's min/max stats; folded per-doc sum
@@ -782,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percolate": q_percolate,
         "prefix_query": q_prefix,
         "proximity": q_proximity,
+        "cocitation": q_cocitation,
     }
 
 
@@ -1850,6 +1868,19 @@ FROM g""",
         "more_like_this": _duck_more_like_this(0, k=10),
         "mirror_hosts": _DUCK_MIRROR_HOSTS,
         "percolate": _duck_percolate(_ALERTS),
+        "cocitation": """
+WITH nn AS (SELECT count(*) AS c FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id*2+1) % (SELECT c FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*3+7) % (SELECT c FROM nn) FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*5+11) % (SELECT c FROM nn) FROM documents
+),
+e AS (SELECT DISTINCT src, dst FROM e0)
+SELECT a.dst AS page_a, b.dst AS page_b, count(*) AS n_shared
+FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
+GROUP BY a.dst, b.dst HAVING count(*) >= 2""",
         "prefix_query": f"""
 WITH {_DUCK_TOKENS},
 hits AS (

@@ -219,3 +219,41 @@ def host_rank(
     return pagerank(
         e, n_iters=n_iters, damping=damping, weight_col=weight_col
     ).withColumnRenamed("id", "host")
+
+
+def cocitation(
+    edges: DataFrame, min_count: int = 2, max_out_degree: int | None = None
+) -> DataFrame:
+    """(page_a, page_b, n_shared) — co-citation relatedness: the number
+    of pages that link to BOTH a and b (Small 1973). The link-graph
+    twin of "more like this": pages cited together are topically
+    related even with zero shared text.
+
+    Plan: distinct edges self-join on src with dst_a < dst_b — each
+    source page emits C(out_degree, 2) pairs, so the fan-out is bounded
+    by per-page out-degree (naturally small on the web), NOT by a
+    page's in-degree (hubs with 10^6 in-links are free here).
+    `max_out_degree` optionally drops link-farm sources above a bound
+    first (deterministic, like the mirror df-cut). min_count trims the
+    coincidental tail. Integer-exact — oracles reproduce it verbatim.
+    """
+    e = edges.select("src", "dst").distinct()
+    if max_out_degree is not None:
+        keep = (
+            e.groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .filter(F.col("deg") <= max_out_degree)
+            .select("src")
+        )
+        e = e.join(keep, "src")
+    a = e.select("src", F.col("dst").alias("page_a"))
+    b = e.select(F.col("src").alias("src_b"), F.col("dst").alias("page_b"))
+    return (
+        a.join(
+            b,
+            (a["src"] == b["src_b"]) & (F.col("page_a") < F.col("page_b")),
+        )
+        .groupBy("page_a", "page_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_count)
+    )

@@ -115,3 +115,30 @@ def test_hits_matches_dense_reference(spark):
 def test_pagerank_empty(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     assert LR.pagerank(edges).count() == 0
+
+
+def test_cocitation_counts_and_cuts(spark):
+    from searchengine_spark.operators.linkrank import cocitation
+
+    edges = spark.createDataFrame(
+        # s1 and s2 both cite (a, b); s3 cites (a, b, c); farm cites many
+        [("s1", "a"), ("s1", "b"),
+         ("s2", "a"), ("s2", "b"),
+         ("s3", "a"), ("s3", "b"), ("s3", "c"),
+         ("s3", "c"),  # duplicate edge must not double-count
+         ("farm", "a"), ("farm", "b"), ("farm", "c"), ("farm", "d")],
+        "src string, dst string",
+    )
+    got = {
+        (r.page_a, r.page_b): r.n_shared
+        for r in cocitation(edges, min_count=2).collect()
+    }
+    # (a,b) co-cited by s1, s2, s3, farm; (a,c)/(b,c) by s3+farm
+    assert got == {("a", "b"): 4, ("a", "c"): 2, ("b", "c"): 2}
+
+    capped = {
+        (r.page_a, r.page_b): r.n_shared
+        for r in cocitation(edges, min_count=2, max_out_degree=3).collect()
+    }
+    # the link farm (out-degree 4) is dropped before pairing
+    assert capped == {("a", "b"): 3}
