@@ -635,6 +635,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # any query term; text never leaves the executors
         return PX.snippets(_docs(spark, sf), _SNIPPET_TERMS, window=5)
 
+    def q_complete(spark, sf):
+        # autocomplete: s* completions from the dictionary by df
+        vocab = TF.doc_frequencies(
+            TF.term_frequencies(TF.doc_tokens(_docs(spark, sf)))
+        )
+        return PX.complete(vocab, "s", k=5)
+
     def q_cocitation(spark, sf):
         # co-citation relatedness over the same synthetic link graph as
         # link_rank; fan-out bounded by out-degree (3), integer-exact
@@ -800,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_query": q_prefix,
         "proximity": q_proximity,
         "cocitation": q_cocitation,
+        "complete": q_complete,
     }
 
 
@@ -1868,6 +1876,11 @@ FROM g""",
         "more_like_this": _duck_more_like_this(0, k=10),
         "mirror_hosts": _DUCK_MIRROR_HOSTS,
         "percolate": _duck_percolate(_ALERTS),
+        "complete": f"""
+WITH {_DUCK_TOKENS}
+SELECT token, df FROM dfreq
+WHERE token >= 's' AND token < 't'
+ORDER BY df DESC, token ASC LIMIT 5""",
         "cocitation": """
 WITH nn AS (SELECT count(*) AS c FROM documents),
 e0 AS (

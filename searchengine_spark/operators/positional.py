@@ -186,6 +186,24 @@ def snippets(
     )
 
 
+def complete(
+    vocab: DataFrame, prefix: str, k: int = 5
+) -> DataFrame:
+    """Query autocomplete: top-k dictionary tokens with the given
+    prefix, ranked (df DESC, token ASC). `vocab` is the (token, df)
+    dictionary (A2 output). The prefix filter is the same [p, p̄)
+    range as prefix_search — min/max prunable on a token-sorted
+    dictionary sink."""
+    p = prefix.lower()
+    upper = p[:-1] + chr(ord(p[-1]) + 1)
+    return (
+        vocab.filter((F.col("token") >= p) & (F.col("token") < upper))
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(k)
+        .select("token", "df")
+    )
+
+
 def suggest(
     vocab: DataFrame, term: str, max_dist: int = 2, k: int = 5
 ) -> DataFrame:

@@ -280,3 +280,20 @@ def test_phrase_empty_and_no_match(spark):
     pp = P.positional_postings(docs)
     assert P.phrase_match(pp, []).count() == 0
     assert P.phrase_match(pp, ["c", "a"]).count() == 0
+
+
+def test_complete_prefix_ranked_by_df(spark):
+    docs = _docs(
+        spark,
+        [
+            (1, "star star stone apple"),
+            (2, "star sun apple"),
+            (3, "stone sun tau"),
+        ],
+    )
+    vocab = doc_frequencies(term_frequencies(doc_tokens(docs)))
+    got = [(r.token, r.df) for r in P.complete(vocab, "s", k=3).collect()]
+    # df: star 2, stone 2, sun 2 → all tied, token ASC; 'tau' excluded
+    assert got == [("star", 2), ("stone", 2), ("sun", 2)]
+    got2 = [r.token for r in P.complete(vocab, "st", k=5).collect()]
+    assert got2 == ["star", "stone"]
