@@ -115,6 +115,12 @@ def collocations(
     bigram slots and P(x) = c_x/T over T token slots — the standard
     collocation estimator (Church & Hanks 1990). min_count filters the
     unstable low-frequency tail.
+
+    Cost note: the bigram and unigram branches each re-derive the token
+    arrays (two tokenize passes over the text). A deployment that has
+    already materialized a tokens column (or the tf table, which yields
+    c_x and T directly) feeds that in instead — the estimator only
+    needs counts, not the raw text.
     """
     toks = doc_tokens(documents, id_col, text_col)
     bi = (
@@ -177,7 +183,9 @@ def snippets(
         .agg(F.min("pos").cast("long").alias("first_pos"))
     )
     start = F.greatest(F.lit(1), F.col("first_pos") + F.lit(1) - F.lit(window))
-    return toks.join(firsts, "doc_id").select(
+    # firsts is |matching docs| rows — broadcast it so the token arrays
+    # stream through the join unshuffled
+    return toks.join(F.broadcast(firsts), "doc_id").select(
         "doc_id",
         "first_pos",
         F.array_join(

@@ -35,6 +35,10 @@ def rank_eval(ranked: DataFrame, rels: DataFrame, k: int = 10) -> DataFrame:
     `ranked`: (doc_id, score) — a top-k result page; ranks are assigned
     by (score DESC, doc_id ASC), the engine's deterministic tie-break.
     `rels`: (doc_id, rel) graded judgments; missing docs score rel=0.
+
+    Ranks beyond the judgment-set size are dropped (their IDCG prefix
+    is undefined); an empty judgment table therefore yields an empty
+    metric table, never a divide-by-zero.
     """
     # all four windows run over a bounded result page (≤k rows by
     # construction), so one partition IS the right plan. The partition
