@@ -203,6 +203,8 @@ def complete(
     range as prefix_search — min/max prunable on a token-sorted
     dictionary sink."""
     p = prefix.lower()
+    if not p:
+        raise ValueError("complete() needs a non-empty prefix")
     upper = p[:-1] + chr(ord(p[-1]) + 1)
     return (
         vocab.filter((F.col("token") >= p) & (F.col("token") < upper))

@@ -111,6 +111,8 @@ def prefix_search(postings: DataFrame, prefix: str, k: int = 10) -> DataFrame:
     bit-parity).
     """
     p = prefix.lower()
+    if not p:
+        raise ValueError("prefix_search() needs a non-empty prefix")
     hits = postings.filter(
         (F.col("token") >= p) & (F.col("token") < _prefix_upper(p))
     )
