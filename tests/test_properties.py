@@ -1,0 +1,131 @@
+"""Property-based parity tests (hypothesis): the pure-Python normative
+implementations in pycore and the distributed operators must agree on
+RANDOM inputs, not just the golden vectors. Each example batches many
+rows into one Spark job so the suite stays fast."""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from searchengine_spark.pycore.tokenizer import tokenize
+from searchengine_spark.pycore.urltools import xxhash64
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# text with the characters that exercise the tokenizer's edges:
+# apostrophes (edge-trim), unicode, digits, separators
+_text = st.text(
+    alphabet=st.sampled_from(list("abz09'’ .,-_/\nÉß中")), max_size=60
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_text, min_size=1, max_size=25))
+def test_tokenizer_sql_matches_pycore(spark, texts):
+    from searchengine_spark.functions.text import tokens_sql
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, text string"
+    )
+    got = {
+        r.i: list(r.toks)
+        for r in df.select("i", F.expr(tokens_sql("text")).alias("toks")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == tokenize(t), (i, t)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.one_of(st.text(alphabet="ab", min_size=0, max_size=12), st.binary(max_size=12)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_xxhash64_matches_spark(spark, datas):
+    rows = [(i, d if isinstance(d, str) else d.decode("latin-1")) for i, d in enumerate(datas)]
+    df = spark.createDataFrame(rows, "i long, s string")
+    got = {r.i: r.h for r in df.select("i", F.xxhash64("s").alias("h")).collect()}
+    for i, (orig_i, s) in enumerate(rows):
+        assert got[orig_i] == xxhash64(s), s
+
+
+def _phrase_brute(tokens: list[str], phrase: list[str]) -> int:
+    n, k = len(tokens), len(phrase)
+    return sum(1 for s in range(n - k + 1) if tokens[s : s + k] == phrase)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=12,
+    ),
+    st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=3),
+)
+def test_phrase_match_matches_bruteforce(spark, docs, phrase):
+    from searchengine_spark.operators.positional import phrase_match
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id long, text string",
+    )
+    from searchengine_spark.operators.positional import positional_postings
+
+    got = {
+        r.doc_id: r.n_occ
+        for r in phrase_match(positional_postings(df), phrase).collect()
+    }
+    for i, toks in enumerate(docs):
+        exp = _phrase_brute(toks, phrase)
+        assert got.get(i, 0) == exp, (toks, phrase)
+
+
+def _walk(mapping: dict[int, int | None], start: int, bound: int):
+    cur, hops = start, 0
+    while hops < bound:
+        nxt = mapping.get(cur, "TERM")
+        if nxt == "TERM" or nxt is None:
+            return cur, hops
+        cur, hops = nxt, hops + 1
+    return None, None  # loop / over bound
+
+
+@settings(**_SETTINGS)
+@given(
+    st.dictionaries(
+        st.integers(0, 11),
+        st.one_of(st.none(), st.integers(0, 11)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_resolve_redirects_matches_walk(spark, mapping):
+    from searchengine_spark.operators.redirects import resolve_redirects
+
+    rows = [
+        (f"u{k}", None if v is None else f"u{v}") for k, v in mapping.items()
+    ]
+    df = spark.createDataFrame(rows, "url string, redirect_to string")
+    got = {
+        r.url: (r.final_url, r.n_hops, r.is_loop)
+        for r in resolve_redirects(df, max_hops=16).collect()
+    }
+    assert set(got) == {f"u{k}" for k in mapping}
+    for k, v in mapping.items():
+        if v is None:
+            assert got[f"u{k}"] == (f"u{k}", 0, False)
+            continue
+        final, hops = _walk(mapping, k, 16)
+        if final is None:
+            assert got[f"u{k}"] == (None, None, True), (k, mapping)
+        else:
+            assert got[f"u{k}"] == (f"u{final}", hops, False), (k, mapping)
