@@ -635,6 +635,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # any query term; text never leaves the executors
         return PX.snippets(_docs(spark, sf), _SNIPPET_TERMS, window=5)
 
+    def q_textrank(spark, sf):
+        # TextRank keywords: weighted PageRank over the adjacent-token
+        # co-occurrence graph (reuses linkrank's iteration plan)
+        return _r(PX.textrank(_docs(spark, sf), n_iters=5), "rank")
+
     def q_complete(spark, sf):
         # autocomplete: s* completions from the dictionary by df
         vocab = TF.doc_frequencies(
@@ -808,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "proximity": q_proximity,
         "cocitation": q_cocitation,
         "complete": q_complete,
+        "textrank": q_textrank,
     }
 
 
@@ -1036,6 +1042,56 @@ hits AS (
 )
 SELECT DISTINCT CAST(h.query_id AS BIGINT) AS query_id, h.doc_id
 FROM hits h JOIN need USING (query_id, conj_id) WHERE got = k"""
+
+
+def _duck_textrank(n_iters: int = 5, damping: float = 0.85) -> str:
+    """TextRank oracle — unrolled weighted-PageRank chain (same
+    iteration arithmetic as _pagerank_sql) over the adjacent-token
+    co-occurrence graph. The symmetric graph has no dangling vertices,
+    so the engine's dangling-mass scalar is exactly 0.0 and adding it
+    is an IEEE no-op."""
+    d = damping
+    ctes = [
+        f"tokarr AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents)",
+        """big AS (
+  SELECT unnest(list_transform(tl[1:len(tl)-1],
+                               (x, i) -> struct_pack(a := x, b := tl[i+1])),
+                recursive := true)
+  FROM tokarr WHERE len(tl) > 1
+)""",
+        """pd AS (
+  SELECT least(a, b) AS x, greatest(a, b) AS y, count(*) AS w
+  FROM big WHERE a <> b GROUP BY least(a, b), greatest(a, b)
+)""",
+        """e AS (
+  SELECT x AS src, y AS dst, CAST(w AS DOUBLE) AS w FROM pd
+  UNION ALL
+  SELECT y AS src, x AS dst, CAST(w AS DOUBLE) AS w FROM pd
+)""",
+        "vv AS (SELECT DISTINCT src AS id FROM e "
+        "UNION SELECT DISTINCT dst AS id FROM e)",
+        "nn AS (SELECT count(*) AS c FROM vv)",
+        "deg AS (SELECT src, sum(w) AS dg FROM e GROUP BY src)",
+        "r0 AS (SELECT id, 1.0e0/(SELECT c FROM nn) AS r FROM vv)",
+    ]
+    for k in range(1, n_iters + 1):
+        ctes.append(
+            f"""r{k} AS (
+  SELECT vv.id,
+         (1.0e0 - {d}e0)/(SELECT c FROM nn)
+           + {d}e0*(COALESCE(s.v, 0.0e0) + 0.0e0) AS r
+  FROM vv LEFT JOIN (
+    SELECT e.dst AS id, sum(r{k-1}.r*e.w/deg.dg) AS v
+    FROM e JOIN r{k-1} ON r{k-1}.id = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.id = vv.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id AS token, round(r, 9) AS rank FROM r{n_iters}"
+    )
 
 
 def _duck_more_like_this(qid: int, k: int) -> str:
@@ -1876,6 +1932,7 @@ FROM g""",
         "more_like_this": _duck_more_like_this(0, k=10),
         "mirror_hosts": _DUCK_MIRROR_HOSTS,
         "percolate": _duck_percolate(_ALERTS),
+        "textrank": _duck_textrank(n_iters=5, damping=0.85),
         "complete": f"""
 WITH {_DUCK_TOKENS}
 SELECT token, df FROM dfreq

@@ -159,6 +159,58 @@ def collocations(
     )
 
 
+def textrank(
+    documents: DataFrame,
+    n_iters: int = 5,
+    damping: float = 0.85,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, rank) — TextRank keyword scores (Mihalcea & Tarau 2004):
+    weighted PageRank over the word co-occurrence graph, edges =
+    adjacent token pairs (window 2), undirected with co-occurrence
+    counts as weights.
+
+    Composition, not new machinery: the bigram stream feeds
+    linkrank.pagerank (weight-w edge ≡ w parallel unit edges), so the
+    per-iteration plan is the same one edges⋈ranks join + groupBy
+    partial agg the link graph uses. Tokens that never co-occur with a
+    DIFFERENT token have no edges and are excluded (standard TextRank
+    behavior — no co-occurrence evidence, no score).
+    """
+    from searchengine_spark.operators.linkrank import pagerank
+
+    toks = doc_tokens(documents, id_col, text_col)
+    bi = (
+        toks.filter(F.col("n_terms") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "arrays_zip(slice(tokens, 1, size(tokens) - 1),"
+                    " slice(tokens, 2, size(tokens) - 1))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+    )
+    und = (
+        bi.select(
+            F.least("a", "b").alias("x"), F.greatest("a", "b").alias("y")
+        )
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("w"))
+    )
+    edges = und.select(
+        F.col("x").alias("src"), F.col("y").alias("dst"), "w"
+    ).unionByName(
+        und.select(F.col("y").alias("src"), F.col("x").alias("dst"), "w")
+    )
+    return pagerank(
+        edges, n_iters=n_iters, damping=damping, weight_col="w"
+    ).withColumnRenamed("id", "token")
+
+
 def snippets(
     documents: DataFrame,
     terms: list[str],

@@ -297,3 +297,20 @@ def test_complete_prefix_ranked_by_df(spark):
     assert got == [("star", 2), ("stone", 2), ("sun", 2)]
     got2 = [r.token for r in P.complete(vocab, "st", k=5).collect()]
     assert got2 == ["star", "stone"]
+
+
+def test_textrank_hub_word_ranks_highest(spark):
+    # 'hub' co-occurs with every other word; ranks must sum to ~1
+    docs = _docs(
+        spark,
+        [
+            (1, "hub alpha hub beta hub gamma"),
+            (2, "hub delta"),
+            (3, "solo solo"),  # self-pairs only → excluded from graph
+        ],
+    )
+    rows = P.textrank(docs, n_iters=10).collect()
+    ranks = {r.token: r.rank for r in rows}
+    assert "solo" not in ranks
+    assert max(ranks, key=ranks.get) == "hub"
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
