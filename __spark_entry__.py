@@ -635,6 +635,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # any query term; text never leaves the executors
         return PX.snippets(_docs(spark, sf), _SNIPPET_TERMS, window=5)
 
+    def q_weighted_sample(spark, sf):
+        # A-ES weighted sampling: w = text length, deterministic keys
+        return _r(
+            SP.weighted_sample(
+                _docs(spark, sf), F.length("text"), k=50, id_col="doc_id"
+            ),
+            "weight", "key",
+        )
+
     def q_textrank(spark, sf):
         # TextRank keywords: weighted PageRank over the adjacent-token
         # co-occurrence graph (reuses linkrank's iteration plan)
@@ -814,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cocitation": q_cocitation,
         "complete": q_complete,
         "textrank": q_textrank,
+        "weighted_sample": q_weighted_sample,
     }
 
 
@@ -1933,6 +1943,17 @@ FROM g""",
         "mirror_hosts": _DUCK_MIRROR_HOSTS,
         "percolate": _duck_percolate(_ALERTS),
         "textrank": _duck_textrank(n_iters=5, damping=0.85),
+        "weighted_sample": f"""
+WITH keyed AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS weight,
+         ln(CAST({_duck_h60("CAST(doc_id AS VARCHAR)")} + 1 AS DOUBLE)
+            / CAST(1152921504606846976 AS DOUBLE))
+           / CAST(length(text) AS DOUBLE) AS key
+  FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, round(weight, 9) AS weight, round(key, 9) AS key
+FROM keyed ORDER BY key DESC, doc_id ASC LIMIT 50""",
         "complete": f"""
 WITH {_DUCK_TOKENS}
 SELECT token, df FROM dfreq

@@ -101,3 +101,40 @@ def mixture_sample(
         .filter(F.col("h") < F.col("keep_below"))
         .select(id_col, source_col, "h")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight: F.Column | str,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis
+    & Spirakis 2006 A-ES): each row draws u = (h60(id)+1)/2^60 ∈ (0,1]
+    and is ranked by key = ln(u)/w — the top-k keys are exactly a
+    w-proportional sample without replacement. ln(u)/w preserves the
+    classic u^(1/w) order (ln is monotone, w > 0) while avoiding pow's
+    cross-engine precision traps.
+
+    One scan + TakeOrdered — no shuffle beyond the top-k merge; the
+    sample is a pure function of row ids, so re-runs, retries and the
+    DuckDB oracle reproduce it bit-for-bit.
+
+    Returns the sampled rows' (id, weight, key), key rounded by the
+    caller for oracle comparison.
+    """
+    w = F.col(weight) if isinstance(weight, str) else weight
+    u = (h60_col(f"CAST({id_col} AS STRING)") + F.lit(1)).cast(
+        "double"
+    ) / F.lit(float(2**60))
+    key = F.log(u) / w.cast("double")
+    return (
+        df.select(
+            F.col(id_col),
+            w.cast("double").alias("weight"),
+            key.alias("key"),
+        )
+        .filter(F.col("weight") > 0)
+        .orderBy(F.col("key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -169,3 +169,31 @@ def test_pack_sequences_empty_doc(spark):
     # same offset
     assert out[2] == (0, 4, 1, 1)
     assert out[3] == (1, 4, 1, 1)
+
+
+def test_weighted_sample_aes(spark):
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.sampling import weighted_sample
+
+    # 100 light rows (w=1) + 100 heavy rows (w=50): heavy should
+    # dominate a k=40 sample; zero-weight rows never appear
+    rows = (
+        [(i, 1) for i in range(100)]
+        + [(i + 100, 50) for i in range(100)]
+        + [(999, 0)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, w int")
+    got = weighted_sample(df, "w", k=40, id_col="doc_id").collect()
+    assert len(got) == 40
+    ids = [r.doc_id for r in got]
+    assert 999 not in ids
+    heavy = sum(1 for i in ids if 100 <= i < 200)
+    assert heavy >= 30  # E[heavy] ≈ 39; md5 keys are fixed, not flaky
+    # deterministic: identical second run
+    again = [r.doc_id for r in weighted_sample(df, "w", k=40, id_col="doc_id").collect()]
+    assert ids == again
+    # keys are ln(u)/w — all negative, sorted descending
+    keys = [r.key for r in got]
+    assert all(k < 0 for k in keys)
+    assert keys == sorted(keys, reverse=True)
