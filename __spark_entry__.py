@@ -635,6 +635,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # any query term; text never leaves the executors
         return PX.snippets(_docs(spark, sf), _SNIPPET_TERMS, window=5)
 
+    def q_ppr(spark, sf):
+        # personalized PageRank from seeds doc_id % 100 == 0 over the
+        # link_rank graph — teleport/dangling mass returns to the seeds
+        from searchengine_spark.operators import linkrank as LR
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        seeds = docs.filter(F.col("doc_id") % 100 == 0).select(
+            F.col("doc_id").alias("id")
+        )
+        return _r(
+            LR.personalized_pagerank(edges, seeds, n_iters=5)
+            .withColumnRenamed("id", "doc_id"),
+            "rank",
+        )
+
     def q_weighted_sample(spark, sf):
         # A-ES weighted sampling: w = text length, deterministic keys
         return _r(
@@ -824,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complete": q_complete,
         "textrank": q_textrank,
         "weighted_sample": q_weighted_sample,
+        "ppr": q_ppr,
     }
 
 
@@ -1052,6 +1077,51 @@ hits AS (
 )
 SELECT DISTINCT CAST(h.query_id AS BIGINT) AS query_id, h.doc_id
 FROM hits h JOIN need USING (query_id, conj_id) WHERE got = k"""
+
+
+def _duck_ppr(n_iters: int = 5, damping: float = 0.85) -> str:
+    """Personalized-PageRank oracle over the q_link_rank graph, seeds
+    doc_id % 100 == 0. Out-degree is 3 everywhere (no dangling), so the
+    engine's dmass scalar is exactly 0.0 each iteration — mirrored as
+    + 0.0e0*p."""
+    d = damping
+    edge_selects = [
+        f"  SELECT doc_id AS src, (doc_id*{a}+{b}) % (SELECT c FROM nn)"
+        f" AS dst FROM documents"
+        for a, b in [(2, 1), (3, 7), (5, 11)]
+    ]
+    ctes = [
+        "nn AS (SELECT count(*) AS c FROM documents)",
+        "e AS (\n" + "\n  UNION ALL\n".join(edge_selects) + "\n)",
+        "deg AS (SELECT src, count(*) AS dg FROM e GROUP BY src)",
+        "sn AS (SELECT count(*) AS c FROM documents WHERE doc_id % 100 = 0)",
+        """pv AS (
+  SELECT doc_id AS id,
+         CASE WHEN doc_id % 100 = 0
+              THEN 1.0e0/CAST((SELECT c FROM sn) AS DOUBLE)
+              ELSE 0.0e0 END AS p
+  FROM documents
+)""",
+        "r0 AS (SELECT id, p AS r FROM pv)",
+    ]
+    for k in range(1, n_iters + 1):
+        ctes.append(
+            f"""r{k} AS (
+  SELECT pv.id,
+         (1.0e0 - {d}e0)*pv.p
+           + {d}e0*(COALESCE(s.v, 0.0e0) + 0.0e0*pv.p) AS r
+  FROM pv LEFT JOIN (
+    SELECT e.dst AS id, sum(r{k-1}.r*1.0e0/deg.dg) AS v
+    FROM e JOIN r{k-1} ON r{k-1}.id = e.src JOIN deg ON deg.src = e.src
+    GROUP BY e.dst
+  ) s ON s.id = pv.id
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT id AS doc_id, round(r, 9) AS rank FROM r{n_iters}"
+    )
 
 
 def _duck_textrank(n_iters: int = 5, damping: float = 0.85) -> str:
@@ -1943,6 +2013,7 @@ FROM g""",
         "mirror_hosts": _DUCK_MIRROR_HOSTS,
         "percolate": _duck_percolate(_ALERTS),
         "textrank": _duck_textrank(n_iters=5, damping=0.85),
+        "ppr": _duck_ppr(n_iters=5, damping=0.85),
         "weighted_sample": f"""
 WITH keyed AS (
   SELECT doc_id,

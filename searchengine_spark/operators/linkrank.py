@@ -93,21 +93,21 @@ def pagerank(
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum(F.col("rank") * F.col("w") / F.col("deg")).alias("s"))
         )
-        nxt = (
-            vertices.join(contrib, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dmass / n))
-                ).alias("rank"),
-            )
-            .persist()
+        nxt = vertices.join(contrib, "id", "left").select(
+            "id",
+            (
+                F.lit(base)
+                + F.lit(damping)
+                * (F.coalesce(F.col("s"), F.lit(0.0)) + F.lit(dmass / n))
+            ).alias("rank"),
         )
-        nxt.count()  # materialize BEFORE dropping the parent generation
-        ranks.unpersist()
-        ranks = nxt
+        # localCheckpoint (eager) materializes AND truncates lineage —
+        # with plain persist the logical plan still chains across
+        # generations and explodes at high iteration counts (observed:
+        # JVM OOM in plan stringification at ~30 iters)
+        prev = ranks
+        ranks = nxt.localCheckpoint(eager=True)
+        prev.unpersist()
 
     out = ranks
     shares.unpersist()
@@ -162,12 +162,13 @@ def hits(
                 "left",
             )
             .select("id", F.coalesce(F.col("a"), F.lit(0.0)).alias("a"))
-            .persist()
         )
-        a_next.count()  # materialize BEFORE dropping the parent auth
-        if auth is not None:
-            auth.unpersist()
-        auth = a_next
+        # eager localCheckpoint truncates the cross-generation lineage
+        # (plain persist OOMs plan stringification at high iter counts)
+        a_prev = auth
+        auth = a_next.localCheckpoint(eager=True)
+        if a_prev is not None:
+            a_prev.unpersist()
         h_next = (
             vertices.join(
                 e.join(auth.withColumnRenamed("id", "dst"), "dst")
@@ -177,11 +178,10 @@ def hits(
                 "left",
             )
             .select("id", F.coalesce(F.col("h"), F.lit(0.0)).alias("h"))
-            .persist()
         )
-        h_next.count()
-        hub.unpersist()
-        hub = h_next
+        h_prev = hub
+        hub = h_next.localCheckpoint(eager=True)
+        h_prev.unpersist()
 
     sums = auth.agg(F.sum("a").alias("sa")).crossJoin(
         hub.agg(F.sum("h").alias("sh"))
@@ -257,3 +257,92 @@ def cocitation(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_count)
     )
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iters: int = 5,
+    damping: float = 0.85,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(id, rank) — personalized PageRank / random walk with restart:
+    the teleport (and dangling) mass returns to the SEED set instead of
+    spreading uniformly, so ranks measure proximity to the seeds. The
+    focused-crawl twin of pagerank: seed the walk with on-topic pages
+    and the frontier reseed prioritizes their neighborhood.
+
+    Same per-iteration plan as pagerank (one edges⋈ranks join + one
+    groupBy(dst) partial agg, O(iters) driver scalars); the only new
+    state is the broadcastable per-vertex personalization column.
+    """
+    if weight_col is None:
+        edges = edges.select("src", "dst", F.lit(1.0).alias("w"))
+    else:
+        edges = edges.select(
+            "src", "dst", F.col(weight_col).cast("double").alias("w")
+        )
+    seed_ids = seeds.select("id").distinct()
+    vertices = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .unionByName(seed_ids)
+        .distinct()
+    )
+    ns = seed_ids.count()
+    if ns == 0:
+        raise ValueError("personalized_pagerank needs a non-empty seed set")
+    pv = (
+        vertices.join(seed_ids.withColumn("is_seed", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            F.when(F.col("is_seed"), F.lit(1.0 / ns))
+            .otherwise(F.lit(0.0))
+            .alias("p"),
+        )
+        .persist()
+    )
+    pv.count()
+
+    deg = edges.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("deg"))
+    shares = (
+        edges.join(deg.withColumnRenamed("id", "src"), "src")
+        .select("src", "dst", "w", "deg")
+        .persist()
+    )
+    dangling = pv.select("id").join(deg, "id", "left_anti").persist()
+
+    ranks = pv.select("id", F.col("p").alias("rank")).persist()
+    for _ in range(n_iters):
+        dmass = (
+            dangling.join(ranks, "id")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .collect()[0][0]
+        )
+        contrib = (
+            shares.join(ranks.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") * F.col("w") / F.col("deg")).alias("s"))
+        )
+        nxt = pv.join(contrib, "id", "left").select(
+            "id",
+            (
+                F.lit(1.0 - damping) * F.col("p")
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("s"), F.lit(0.0))
+                    + F.lit(dmass) * F.col("p")
+                )
+            ).alias("rank"),
+        )
+        # eager localCheckpoint: materialize + truncate lineage (see
+        # pagerank — plain persist OOMs plan stringification at high
+        # iteration counts)
+        prev = ranks
+        ranks = nxt.localCheckpoint(eager=True)
+        prev.unpersist()
+
+    shares.unpersist()
+    dangling.unpersist()
+    pv.unpersist()
+    return ranks

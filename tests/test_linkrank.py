@@ -142,3 +142,40 @@ def test_cocitation_counts_and_cuts(spark):
     }
     # the link farm (out-degree 4) is dropped before pairing
     assert capped == {("a", "b"): 3}
+
+
+def test_personalized_pagerank_localizes_to_seeds(spark):
+    from searchengine_spark.operators.linkrank import personalized_pagerank
+
+    # two disconnected 3-cycles; seeding in cycle A must put ~all mass
+    # in A (mass only leaks via teleport, which returns to seeds)
+    edges = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+         ("b1", "b2"), ("b2", "b3"), ("b3", "b1")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a1",)], "id string")
+    ranks = {
+        r.id: r.rank
+        for r in personalized_pagerank(edges, seeds, n_iters=20).collect()
+    }
+    mass_a = ranks["a1"] + ranks["a2"] + ranks["a3"]
+    mass_b = ranks["b1"] + ranks["b2"] + ranks["b3"]
+    assert abs(mass_a - 1.0) < 1e-9
+    assert mass_b == 0.0
+    assert ranks["a1"] > ranks["a2"] > 0  # seed keeps the teleport share
+
+
+def test_personalized_pagerank_dangling_returns_to_seeds(spark):
+    from searchengine_spark.operators.linkrank import personalized_pagerank
+
+    # s -> t, t dangles: its mass must return to the seed, not vanish —
+    # total mass stays 1
+    edges = spark.createDataFrame([("s", "t")], "src string, dst string")
+    seeds = spark.createDataFrame([("s",)], "id string")
+    ranks = {
+        r.id: r.rank
+        for r in personalized_pagerank(edges, seeds, n_iters=30).collect()
+    }
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks["s"] > ranks["t"] > 0
