@@ -342,10 +342,13 @@ def dup_clusters(
                 ).alias("label"),
                 (F.col("nmin") < F.col("label")).alias("_chg"),
             )
-        ).persist()
-        # the changed-count agg MATERIALIZES nxt's cache; only then is
-        # the previous generation's cache dropped (unpersisting earlier
-        # would chain recomputes through every prior iteration)
+        )
+        # eager localCheckpoint materializes the generation AND
+        # truncates lineage — with plain persist the logical plan still
+        # chains across iterations and plan stringification OOMs at
+        # high iteration counts (same bug fixed in linkrank's loops);
+        # the changed-count agg then reads the checkpointed blocks
+        nxt = nxt.localCheckpoint(eager=True)
         changed = nxt.agg(
             F.coalesce(F.sum(F.col("_chg").cast("long")), F.lit(0))
         ).collect()[0][0]
@@ -365,10 +368,10 @@ def dup_clusters(
             f"{max_iters} iterations ({changed} labels still changing); "
             "raise max_iters for deep-chain graphs"
         )
-    # truncate lineage off the iteration caches, then drop the final
-    # cached generation — repeated calls must not leak session-lifetime
-    # cache entries (localCheckpoint blocks are ContextCleaner-collected
-    # when the returned DataFrame is garbage-collected)
+    # hand the caller a lineage-free frame and drop the final iteration
+    # generation — repeated calls must not leak session-lifetime cache
+    # entries (localCheckpoint blocks are ContextCleaner-collected when
+    # the returned DataFrame is garbage-collected)
     labels = labels.localCheckpoint(eager=True)
     cached.unpersist()
     out = labels.select(F.col("v").alias("doc_id"), F.col("label").alias("cluster_id"))
