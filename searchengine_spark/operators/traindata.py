@@ -265,3 +265,62 @@ def pack_sequences(
             "last_seq",
         )
     )
+
+
+def export_jsonl(
+    df: DataFrame,
+    path: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+) -> dict:
+    """Training-data hand-off sink: write `df` as `n_shards` JSONL
+    shards with DETERMINISTIC id→shard routing (pmod of the 60-bit md5
+    of the id — the sampling family's h60), plus a `manifest.json`
+    recording per-shard row counts and the total.
+
+    Determinism is the point: a re-run (or a retried failed stage)
+    produces byte-stable shard MEMBERSHIP, so downstream training jobs
+    can cache/resume against shard identities. Within a shard, JSONL
+    line order is not guaranteed (it is a parallel write); consumers
+    that need order sort by id.
+
+    Scale: one hash repartition to exactly n_shards writers, each
+    streaming its partition — no driver-side data; the manifest is one
+    tiny aggregate.
+    """
+    import json as _json
+    import os as _os
+
+    from searchengine_spark.operators.sampling import h60_col
+
+    sharded = df.withColumn(
+        "_shard", F.pmod(h60_col(f"CAST({id_col} AS STRING)"), F.lit(n_shards))
+    )
+    counts = {
+        int(r["_shard"]): int(r["n"])
+        for r in sharded.groupBy("_shard").agg(F.count("*").alias("n")).collect()
+    }
+    (
+        sharded.repartition(n_shards, "_shard")
+        .select(F.to_json(F.struct(*[c for c in df.columns])).alias("line"), "_shard")
+        .write.mode("overwrite")
+        .partitionBy("_shard")
+        .text(path)
+    )
+    manifest = {
+        "n_shards": n_shards,
+        "total_rows": int(sum(counts.values())),
+        "shard_rows": {str(k): counts.get(k, 0) for k in range(n_shards)},
+        "columns": list(df.columns),
+    }
+    with open(_os.path.join(path, "manifest.json"), "w", encoding="utf-8") as fh:
+        _json.dump(manifest, fh, indent=1, sort_keys=True)
+    return manifest
+
+
+def read_jsonl_export(spark, path: str, schema: str) -> DataFrame:
+    """Read back an export_jsonl dataset: text scan over the shard
+    directories + from_json with the caller's schema (schema-on-read,
+    no inference pass)."""
+    lines = spark.read.text(path + "/_shard=*/part-*")
+    return lines.select(F.from_json("value", schema).alias("r")).select("r.*")

@@ -197,3 +197,32 @@ def test_weighted_sample_aes(spark):
     keys = [r.key for r in got]
     assert all(k < 0 for k in keys)
     assert keys == sorted(keys, reverse=True)
+
+
+def test_export_jsonl_roundtrip_and_determinism(spark, tmp_path):
+    import json
+    import os
+
+    from searchengine_spark.operators.traindata import (
+        export_jsonl,
+        read_jsonl_export,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(200)], "doc_id long, text string"
+    )
+    out = str(tmp_path / "export")
+    m1 = export_jsonl(df, out, n_shards=4)
+    assert m1["total_rows"] == 200
+    assert sum(m1["shard_rows"].values()) == 200
+    assert os.path.exists(os.path.join(out, "manifest.json"))
+    with open(os.path.join(out, "manifest.json")) as fh:
+        assert json.load(fh) == m1
+
+    back = read_jsonl_export(spark, out, "doc_id long, text string")
+    got = sorted((r.doc_id, r.text) for r in back.collect())
+    assert got == [(i, f"text {i}") for i in range(200)]
+
+    # deterministic shard membership across re-runs
+    m2 = export_jsonl(df, str(tmp_path / "export2"), n_shards=4)
+    assert m2["shard_rows"] == m1["shard_rows"]
