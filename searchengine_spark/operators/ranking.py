@@ -150,3 +150,61 @@ def champion_lists(
         .filter(F.col("rk") <= k)
         .select("token", "doc_id", "weight", "rk")
     )
+
+
+def diversify_mmr(
+    page: DataFrame,
+    postings: DataFrame,
+    lam: float = 0.5,
+    k: int | None = None,
+) -> DataFrame:
+    """(rank, doc_id, mmr_score) — Maximal Marginal Relevance
+    re-ranking of a RESULT PAGE (Carbonell & Goldstein 1998): greedily
+    pick argmax λ·rel − (1−λ)·max-cosine-to-selected.
+
+    `page` is (doc_id, score) — a top-k page, ≤k rows by construction.
+    `postings` supplies sparse doc vectors as (doc_id, token, tf_idf);
+    only the page docs' rows are pulled (broadcast semi-join prune).
+
+    Greedy MMR is inherently sequential over the page, so the honest
+    distributed shape is ONE applyInPandas group doing the k-step loop
+    over ≤k rows — the same bounded-page rationale as rankeval's
+    windows. The arithmetic is pycore/mmr.py verbatim (parity-tested),
+    so results are deterministic and engine-independent.
+    """
+    import pandas as pd
+
+    vec = postings.join(
+        F.broadcast(page.select("doc_id")), "doc_id"
+    ).select("doc_id", "token", F.col("tf_idf").alias("w"))
+    joined = (
+        page.select("doc_id", "score")
+        .join(vec, "doc_id", "left")
+        .withColumn("_g", F.pmod(F.col("doc_id"), F.lit(1)))
+    )
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        from searchengine_spark.pycore.mmr import mmr as _mmr
+
+        rel = {}
+        vectors: dict[int, dict[str, float]] = {}
+        for r in pdf.itertuples(index=False):
+            rel[int(r.doc_id)] = float(r.score)
+            if r.token is not None and not (
+                isinstance(r.token, float) and pd.isna(r.token)
+            ):
+                vectors.setdefault(int(r.doc_id), {})[str(r.token)] = float(
+                    r.w
+                )
+        out = _mmr(sorted(rel.items()), vectors, lam=lam, k=k)
+        return pd.DataFrame(
+            {
+                "rank": [o[0] for o in out],
+                "doc_id": [o[1] for o in out],
+                "mmr_score": [o[2] for o in out],
+            }
+        )
+
+    return joined.groupBy("_g").applyInPandas(
+        _run, "rank long, doc_id long, mmr_score double"
+    )

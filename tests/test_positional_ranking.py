@@ -314,3 +314,38 @@ def test_textrank_hub_word_ranks_highest(spark):
     assert "solo" not in ranks
     assert max(ranks, key=ranks.get) == "hub"
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_mmr_demotes_redundant_results_and_matches_pycore(spark):
+    from searchengine_spark.operators.ranking import diversify_mmr
+    from searchengine_spark.operators.tfidf import build_postings
+    from searchengine_spark.pycore.mmr import mmr as py_mmr
+
+    docs = _docs(
+        spark,
+        [
+            (1, "apple banana cherry"),
+            (2, "apple banana cherry"),   # duplicate of 1
+            (3, "dog elephant fox"),      # diverse
+            (4, "apple dog zebra"),
+        ],
+    )
+    postings = build_postings(docs)
+    page = spark.createDataFrame(
+        [(1, 10.0), (2, 9.5), (3, 9.0), (4, 5.0)], "doc_id long, score double"
+    )
+    got = sorted(
+        ((r.rank, r.doc_id, r.mmr_score) for r in
+         diversify_mmr(page, postings, lam=0.5).collect())
+    )
+    # parity with the normative pycore implementation
+    vecs = {}
+    for r in postings.collect():
+        vecs.setdefault(r.doc_id, {})[r.token] = r.tf_idf
+    exp = py_mmr([(1, 10.0), (2, 9.5), (3, 9.0), (4, 5.0)], vecs, lam=0.5)
+    assert got == sorted(exp)
+    # semantics: doc 2 (exact duplicate of the top hit) must NOT be
+    # ranked second — a diverse doc overtakes it
+    by_rank = {rk: d for rk, d, _ in got}
+    assert by_rank[0] == 1
+    assert by_rank[1] != 2
