@@ -49,7 +49,13 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--champions", type=int, default=0)
     args = ap.parse_args(argv)
 
-    spark = SparkSession.builder.appName("index-build").getOrCreate()
+    # reuse an embedding application's session (tests, notebooks) and
+    # leave its lifecycle alone; under spark-submit there is none, so
+    # create — and stop — our own
+    spark = SparkSession.getActiveSession()
+    owns_session = spark is None
+    if owns_session:
+        spark = SparkSession.builder.appName("index-build").getOrCreate()
     docs = spark.read.parquet(args.docs)
 
     tf_path = os.path.join(args.out, "tf")
@@ -85,13 +91,18 @@ def main(argv: list[str]) -> int:
                 "overwrite"
             ).parquet(os.path.join(args.out, "champions"))
 
-    # swap the tf state last (the postings sink is idempotent overwrite)
+    # swap the tf state last (the postings sink is idempotent overwrite),
+    # then drop the staging dir — count from the WRITTEN sink, not the
+    # lazy plan still rooted at the staging files
     final = spark.read.parquet(tf_path + ".next")
     final.write.mode("overwrite").parquet(tf_path)
+    n = spark.read.parquet(os.path.join(args.out, "postings")).count()
+    import shutil
 
-    n = postings.count()
+    shutil.rmtree(tf_path + ".next", ignore_errors=True)
     print(f"index written: {n} postings → {args.out}")
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 
