@@ -580,6 +580,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Gopher-style within-doc repetition (duplicate-bigram fraction)
         return TS.repetition_stats(_docs(spark, sf))
 
+    def q_lm_score(spark, sf):
+        # corpus-trained add-one bigram LM score (CCNet LM-filter
+        # analog): count tables map-side combined, score join reuses
+        # the (w1,w2) agg exchange, per-doc sum is a position-ordered
+        # sequential fold (bit-equal in DuckDB)
+        return TS.lm_score(_docs(spark, sf))
+
+    def q_keep_best(spark, sf):
+        # dedup retention: one representative per duplicate cluster,
+        # argmax quality (tie → min doc_id) via skew-proof
+        # max(struct) partial aggregation
+        docs = _docs(spark, sf)
+        clusters = DD.dup_clusters(DD.ngram_dup_pairs(docs, 0.7), docs)
+        return DD.keep_best(clusters, TS.quality_scores(docs))
+
     def q_decontaminate(spark, sf):
         # benchmark decontamination: train docs sharing any word 5-gram
         # with the deterministic doc_id % 97 == 0 eval slice (broadcast
@@ -827,6 +842,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "mixture_sample": q_mixture_sample,
         "repetition": q_repetition,
+        "lm_score": q_lm_score,
+        "keep_best": q_keep_best,
         "decontaminate": q_decontaminate,
         "span_dedup": q_span_dedup,
         "pii_scrub": q_pii_scrub,
@@ -1997,6 +2014,67 @@ SELECT doc_id, n_tokens, len(grams) AS n_ngrams,
             ELSE round(1 - CAST(len(list_distinct(grams)) AS DOUBLE)
                        / len(grams), 9) END AS dup_ngram_frac
 FROM g""",
+        # corpus-trained add-one bigram LM: count tables by GROUP BY,
+        # per-doc sum replayed as the identical position-ordered
+        # sequential fold (ln of identical doubles is bit-equal)
+        "lm_score": f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(len(tl) - 1),
+                i -> struct_pack(pos := i, w1 := tl[i + 1],
+                                 w2 := tl[i + 2])),
+                recursive := true)
+  FROM toks WHERE len(tl) >= 2
+),
+uni AS (SELECT w1, count(*) AS cu
+        FROM (SELECT unnest(tl) AS w1 FROM toks) GROUP BY w1),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS vv FROM uni),
+sc AS (
+  SELECT bi.doc_id, bi.pos,
+         ln((CAST(big.cb AS DOUBLE) + 1.0e0)
+            / (CAST(uni.cu AS DOUBLE) + (SELECT vv FROM v))) AS logp
+  FROM bi
+  JOIN (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2) big
+    USING (w1, w2)
+  JOIN uni USING (w1)
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_bigrams,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(logp ORDER BY pos)),
+                     (a, b) -> a + b) AS s
+  FROM sc GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+       round(coalesce(agg.s / agg.n_bigrams, 0.0e0), 9) AS avg_logprob
+FROM toks t LEFT JOIN agg USING (doc_id)""",
+        # dedup retention: clusters CTE = the dup_clusters oracle
+        # (recursive min-reachable-id), quality CTE = the quality
+        # oracle's arithmetic; argmax replayed as a window rank
+        "keep_best": f"""
+WITH clu AS ({_DUCK_DUP_CLUSTERS}),
+tq AS (SELECT doc_id, text, {_DUCK_TL} AS tl FROM documents),
+q AS (
+  SELECT doc_id,
+         round(0.4*(CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+                       AS DOUBLE) / length(text) END)
+         + 0.4*least(1.0, 5.0*(CASE WHEN len(tl) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(tl, t -> t IN ({_EN}))) AS DOUBLE)
+                  / len(tl) END))
+         + 0.2*least(1.0, CAST(len(tl) AS DOUBLE)/256.0), 9) AS qq
+  FROM tq
+),
+j AS (SELECT clu.cluster_id, clu.doc_id, q.qq
+      FROM clu JOIN q USING (doc_id)),
+r AS (SELECT cluster_id, doc_id, qq,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY qq DESC, doc_id ASC) AS rk,
+             count(*) OVER (PARTITION BY cluster_id) AS n_members
+      FROM j)
+SELECT cluster_id, doc_id AS kept_doc_id, n_members, qq AS best_quality
+FROM r WHERE rk = 1""",
         "decontaminate": _DUCK_DECONTAMINATE,
         "span_dedup": _DUCK_SPAN_DEDUP,
         "pii_scrub": _DUCK_PII_SCRUB,

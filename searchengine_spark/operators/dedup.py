@@ -501,3 +501,48 @@ def embedding_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("doc_a", "doc_b", "cosine")
     )
+
+
+def keep_best(
+    clusters: DataFrame,
+    quality: DataFrame,
+    quality_col: str = "quality",
+) -> DataFrame:
+    """(cluster_id, kept_doc_id, n_members, best_quality) — dedup
+    RETENTION policy: pick one representative per duplicate cluster,
+    the member with the highest quality score (ties → lowest doc_id).
+    Completes the dedup story: dup_clusters says what is duplicated,
+    keep_best says which copy a training corpus keeps (the standard
+    "keep best-quality member" rule, vs the keep-first rule the
+    cluster_id = min(doc_id) labeling implies).
+
+    `clusters` is (doc_id, cluster_id) — e.g. dup_clusters() output;
+    `quality` is (doc_id, <quality_col>) — e.g. quality_scores(). The
+    comparison key is round(quality, 9): the contract surface precision,
+    so the argmax is reproducible in any engine that agrees on the
+    rounded score (the DuckDB oracle does, per the quality query).
+
+    Scale shape: one join on doc_id (co-partitioned under AQE) and one
+    groupBy(cluster_id) argmax via max(struct(q, -doc_id)) — partial
+    aggregation combines map-side, so a million-member boilerplate
+    cluster never funnels through a single window task.
+    """
+    q = quality.select(
+        "doc_id", F.round(F.col(quality_col), 9).alias("_q")
+    )
+    return (
+        clusters.join(q, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(F.col("_q"), (-F.col("doc_id")).alias("_nid"))
+            ).alias("w"),
+            F.count("*").alias("n_members"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("w._nid")).alias("kept_doc_id"),
+            "n_members",
+            F.col("w._q").alias("best_quality"),
+        )
+    )

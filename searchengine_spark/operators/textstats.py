@@ -172,3 +172,86 @@ def repetition_stats(
             " / size(grams), 9) END AS dup_ngram_frac",
         )
     )
+
+
+def lm_score(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_logprob) — corpus-trained add-one bigram
+    language-model score: the CCNet-style "LM quality filter" analog
+    (Wenzek et al. 2020 score documents with a KenLM model; here the
+    model is a bigram MLE with add-one smoothing trained on the corpus
+    itself, so the operator is self-contained and oracle-able).
+
+        P(w_i | w_{i-1}) = (c(w_{i-1}, w_i) + 1) / (c(w_{i-1}) + V)
+        avg_logprob      = (1/n) * sum_i ln P(w_i | w_{i-1})
+
+    Low avg_logprob ⇒ improbable token transitions (gibberish, SEO
+    keyword stuffing); a curation pipeline thresholds it like a
+    perplexity cut. Docs with < 2 tokens report (0, 0.0).
+
+    Scale shape: unigram and bigram count tables are groupBy
+    aggregations (map-side combined — a boilerplate bigram's millions
+    of occurrences collapse before the shuffle); the score join back to
+    the exploded bigram stream is co-partitioned on (w1, w2), the same
+    key as the count agg, so AQE reuses that exchange; the unigram join
+    keys on w1 only (skew handled by AQE skew-join). The per-doc sum is
+    a sequential fold in position order — deterministic IEEE order, so
+    the DuckDB oracle (list_reduce over list(logp ORDER BY pos))
+    reproduces it bit-for-bit. V (vocabulary size) is a single count()
+    scalar, the same driver-aggregate class as the tf-idf corpus count.
+    """
+    toks = tokens_sql(text_col)
+    base = documents.selectExpr(f"{id_col} AS doc_id", f"{toks} AS tl")
+    bi = (
+        base.where("size(tl) >= 2")
+        .selectExpr(
+            "doc_id",
+            # get() not tl[..]: Catalyst's subexpression elimination can
+            # evaluate this projection inside the size>=2 Filter stage,
+            # i.e. on rows the filter is about to drop — ANSI bracket
+            # indexing would throw there; get() is total (NULL OOB)
+            "transform(sequence(0, size(tl) - 2), i -> "
+            "struct(i AS pos, get(tl, i) AS w1, get(tl, i + 1) AS w2)) AS bs",
+        )
+        .select("doc_id", F.explode("bs").alias("b"))
+        .select("doc_id", "b.pos", "b.w1", "b.w2")
+    )
+    uni = (
+        base.select(F.explode("tl").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("cu"))
+    )
+    vocab_size = uni.count()
+    big = bi.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    scored = (
+        bi.join(big, ["w1", "w2"])
+        .join(uni, "w1")
+        .selectExpr(
+            "doc_id",
+            "pos",
+            # cb+1 and cu+V are exact in double (ints << 2^53); the
+            # division and ln are then bit-identical across engines
+            f"ln((CAST(cb AS DOUBLE) + 1.0D) / "
+            f"(CAST(cu AS DOUBLE) + {float(vocab_size)!r}D)) AS logp",
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(pos, logp))), "
+            "CAST(0.0 AS DOUBLE), (a, s) -> a + s.logp)"
+        ).alias("s"),
+    )
+    return (
+        base.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "coalesce(n_bigrams, 0L) AS n_bigrams",
+            "round(coalesce(s / n_bigrams, CAST(0.0 AS DOUBLE)), 9) "
+            "AS avg_logprob",
+        )
+    )

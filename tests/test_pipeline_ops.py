@@ -357,3 +357,69 @@ def test_lsh_multiprobe_recall_dominates_single(spark, sf_dir):
         hitsM += len(truth & bM)
     assert hitsM >= hits1
     emb.unpersist()
+
+
+def test_lm_score_semantics(spark):
+    # corpus: "a b" x2 and "a c" — add-one bigram LM over the corpus
+    rows = [(0, "a b"), (1, "a b"), (2, "a c"), (3, "solo"), (4, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+        for r in T.lm_score(df).collect()
+    }
+    # vocabulary = {a, b, c, solo} → V=4; c(a)=3, c(a,b)=2, c(a,c)=1
+    v = 4.0
+    p_ab = (2 + 1) / (3 + v)
+    p_ac = (1 + 1) / (3 + v)
+    assert out[0] == (1, round(math.log(p_ab), 9))
+    assert out[1] == out[0]
+    assert out[2] == (1, round(math.log(p_ac), 9))
+    # the common transition scores higher than the rare one
+    assert out[0][1] > out[2][1]
+    # <2-token docs are present with the zero contract
+    assert out[3] == (0, 0.0)
+    assert out[4] == (0, 0.0)
+
+
+def test_lm_score_sum_is_position_ordered(spark):
+    # multi-bigram doc: avg equals the sequential position-ordered fold
+    rows = [(0, "x y x y z"), (1, "x y"), (2, "y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in T.lm_score(df).collect()}
+    # unigrams: x:3 (2+1), y:4 (2+1+1), z:2 (1+1) → V=3
+    cu = {"x": 3, "y": 4, "z": 2}
+    cb = {("x", "y"): 3, ("y", "x"): 1, ("y", "z"): 2}
+    v = 3.0
+    def lp(a, b):
+        return math.log((cb[(a, b)] + 1) / (cu[a] + v))
+    s = 0.0
+    for a, b in [("x", "y"), ("y", "x"), ("x", "y"), ("y", "z")]:
+        s += lp(a, b)
+    assert got[0]["n_bigrams"] == 4
+    assert got[0]["avg_logprob"] == round(s / 4, 9)
+
+
+def test_keep_best_argmax_and_ties(spark):
+    clusters = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 4), (5, 4)],
+        "doc_id long, cluster_id long",
+    )
+    quality = spark.createDataFrame(
+        [
+            (0, 0.5),
+            (1, 0.9),   # best of cluster 0
+            (2, 0.9 - 1e-12),  # rounds to the same 9dp value as doc 1
+            (3, 0.1),
+            (4, 0.7),
+            (5, 0.7),   # exact tie with 4 → min doc_id wins
+        ],
+        "doc_id long, quality double",
+    )
+    out = {
+        r["cluster_id"]: r for r in D.keep_best(clusters, quality).collect()
+    }
+    # cluster 0: docs 1 and 2 tie at round9 → lower doc_id (1) kept
+    assert out[0]["kept_doc_id"] == 1 and out[0]["n_members"] == 3
+    assert out[0]["best_quality"] == 0.9
+    assert out[3]["kept_doc_id"] == 3 and out[3]["n_members"] == 1
+    assert out[4]["kept_doc_id"] == 4 and out[4]["n_members"] == 2
