@@ -580,6 +580,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Gopher-style within-doc repetition (duplicate-bigram fraction)
         return TS.repetition_stats(_docs(spark, sf))
 
+    def q_index_size(spark, sf):
+        # posting-list capacity planning: delta-gap + varint size vs
+        # raw int64, exact integer arithmetic (one shuffle; the
+        # groupBy reuses the lag window's token partitioning)
+        return TF.postings_size_estimate(
+            TF.build_postings(_docs(spark, sf)).select("doc_id", "token")
+        )
+
     def q_lm_score(spark, sf):
         # corpus-trained add-one bigram LM score (CCNet LM-filter
         # analog): count tables map-side combined, score join reuses
@@ -842,6 +850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_stratified": q_sample_stratified,
         "mixture_sample": q_mixture_sample,
         "repetition": q_repetition,
+        "index_size": q_index_size,
         "lm_score": q_lm_score,
         "keep_best": q_keep_best,
         "decontaminate": q_decontaminate,
@@ -2014,6 +2023,30 @@ SELECT doc_id, n_tokens, len(grams) AS n_ngrams,
             ELSE round(1 - CAST(len(list_distinct(grams)) AS DOUBLE)
                        / len(grams), 9) END AS dup_ngram_frac
 FROM g""",
+        # delta-gap + varint posting size: integer CASE arithmetic,
+        # identical lag/groupBy construction
+        "index_size": f"""
+WITH {_DUCK_TOKENS},
+g AS (
+  SELECT token, doc_id,
+         doc_id - coalesce(lag(doc_id) OVER (PARTITION BY token
+                                             ORDER BY doc_id), 0) AS gap
+  FROM tf
+),
+vb AS (
+  SELECT token,
+         CASE WHEN gap < 128 THEN 1 WHEN gap < 16384 THEN 2
+              WHEN gap < 2097152 THEN 3 WHEN gap < 268435456 THEN 4
+              WHEN gap < 34359738368 THEN 5
+              WHEN gap < 4398046511104 THEN 6
+              WHEN gap < 562949953421312 THEN 7
+              WHEN gap < 72057594037927936 THEN 8 ELSE 9 END AS vbytes
+  FROM g
+)
+SELECT token, count(*) AS df, count(*) * 8 AS raw_bytes,
+       CAST(sum(vbytes) AS BIGINT) AS varint_bytes,
+       round(CAST(sum(vbytes) AS DOUBLE) / (count(*) * 8), 9) AS ratio
+FROM vb GROUP BY token""",
         # corpus-trained add-one bigram LM: count tables by GROUP BY,
         # per-doc sum replayed as the identical position-ordered
         # sequential fold (ln of identical doubles is bit-equal)

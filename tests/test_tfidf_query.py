@@ -154,3 +154,21 @@ def test_update_tf_converges_to_rebuild(spark):
     want = _posting_rows(build_postings(final))
     assert got == want
     assert not any(d == 2 for d, _ in got)  # deletion really deletes
+
+
+def test_postings_size_estimate(spark):
+    from searchengine_spark.operators import tfidf as TF
+
+    p = spark.createDataFrame(
+        [(0, "t"), (5, "t"), (200, "t"), (100000, "u"), (16384, "v"), (16383+16384, "v")],
+        "doc_id long, token string",
+    )
+    out = {r["token"]: r for r in TF.postings_size_estimate(p).collect()}
+    # t: gaps [0, 5, 195] → widths [1, 1, 2] → 4 bytes vs 24 raw
+    assert out["t"]["df"] == 3 and out["t"]["raw_bytes"] == 24
+    assert out["t"]["varint_bytes"] == 4
+    assert out["t"]["ratio"] == round(4 / 24, 9)
+    # u: single absolute id 100000 (< 2^21) → 3 bytes
+    assert out["u"]["varint_bytes"] == 3
+    # v: gaps [16384, 16383] → widths [3, 2] — boundary cases both sides
+    assert out["v"]["varint_bytes"] == 5
