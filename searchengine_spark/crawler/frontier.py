@@ -142,10 +142,25 @@ def prepare_pages(pages: DataFrame, n_partitions: int) -> DataFrame:
     hash-partitioned by canon_url and cached. Spark propagates the cached
     outputPartitioning into each round's join plan, so only the batch
     side shuffles per round (the corpus shuffle was the measured
-    per-round tax — O(corpus) moved every round without this)."""
+    per-round tax — O(corpus) moved every round without this).
+
+    Common-Crawl-style corpora carry MULTIPLE captures per url
+    (BASELINE input_hint: warc_ts is part of the page key); fetching
+    must see exactly one row per url or the fetch join fans out
+    duplicate pages. Rule: LATEST-CAPTURE-WINS — max (warc_ts, html
+    bytes) per canon_url (byte tie-break makes equal timestamps
+    deterministic; the single-node oracle's corpus_dicts applies the
+    identical rule). The max(struct) groupBy combines map-side and
+    reuses the explicit repartition's hash partitioning (no second
+    exchange), so the one-time prepare cost stays a single shuffle and
+    the cached output keeps the canon_url partitioning the round joins
+    rely on."""
     return (
-        pages.select(F.col("url").alias("canon_url"), "html")
+        pages.select(F.col("url").alias("canon_url"), "warc_ts", "html")
         .repartition(n_partitions, "canon_url")
+        .groupBy("canon_url")
+        .agg(F.max(F.struct("warc_ts", "html")).alias("w"))
+        .select("canon_url", F.col("w.html").alias("html"))
         .persist()
     )
 

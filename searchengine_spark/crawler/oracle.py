@@ -172,7 +172,18 @@ def crawl_order_oracle(state: OracleState) -> list[str]:
 
 
 def corpus_dicts(rows, robots_rows):
-    """Adapt synth.gen_corpus output to oracle inputs."""
-    pages = {url: html for url, _, html, _, _ in rows}
+    """Adapt synth.gen_corpus output to oracle inputs.
+
+    Common-Crawl-style corpora carry multiple captures per url; the
+    normative rule (mirrored by frontier.prepare_pages) is
+    LATEST-CAPTURE-WINS: max (warc_ts, html bytes) per url — the html
+    tie-break makes exactly-equal timestamps deterministic."""
+    pages: dict[str, bytes] = {}
+    best: dict[str, tuple] = {}
+    for url, ts, html, _, _ in rows:
+        key = (ts, html)
+        if url not in best or key > best[url]:
+            best[url] = key
+            pages[url] = html
     robots = {h: (deny, delay) for h, deny, delay in robots_rows}
     return pages, robots

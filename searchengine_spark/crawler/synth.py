@@ -81,6 +81,7 @@ def gen_corpus(
     body_scale: int = 1,
     body_repeat: int = 1,
     with_text: bool = True,
+    stale_captures: int = 0,
 ):
     """Returns (pages, robots, seeds):
     pages:  list[(url, warc_ts, html: bytes, text, lang)]
@@ -251,6 +252,29 @@ def gen_corpus(
                 "en",
             )
         )
+    # Common-Crawl-style multi-capture corpus: every 3rd url also gets
+    # `stale_captures` OLDER captures with different html — the crawl
+    # result must be identical to the single-capture corpus because
+    # prepare_pages / corpus_dicts apply latest-capture-wins
+    if stale_captures > 0:
+        stale_rows = []
+        for i, (url, ts, _html, _text, lang) in enumerate(rows):
+            if i % 3 != 0:
+                continue
+            for c in range(1, stale_captures + 1):
+                old = _page_html(
+                    rng, "stale capture", _para(rng, 12), [("/", "home")]
+                ).encode("utf-8")
+                stale_rows.append(
+                    (
+                        url,
+                        ts - dt.timedelta(days=c),
+                        old,
+                        extract_text(old) if with_text else None,
+                        lang,
+                    )
+                )
+        rows += stale_rows
     return rows, robots, seeds
 
 
@@ -263,9 +287,13 @@ ROBOTS_SCHEMA = "host string, deny_prefixes array<string>, crawl_delay double"
 def pages_df(
     spark, n_pages: int = 500, seed: int = 42,
     n_hosts: int | None = None, body_scale: int = 1, body_repeat: int = 1,
+    stale_captures: int = 0,
 ):
     """(pages_df, robots_df, seeds) as Spark DataFrames."""
-    rows, robots, seeds = gen_corpus(n_pages, seed, n_hosts, body_scale, body_repeat)
+    rows, robots, seeds = gen_corpus(
+        n_pages, seed, n_hosts, body_scale, body_repeat,
+        stale_captures=stale_captures,
+    )
     pdf = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
     rdf = spark.createDataFrame(robots, schema=ROBOTS_SCHEMA)
     return pdf, rdf, seeds

@@ -97,3 +97,31 @@ def test_resume_equals_uninterrupted(spark, corpus, spark_io, tmp_path):
     seen_a = {r["canon_url"] for r in spark_io.read("url_seen").collect()}
     seen_b = {r["canon_url"] for r in io2.read("url_seen").collect()}
     assert seen_a == seen_b
+
+
+def test_latest_capture_wins(spark):
+    """Common-Crawl-style multi-capture corpus: prepare_pages and the
+    oracle's corpus_dicts both reduce to latest-capture-wins, so the
+    crawl sees exactly the single-capture corpus."""
+    from searchengine_spark.crawler.synth import PAGES_SCHEMA
+
+    rows1, _, _ = gen_corpus(60, SEED)
+    rows3, _, _ = gen_corpus(60, SEED, stale_captures=2)
+    assert len(rows3) > len(rows1)
+    from collections import Counter
+
+    caps = Counter(u for u, *_ in rows3)
+    assert max(caps.values()) == 3  # 1 latest + 2 stale
+
+    p1, _ = O.corpus_dicts(rows1, [])
+    p3, _ = O.corpus_dicts(rows3, [])
+    assert p1 == p3
+
+    df1 = spark.createDataFrame(rows1, schema=PAGES_SCHEMA)
+    df3 = spark.createDataFrame(rows3, schema=PAGES_SCHEMA)
+    pp1, pp3 = FR.prepare_pages(df1, 4), FR.prepare_pages(df3, 4)
+    k1 = {(r["canon_url"], bytes(r["html"])) for r in pp1.collect()}
+    k3 = {(r["canon_url"], bytes(r["html"])) for r in pp3.collect()}
+    pp1.unpersist(), pp3.unpersist()
+    assert k1 == k3
+    assert len(k3) == len(rows1)
