@@ -603,6 +603,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         clusters = DD.dup_clusters(DD.ngram_dup_pairs(docs, 0.7), docs)
         return DD.keep_best(clusters, TS.quality_scores(docs))
 
+    def q_curate(spark, sf):
+        # the end-to-end curation pipeline composed from the suite's
+        # own operators: exact dedup → near-dup keep-best → quality
+        # gate, one status per document
+        return TD.curate(_docs(spark, sf), quality_threshold=0.4)
+
     def q_decontaminate(spark, sf):
         # benchmark decontamination: train docs sharing any word 5-gram
         # with the deterministic doc_id % 97 == 0 eval slice (broadcast
@@ -853,6 +859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "index_size": q_index_size,
         "lm_score": q_lm_score,
         "keep_best": q_keep_best,
+        "curate": q_curate,
         "decontaminate": q_decontaminate,
         "span_dedup": q_span_dedup,
         "pii_scrub": q_pii_scrub,
@@ -1878,6 +1885,22 @@ SELECT media_id, CAST(bi // 4 AS INTEGER) AS frame_idx,
 FROM blk WHERE bi % 4 = 0"""
 
 _EN = ", ".join(f"'{w}'" for w in TS.STOPWORDS["en"])
+
+# rounded-9 quality score as reusable CTEs (keep_best / curate oracles);
+# same arithmetic as the `quality` oracle, one column (doc_id, qq)
+_DUCK_QQ = f"""tq AS (SELECT doc_id, text, {_DUCK_TL} AS tl FROM documents),
+q AS (
+  SELECT doc_id,
+         round(0.4*(CASE WHEN length(text) = 0 THEN 0.0
+             ELSE CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
+                       AS DOUBLE) / length(text) END)
+         + 0.4*least(1.0, 5.0*(CASE WHEN len(tl) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(tl, t -> t IN ({_EN}))) AS DOUBLE)
+                  / len(tl) END))
+         + 0.2*least(1.0, CAST(len(tl) AS DOUBLE)/256.0), 9) AS qq
+  FROM tq
+)"""
+
 _LANG_HITS = ", ".join(
     "len(list_filter(tl, t -> t IN ("
     + ", ".join(f"'{w}'" for w in TS.STOPWORDS[lang])
@@ -2087,18 +2110,7 @@ FROM toks t LEFT JOIN agg USING (doc_id)""",
         # oracle's arithmetic; argmax replayed as a window rank
         "keep_best": f"""
 WITH clu AS ({_DUCK_DUP_CLUSTERS}),
-tq AS (SELECT doc_id, text, {_DUCK_TL} AS tl FROM documents),
-q AS (
-  SELECT doc_id,
-         round(0.4*(CASE WHEN length(text) = 0 THEN 0.0
-             ELSE CAST(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))
-                       AS DOUBLE) / length(text) END)
-         + 0.4*least(1.0, 5.0*(CASE WHEN len(tl) = 0 THEN 0.0
-             ELSE CAST(len(list_filter(tl, t -> t IN ({_EN}))) AS DOUBLE)
-                  / len(tl) END))
-         + 0.2*least(1.0, CAST(len(tl) AS DOUBLE)/256.0), 9) AS qq
-  FROM tq
-),
+{_DUCK_QQ},
 j AS (SELECT clu.cluster_id, clu.doc_id, q.qq
       FROM clu JOIN q USING (doc_id)),
 r AS (SELECT cluster_id, doc_id, qq,
@@ -2108,6 +2120,31 @@ r AS (SELECT cluster_id, doc_id, qq,
       FROM j)
 SELECT cluster_id, doc_id AS kept_doc_id, n_members, qq AS best_quality
 FROM r WHERE rk = 1""",
+        # end-to-end curation pipeline: exact-dedup keepers → near-dup
+        # keep-best among them → quality gate; same stage order and
+        # rounded-quality comparison key as the Spark composition
+        "curate": f"""
+WITH clu AS ({_DUCK_DUP_CLUSTERS}),
+{_DUCK_QQ},
+m AS (SELECT doc_id, md5(text) AS text_md5 FROM documents),
+ex AS (SELECT text_md5, min(doc_id) AS keep_id FROM m GROUP BY text_md5),
+fl AS (SELECT m.doc_id, m.doc_id = ex.keep_id AS exact_keeper
+       FROM m JOIN ex USING (text_md5)),
+surv AS (SELECT doc_id FROM fl WHERE exact_keeper),
+j AS (SELECT clu.cluster_id, clu.doc_id, q.qq
+      FROM clu JOIN q USING (doc_id) JOIN surv USING (doc_id)),
+r AS (SELECT cluster_id, doc_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY qq DESC, doc_id ASC) AS rk
+      FROM j),
+keepers AS (SELECT doc_id FROM r WHERE rk = 1)
+SELECT fl.doc_id,
+       CASE WHEN NOT fl.exact_keeper THEN 'exact_dup'
+            WHEN keepers.doc_id IS NULL THEN 'near_dup'
+            WHEN q.qq < 0.4e0 THEN 'low_quality'
+            ELSE 'kept' END AS status,
+       q.qq AS quality
+FROM fl LEFT JOIN keepers USING (doc_id) JOIN q USING (doc_id)""",
         "decontaminate": _DUCK_DECONTAMINATE,
         "span_dedup": _DUCK_SPAN_DEDUP,
         "pii_scrub": _DUCK_PII_SCRUB,

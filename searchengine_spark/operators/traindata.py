@@ -324,3 +324,73 @@ def read_jsonl_export(spark, path: str, schema: str) -> DataFrame:
     no inference pass)."""
     lines = spark.read.text(path + "/_shard=*/part-*")
     return lines.select(F.from_json("value", schema).alias("r")).select("r.*")
+
+
+def curate(
+    documents: DataFrame,
+    quality_threshold: float = 0.4,
+    jaccard_threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, status, quality) — the END-TO-END curation pipeline
+    composed from the suite's own operators, one status per document:
+
+        exact_dup    — not the min-doc_id representative of its
+                       identical-bytes (md5) group
+        near_dup     — exact-unique, but not the keep_best
+                       (highest-quality, tie → min doc_id)
+                       representative of its n-gram-Jaccard
+                       near-duplicate cluster
+        low_quality  — survived both dedups, quality < threshold
+        kept         — in the final training corpus
+
+    The stage ORDER is the standard pipeline order (dedup before
+    quality: a duplicate is a duplicate regardless of score; the
+    near-dup retention then picks the best-quality copy among
+    exact-unique members, so a low-quality cluster's keeper can still
+    fall to the quality gate). Pure composition: exact_dedup (one md5
+    hash-groupBy) → dup_clusters ∘ ngram_dup_pairs (prefix-filtered,
+    sub-quadratic) → keep_best (max(struct) partial agg) →
+    quality_scores (pure projection); every stage keeps its own scale
+    shape, and the status CASE is two broadcast-class joins over
+    narrow (doc_id, flag) frames.
+    """
+    from searchengine_spark.operators.dedup import (
+        dup_clusters,
+        exact_dedup,
+        keep_best,
+        ngram_dup_pairs,
+    )
+    from searchengine_spark.operators.textstats import quality_scores
+
+    md5s = documents.selectExpr(
+        f"{id_col} AS doc_id", f"md5({text_col}) AS text_md5"
+    )
+    ex = exact_dedup(documents, id_col, text_col)
+    flags = md5s.join(ex, "text_md5").select(
+        "doc_id", (F.col("doc_id") == F.col("keep_id")).alias("exact_keeper")
+    )
+    clusters = dup_clusters(
+        ngram_dup_pairs(documents, jaccard_threshold), documents
+    )
+    q = quality_scores(documents, id_col, text_col).select(
+        "doc_id", F.round("quality", 9).alias("q")
+    )
+    surv = flags.filter("exact_keeper").select("doc_id")
+    kb = keep_best(clusters.join(surv, "doc_id"), q, quality_col="q")
+    keepers = kb.select(
+        F.col("kept_doc_id").alias("doc_id"), F.lit(True).alias("near_keeper")
+    )
+    return (
+        flags.join(keepers, "doc_id", "left")
+        .join(q, "doc_id")
+        .selectExpr(
+            "doc_id",
+            "CASE WHEN NOT exact_keeper THEN 'exact_dup' "
+            "WHEN near_keeper IS NULL THEN 'near_dup' "
+            f"WHEN q < {quality_threshold!r}D THEN 'low_quality' "
+            "ELSE 'kept' END AS status",
+            "q AS quality",
+        )
+    )

@@ -226,3 +226,28 @@ def test_export_jsonl_roundtrip_and_determinism(spark, tmp_path):
     # deterministic shard membership across re-runs
     m2 = export_jsonl(df, str(tmp_path / "export2"), n_shards=4)
     assert m2["shard_rows"] == m1["shard_rows"]
+
+
+def test_curate_all_statuses(spark):
+    # 21 tokens = 7 full stride-3 grams; appending exactly 3 tokens adds
+    # ONE gram → Jaccard 7/8 ≥ 0.7 (grams are stride-n, not sliding)
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lam mu nu xi omicron pi rho sigma tau upsilon phi"
+    )
+    rows = [
+        (0, base),                      # exact-dup keeper, loses near-dup retention to 2
+        (1, base),                      # exact_dup of 0
+        (2, base + " the and of"),      # near dup, stopwords boost quality → kept
+        (3, "zz zz zz !!!! ???? ****"),    # unique but junk → low_quality
+        (4, "the cat sat on the mat and it was good to see that it is fine"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["status"] for r in TD.curate(df).collect()}
+    assert out[1] == "exact_dup"
+    assert out[3] == "low_quality"
+    assert out[4] == "kept"
+    # cluster {0,1,2}: 1 is an exact dup; among survivors {0,2} the
+    # stopword-boosted 2 has the higher quality → 0 demoted to near_dup
+    assert out[2] == "kept"
+    assert out[0] == "near_dup"
