@@ -603,6 +603,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         clusters = DD.dup_clusters(DD.ngram_dup_pairs(docs, 0.7), docs)
         return DD.keep_best(clusters, TS.quality_scores(docs))
 
+    def q_crawl_depth(spark, sf):
+        # min-hop BFS distance from the seed slice over the synthetic
+        # doc link graph (the reference's FIFO-BFS priority key as a
+        # batch analytic); frontier-only joins, level-checkpointed
+        from searchengine_spark.operators import linkrank as LR
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        seeds = docs.filter("doc_id % 97 = 0").select(
+            F.col("doc_id").alias("id")
+        )
+        return LR.crawl_depth(edges, seeds)
+
     def q_curate(spark, sf):
         # the end-to-end curation pipeline composed from the suite's
         # own operators: exact dedup → near-dup keep-best → quality
@@ -860,6 +881,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_score": q_lm_score,
         "keep_best": q_keep_best,
         "curate": q_curate,
+        "crawl_depth": q_crawl_depth,
         "decontaminate": q_decontaminate,
         "span_dedup": q_span_dedup,
         "pii_scrub": q_pii_scrub,
@@ -2145,6 +2167,26 @@ SELECT fl.doc_id,
             ELSE 'kept' END AS status,
        q.qq AS quality
 FROM fl LEFT JOIN keepers USING (doc_id) JOIN q USING (doc_id)""",
+        # BFS min-depth from the seed slice: recursive CTE with UNION
+        # (set) semantics; depth bound 25 ≥ the expander graph's
+        # diameter, min(depth) = shortest path
+        "crawl_depth": """
+WITH RECURSIVE nn AS (SELECT count(*) AS c FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id*2+1) % (SELECT c FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id AS src, (doc_id*3+7) % (SELECT c FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id AS src, (doc_id*5+11) % (SELECT c FROM nn) AS dst FROM documents
+),
+r AS (
+  SELECT doc_id AS id, CAST(0 AS BIGINT) AS depth FROM documents
+  WHERE doc_id % 97 = 0
+  UNION
+  SELECT e.dst AS id, r.depth + 1 AS depth FROM r JOIN e ON e.src = r.id
+  WHERE r.depth < 25
+)
+SELECT id, min(depth) AS depth FROM r GROUP BY id""",
         "decontaminate": _DUCK_DECONTAMINATE,
         "span_dedup": _DUCK_SPAN_DEDUP,
         "pii_scrub": _DUCK_PII_SCRUB,

@@ -346,3 +346,75 @@ def personalized_pagerank(
     dangling.unpersist()
     pv.unpersist()
     return ranks
+
+
+def crawl_depth(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_iters: int = 25,
+) -> DataFrame:
+    """(id, depth) — minimum-hop BFS distance from the seed set over the
+    link graph; vertices unreachable within max_iters are absent. The
+    reference frontier's priority key IS insertion depth (FIFO BFS crawl
+    order — urls join the queue the round their first inbound link is
+    scraped), so this is that priority reproduced as a batch analytic
+    over a crawl's link graph: depth histograms, seed-set coverage,
+    "how many rounds until the frontier reaches X" planning.
+
+    Scale shape: classic frontier BFS. Per level: ONE edges⋈frontier
+    join — the join ships only the FRONTIER (the previous level's newly
+    discovered vertices), never the accumulated dist table — then a
+    distinct and a left_anti against dist. Unweighted edges make
+    first-discovery = min-depth, so there are no relaxation re-visits.
+    Every generation eagerly localCheckpoints (lineage stays O(1), same
+    fix as the other graph loops) and prior generations are unpersisted
+    in a handoff; the driver sees one count per level. Terminates in
+    ≤ graph-diameter levels; if the frontier is still expanding at
+    max_iters the operator RAISES — a silently truncated result would
+    look exact while holding only lower bounds.
+    """
+    e = edges.select("src", "dst").distinct().persist()
+    dist = (
+        seeds.select("id")
+        .distinct()
+        .select("id", F.lit(0).cast("long").alias("depth"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = dist
+    for depth in range(1, max_iters + 1):
+        new = (
+            e.join(frontier.select(F.col("id").alias("src")), "src")
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(dist, "id", "left_anti")
+            .select("id", F.lit(depth).cast("long").alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        if new.count() == 0:
+            new.unpersist()
+            if frontier is not dist:
+                frontier.unpersist()
+            e.unpersist()
+            return dist
+        nxt = dist.unionByName(new).localCheckpoint(eager=True)
+        if frontier is not dist:
+            frontier.unpersist()
+        dist.unpersist()
+        dist, frontier = nxt, new
+    # frontier non-empty after max_iters levels: anything left to find?
+    pending = (
+        e.join(frontier.select(F.col("id").alias("src")), "src")
+        .select(F.col("dst").alias("id"))
+        .distinct()
+        .join(dist, "id", "left_anti")
+        .count()
+    )
+    e.unpersist()
+    frontier.unpersist()
+    if pending:
+        dist.unpersist()
+        raise RuntimeError(
+            f"crawl_depth: BFS still expanding after {max_iters} levels "
+            f"({pending} vertices undiscovered); raise max_iters"
+        )
+    return dist

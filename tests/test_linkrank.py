@@ -179,3 +179,31 @@ def test_personalized_pagerank_dangling_returns_to_seeds(spark):
     }
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
     assert ranks["s"] > ranks["t"] > 0
+
+
+def test_crawl_depth_bfs(spark):
+    from searchengine_spark.operators.linkrank import crawl_depth
+
+    # chain 0→1→2→3, branch 1→4, island 9 (unreachable)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (1, 4), (9, 9)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    out = {r["id"]: r["depth"] for r in crawl_depth(edges, seeds).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3, 4: 2}  # 9 absent
+
+    # shorter of two paths wins: 0→3 direct beats 0→1→2→3
+    edges2 = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3)], "src long, dst long"
+    )
+    out2 = {r["id"]: r["depth"] for r in crawl_depth(edges2, seeds).collect()}
+    assert out2[3] == 1
+
+    # still-expanding frontier at max_iters raises instead of truncating
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    import pytest as _pt
+
+    with _pt.raises(RuntimeError, match="still expanding"):
+        crawl_depth(chain, seeds, max_iters=3)
