@@ -833,6 +833,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return PX.suggest(vocab, _SPELL_TERM, max_dist=2, k=5)
 
+    def q_boilerplate(spark, sf):
+        # host-level boilerplate strip (CCNet-style): hosts from
+        # doc_id % 20, every page suffixed with two host-frequent
+        # footer lines that the operator must remove; the original
+        # body line (unique per doc) must survive verbatim
+        from searchengine_spark.operators import boilerplate as BP
+
+        m = (F.col("doc_id") % 20).cast("string")
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(F.lit("h"), m).alias("host"),
+            F.concat_ws(
+                "\n",
+                F.col("text"),
+                F.concat(F.lit("copyright footer h"), m),
+                F.lit("nav home about"),
+            ).alias("text"),
+        )
+        return BP.strip_boilerplate(docs, min_df=2, min_frac=0.3)
+
+    def q_triangles(spark, sf):
+        # degree-ordered distributed triangle counting + local
+        # clustering coefficient over the synthetic expander link
+        # graph (same edge rules as link_rank/crawl_depth)
+        from searchengine_spark.operators import graphstats as GS
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        return _r(GS.triangle_counts(edges), "clustering")
+
+    def q_bpe_train(spark, sf):
+        # corpus-scale BPE vocabulary induction: 6 greedy merges over
+        # the weighted token vocabulary (one corpus shuffle total; each
+        # merge iterates the tiny vocab frame). The DuckDB oracle
+        # unrolls the identical 6 iterations as chained CTEs.
+        from searchengine_spark.operators import bpe as BPE
+
+        occurrences = TF.doc_tokens(_docs(spark, sf)).select(
+            F.explode("tokens").alias("token")
+        )
+        return BPE.bpe_train(occurrences, n_merges=6)
+
     return {
         "tumbling_counts": q_tumbling,
         "tf": q_tf,
@@ -904,6 +954,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank": q_textrank,
         "weighted_sample": q_weighted_sample,
         "ppr": q_ppr,
+        "boilerplate": q_boilerplate,
+        "triangles": q_triangles,
+        "bpe_train": q_bpe_train,
     }
 
 
@@ -1966,6 +2019,151 @@ ORDER BY tf_idf ASC, doc_id ASC LIMIT 5"""
 )
 
 
+# host-level boilerplate strip: mirrors operators/boilerplate.py over
+# the same synthetic host/footer construction as q_boilerplate. The
+# frequency bar compares df (int) against n_docs * 0.3 after the same
+# int->double promotions as the Spark Column expression.
+_DUCK_BOILERPLATE = """
+WITH d AS (
+  SELECT doc_id,
+         'h' || CAST(doc_id % 20 AS VARCHAR) AS host,
+         text || chr(10) || 'copyright footer h'
+              || CAST(doc_id % 20 AS VARCHAR)
+              || chr(10) || 'nav home about' AS text
+  FROM documents
+),
+l AS (
+  SELECT doc_id, host,
+         unnest(list_transform(string_split(text, chr(10)),
+                (x, i) -> struct_pack(pos := i, raw := x)),
+                recursive := true)
+  FROM d
+),
+tl AS (SELECT doc_id, host, pos, raw, trim(raw) AS line FROM l),
+tot AS (SELECT host, count(DISTINCT doc_id) AS n_docs FROM d GROUP BY host),
+dfl AS (
+  SELECT host, line, count(*) AS df
+  FROM (SELECT DISTINCT host, doc_id, line FROM tl WHERE line <> '')
+  GROUP BY host, line
+),
+freqset AS (
+  SELECT dfl.host, dfl.line FROM dfl JOIN tot USING (host)
+  WHERE df >= 2 AND CAST(df AS DOUBLE) >= CAST(n_docs AS DOUBLE) * 0.3e0
+),
+kept AS (
+  SELECT tl.doc_id, tl.pos, tl.raw
+  FROM tl LEFT JOIN freqset fs ON tl.host = fs.host AND tl.line = fs.line
+  WHERE fs.line IS NULL
+),
+agg AS (
+  SELECT doc_id, string_agg(raw, chr(10) ORDER BY pos) AS clean_text,
+         count(*) AS n_kept
+  FROM kept GROUP BY doc_id
+),
+nl AS (SELECT doc_id, len(string_split(text, chr(10))) AS n_lines FROM d)
+SELECT d.doc_id,
+       coalesce(agg.clean_text, '') AS clean_text,
+       CAST(coalesce(agg.n_kept, 0) AS INT) AS n_kept,
+       CAST(nl.n_lines - coalesce(agg.n_kept, 0) AS INT) AS n_dropped
+FROM d JOIN nl USING (doc_id) LEFT JOIN agg USING (doc_id)"""
+
+# triangle counting over the synthetic expander graph: the oracle
+# enumerates each triangle once at its id-minimum corner (a < b < c);
+# the Spark operator enumerates it at its degree-order-minimum corner —
+# the SET of triangles is identical, which is the point of the check
+_DUCK_TRIANGLES = """
+WITH nn AS (SELECT count(*) AS c FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id*2+1) % (SELECT c FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*3+7) % (SELECT c FROM nn) FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*5+11) % (SELECT c FROM nn) FROM documents
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+deg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+  GROUP BY node
+),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+pern AS (
+  SELECT node, count(*) AS triangles
+  FROM (SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri)
+  GROUP BY node
+)
+SELECT deg.node, deg.degree,
+       coalesce(pern.triangles, 0) AS triangles,
+       round(CASE WHEN deg.degree >= 2 THEN
+               (2.0e0 * CAST(coalesce(pern.triangles, 0) AS DOUBLE))
+               / (CAST(deg.degree AS DOUBLE)
+                  * CAST(deg.degree - 1 AS DOUBLE))
+             ELSE 0.0e0 END, 9) AS clustering
+FROM deg LEFT JOIN pern USING (node)"""
+
+
+def _duck_bpe(n_merges: int) -> str:
+    """Unrolled BPE merge chain mirroring operators/bpe.bpe_train:
+    v0 = char-encoded weighted vocabulary; each iteration counts
+    adjacent "|x |y " pairs, takes the argmax (count DESC, pair ASC)
+    and applies the greedy left-to-right replace. DuckDB string
+    literals keep backslashes (standard SQL), hence the single-
+    backslash chunk regex vs the Spark-side doubled one."""
+    from searchengine_spark.operators.bpe import CHUNK_RE_DUCK
+
+    parts = [
+        """v0 AS (
+  SELECT count(*) AS freq,
+         regexp_replace(token, '(.)', '|\\1 ', 'g') AS enc
+  FROM tok2 GROUP BY token
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"""c{k} AS (
+  SELECT freq, regexp_extract_all(enc, '{CHUNK_RE_DUCK}') AS c FROM v{k - 1}
+),
+p{k} AS (
+  SELECT u.p AS pair, sum(freq) AS f
+  FROM c{k}, unnest(list_filter(list_transform(c,
+       (x, i) -> CASE WHEN i < len(c) THEN x || c[i + 1] END),
+       y -> y IS NOT NULL)) AS u(p)
+  GROUP BY pair
+),
+b{k} AS (SELECT pair, f FROM p{k} ORDER BY f DESC, pair ASC LIMIT 1),
+v{k} AS (
+  SELECT freq, replace(enc, (SELECT pair FROM b{k}),
+                       replace((SELECT pair FROM b{k}), ' |', '')) AS enc
+  FROM v{k - 1}
+)"""
+        )
+    selects = [
+        f"SELECT {k} AS \"rank\", "
+        f"ltrim(string_split(pair, ' ')[1], '|') AS \"left\", "
+        f"ltrim(string_split(pair, ' ')[2], '|') AS \"right\", "
+        f"CAST(f AS BIGINT) AS freq FROM b{k}"
+        for k in range(1, n_merges + 1)
+    ]
+    return (
+        "WITH "
+        + _DUCK_TOKENS
+        + ",\n"
+        + ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tf": f"WITH {_DUCK_TOKENS} SELECT doc_id, token, round(tf, 9) AS tf FROM tf",
@@ -2353,6 +2551,9 @@ FROM toks""",
 SELECT strftime(time_bucket(INTERVAL '1 hour', ts), '%Y-%m-%d %H:%M:%S') AS ws,
        event_type, count(*) AS n_events, round(sum(value), 9) AS sum_value
 FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
+        "boilerplate": _DUCK_BOILERPLATE,
+        "triangles": _DUCK_TRIANGLES,
+        "bpe_train": _duck_bpe(6),
         # Round 2 closed the rows-only set to ZERO: simhash_pairs and
         # frame_sample moved to engine-portable md5-60bit hashes,
         # ann_lsh/ivf_topk share literal planes / data-derived centroids

@@ -1,0 +1,134 @@
+"""Link-graph statistics: distributed triangle counting + clustering.
+
+Triangles (mutually-linked host/page triples) are the standard local-
+density signal on web graphs — link-farm rings and template cliques
+triangle-heavy, organic link neighborhoods sparse. This implements the
+classic degree-ordered node-iterator (Schank & Wagner 2005; the
+MapReduce formulation is Suri & Vassilvitskii, WWW'11 "Counting
+triangles and the curse of the last reducer"):
+
+  1. canonicalize to an undirected simple graph (least/greatest,
+     self-loops dropped, distinct),
+  2. direct every edge from its LOWER-degree endpoint to its higher-
+     degree endpoint (ties broken by node id — any total order works),
+  3. wedges = self-join of the directed edges on their source,
+  4. a wedge (u -> v, u -> w) closes iff the directed edge v -> w
+     exists (v before w in the same total order), so one more join
+     yields each triangle exactly once.
+
+Why degree-ordering is THE scale move: out-degree under this
+orientation is O(sqrt(m)) for any graph, so the wedge fan-out — the
+"curse of the last reducer" when a celebrity hub would otherwise emit
+deg^2 wedges — is bounded, and total wedge volume is O(m^1.5) worst
+case instead of sum(deg^2). All joins are key-partitioned hash joins;
+nothing is collected to the driver.
+
+The per-node output (each triangle credits all three corners) gives the
+local clustering coefficient 2T / (deg * (deg - 1)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canonical_edges(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Undirected simple graph: (a < b), no self-loops, deduplicated."""
+    return (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def triangle_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, degree, triangles, clustering) over the undirected graph.
+
+    Every endpoint of every canonical edge appears in the output, with
+    triangles = 0 (and clustering = 0.0) where it closes none.
+    """
+    e = _canonical_edges(edges, src, dst)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # orient each edge low -> high in the (degree, node) total order
+    d = (
+        e.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("degree", "deg_a")
+        .join(
+            deg.withColumnRenamed("node", "b").withColumnRenamed(
+                "degree", "deg_b"
+            ),
+            "b",
+        )
+        .select(
+            F.when(
+                F.struct(F.col("deg_a"), F.col("a"))
+                < F.struct(F.col("deg_b"), F.col("b")),
+                F.col("a"),
+            )
+            .otherwise(F.col("b"))
+            .alias("lo"),
+            F.when(
+                F.struct(F.col("deg_a"), F.col("a"))
+                < F.struct(F.col("deg_b"), F.col("b")),
+                F.col("b"),
+            )
+            .otherwise(F.col("a"))
+            .alias("hi"),
+        )
+    )
+    x = d.alias("x")
+    y = d.alias("y")
+    wedges = x.join(y, F.col("x.lo") == F.col("y.lo")).where(
+        F.col("x.hi") < F.col("y.hi")
+    )
+    # close the wedge against the ID-canonical edge set (a < b), not the
+    # degree-directed set: the wedge pair is already id-sorted
+    # (x.hi < y.hi), so this stays a pure equi-join (hash-partitionable)
+    # instead of an OR-of-slots condition that would force a nested-loop
+    # join. Each triangle is still produced exactly once — at its unique
+    # degree-order-minimum corner.
+    tri = wedges.select(
+        F.col("x.lo").alias("t1"),
+        F.col("x.hi").alias("t2"),
+        F.col("y.hi").alias("t3"),
+    ).join(
+        e,
+        (F.col("a") == F.col("t2")) & (F.col("b") == F.col("t3")),
+    )
+    per_node = (
+        tri.select(
+            F.explode(F.array("t1", "t2", "t3")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            "degree",
+            F.coalesce("triangles", F.lit(0)).alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                2.0
+                * F.coalesce("triangles", F.lit(0)).cast("double")
+                / (
+                    F.col("degree").cast("double")
+                    * (F.col("degree") - F.lit(1)).cast("double")
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering"),
+        )
+    )
