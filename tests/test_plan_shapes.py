@@ -71,3 +71,40 @@ def test_champion_lists_no_partitionless_window(spark, sf_dir):
     for line in plan.splitlines():
         if "partitionBy" in line.lower():
             assert "token" in line
+
+
+def test_boilerplate_frequent_set_broadcast_no_reshuffle(spark, sf_dir):
+    from searchengine_spark.operators.boilerplate import strip_boilerplate
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id",
+        (F.col("doc_id") % 5).cast("string").alias("host"),
+        "text",
+    )
+    plan = _plan(strip_boilerplate(docs))
+    # the per-host frequent-line arrays must broadcast back onto the
+    # corpus; hash-exchanging the corpus by host would be the
+    # 100TB-scale regression this test pins
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_closing_join_is_equi_not_nested_loop(spark, sf_dir):
+    from searchengine_spark.operators.graphstats import triangle_counts
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    n = docs.count()
+    edges = docs.select(
+        F.col("doc_id").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("doc_id") * 2 + 1) % n,
+                (F.col("doc_id") * 3 + 7) % n,
+            )
+        ).alias("dst"),
+    )
+    plan = _plan(triangle_counts(edges))
+    # wedge + closing joins must both be hash equi-joins — an
+    # OR-of-slots close condition degrades to BroadcastNestedLoopJoin
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
