@@ -883,6 +883,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return BPE.bpe_train(occurrences, n_merges=6)
 
+    def q_funnel(spark, sf):
+        # ordered-step funnel view -> click -> purchase with earliest-
+        # completion semantics; pseudo-users event_id % 200 make the
+        # conversion ladder non-trivial at sandbox row counts
+        from searchengine_spark.operators import funnel as FN
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet")).select(
+            (F.col("event_id") % 200).alias("user_id"), "ts", "event_type"
+        )
+        return _r(
+            FN.funnel(ev, ["view", "click", "purchase"]), "conversion"
+        )
+
+    def q_adamic_adar(spark, sf):
+        # Adamic-Adar link prediction over the expander link graph:
+        # non-adjacent pairs scored by 1/ln(deg) over common neighbors,
+        # w-sorted folded sum for bit-stable doubles
+        from searchengine_spark.operators import graphstats as GS
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        return _r(GS.adamic_adar(edges, max_common_degree=64), "score")
+
+    def q_kcore(spark, sf):
+        # 4-core of the expander link graph via iterative peeling
+        # (fixpoint in 3 rounds at this scale; oracle unrolls 8)
+        from searchengine_spark.operators import graphstats as GS
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        return GS.k_core(edges, k=4)
+
     return {
         "tumbling_counts": q_tumbling,
         "tf": q_tf,
@@ -957,6 +1005,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "boilerplate": q_boilerplate,
         "triangles": q_triangles,
         "bpe_train": q_bpe_train,
+        "funnel": q_funnel,
+        "adamic_adar": q_adamic_adar,
+        "k_core": q_kcore,
     }
 
 
@@ -2112,6 +2163,102 @@ SELECT deg.node, deg.degree,
 FROM deg LEFT JOIN pern USING (node)"""
 
 
+# ordered-step funnel with earliest-completion semantics: step k's
+# per-user time is the min event time of type k STRICTLY after the
+# user's step-(k-1) time; conversion vs funnel entry
+_DUCK_FUNNEL = """
+WITH ev AS (
+  SELECT event_id % 200 AS user_id, ts, event_type FROM events
+),
+s1 AS (SELECT user_id, min(ts) AS t FROM ev
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT ev.user_id, min(ev.ts) AS t FROM ev JOIN s1 USING (user_id)
+       WHERE ev.event_type = 'click' AND ev.ts > s1.t GROUP BY ev.user_id),
+s3 AS (SELECT ev.user_id, min(ev.ts) AS t FROM ev JOIN s2 USING (user_id)
+       WHERE ev.event_type = 'purchase' AND ev.ts > s2.t GROUP BY ev.user_id),
+c AS (
+  SELECT 1 AS step_idx, 'view' AS step, count(*) AS n_users FROM s1
+  UNION ALL SELECT 2, 'click', count(*) FROM s2
+  UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+)
+SELECT step_idx, step, n_users,
+       round(CAST(n_users AS DOUBLE)
+             / (SELECT CAST(n_users AS DOUBLE) FROM c WHERE step_idx = 1),
+             9) AS conversion
+FROM c"""
+
+# shared expander-graph canonical-edge prefix for the graph oracles
+_DUCK_EXPANDER_E = """
+nn AS (SELECT count(*) AS c FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id*2+1) % (SELECT c FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*3+7) % (SELECT c FROM nn) FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*5+11) % (SELECT c FROM nn) FROM documents
+),
+e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+)"""
+
+# Adamic-Adar: same degree-cut + w-sorted fold as the Spark operator
+_DUCK_ADAMIC_ADAR = f"""
+WITH {_DUCK_EXPANDER_E},
+adj AS (SELECT a AS w, b AS n FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT w, count(*) AS deg FROM adj GROUP BY w),
+cent AS (SELECT adj.w, adj.n, deg.deg FROM adj JOIN deg USING (w)
+         WHERE deg <= 64),
+wed AS (
+  SELECT x.n AS node_a, y.n AS node_b, x.w AS w,
+         1.0e0 / ln(CAST(x.deg AS DOUBLE)) AS val
+  FROM cent x JOIN cent y ON x.w = y.w AND x.n < y.n
+),
+nonadj AS (
+  SELECT wed.* FROM wed
+  LEFT JOIN e ON e.a = wed.node_a AND e.b = wed.node_b
+  WHERE e.a IS NULL
+)
+SELECT node_a, node_b, count(*) AS n_common,
+       round(list_reduce(list_prepend(0.0e0, list(val ORDER BY w)),
+                         (acc, v) -> acc + v), 9) AS score
+FROM nonadj GROUP BY node_a, node_b"""
+
+
+def _duck_kcore(k: int, rounds: int) -> str:
+    """Unrolled k-core peel: each round keeps edges with both ends
+    alive, recomputes degrees, drops nodes under k. ``rounds`` must be
+    >= the peel's fixpoint depth (extra rounds are idempotent); the
+    Spark operator iterates to the fixpoint and raises if truncated,
+    so agreement here is also a convergence check."""
+    # every per-round CTE is MATERIALIZED: DuckDB inlines CTEs by
+    # default, and a{i-1} appearing twice per round would otherwise
+    # expand the plan tree 2^rounds-fold (observed: fd exhaustion from
+    # hundreds of parquet re-opens at rounds=8)
+    parts = [
+        _DUCK_EXPANDER_E.replace("e AS (", "e AS MATERIALIZED ("),
+        "a0 AS MATERIALIZED (SELECT a AS node FROM e UNION SELECT b FROM e)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""ee{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM e
+  JOIN a{i - 1} x ON e.a = x.node JOIN a{i - 1} y ON e.b = y.node
+),
+d{i} AS MATERIALIZED (
+  SELECT node, count(*) AS core_degree
+  FROM (SELECT a AS node FROM ee{i} UNION ALL SELECT b FROM ee{i})
+  GROUP BY node
+),
+a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE core_degree >= {k})"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT node, core_degree FROM d{rounds} WHERE core_degree >= {k}"
+    )
+
+
 def _duck_bpe(n_merges: int) -> str:
     """Unrolled BPE merge chain mirroring operators/bpe.bpe_train:
     v0 = char-encoded weighted vocabulary; each iteration counts
@@ -2554,6 +2701,9 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         "boilerplate": _DUCK_BOILERPLATE,
         "triangles": _DUCK_TRIANGLES,
         "bpe_train": _duck_bpe(6),
+        "funnel": _DUCK_FUNNEL,
+        "adamic_adar": _DUCK_ADAMIC_ADAR,
+        "k_core": _duck_kcore(4, rounds=8),
         # Round 2 closed the rows-only set to ZERO: simhash_pairs and
         # frame_sample moved to engine-portable md5-60bit hashes,
         # ann_lsh/ivf_topk share literal planes / data-derived centroids

@@ -1,0 +1,95 @@
+"""Ordered-step funnel analysis over the events stream.
+
+The classic product-analytics query: of the users who did step 1, how
+many went on to do step 2 AFTER it, then step 3 after that — with
+per-step conversion against the funnel entry. Step matching uses the
+standard earliest-completion semantics: a user's step-k time is the
+MINIMUM event time of the step-k type that is strictly later than
+their step-(k-1) time (first-touch attribution; re-orderings of later
+events cannot change it).
+
+Scale design:
+  * Each step is one type-filtered scan of events (the equality
+    predicate pushes to the parquet scan) joined against the previous
+    step's per-user table — which is ONE ROW PER USER, i.e. bounded by
+    the user dimension, not event volume. The join is user-keyed and
+    the min() aggregation combines map-side.
+  * Step tables hand off between iterations via eager localCheckpoint
+    (the same generation discipline as the dedup/linkrank loops): the
+    final union reads each step's materialized blocks instead of
+    re-deriving step k-1 once per later step, and the blocks are
+    ContextCleaner-collected with the returned frame — no
+    session-lifetime cache leak. The funnel result itself is k rows.
+  * The entry count joins back as a broadcast 1-row dimension — no
+    global window, no driver arithmetic.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(step_idx, step, n_users, conversion) for an ordered step list.
+
+    ``conversion`` is n_users(step) / n_users(first step); the first
+    row is 1.0 by construction (or the frame is empty if nobody did
+    step 1).
+    """
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+    u, t = F.col(user_col).alias("user"), F.col(ts_col).alias("t")
+    cur = (
+        events.where(F.col(type_col) == steps[0])
+        .select(u, F.col(ts_col))
+        .groupBy("user")
+        .agg(F.min(ts_col).alias("t"))
+        .localCheckpoint(eager=True)
+    )
+    tiers = [cur]
+    for s in steps[1:]:
+        nxt = (
+            events.where(F.col(type_col) == s)
+            .select(u, t)
+            .join(cur.withColumnRenamed("t", "prev_t"), "user")
+            .where(F.col("t") > F.col("prev_t"))
+            .groupBy("user")
+            .agg(F.min("t").alias("t"))
+            .localCheckpoint(eager=True)
+        )
+        tiers.append(nxt)
+        cur = nxt
+    tagged = reduce(
+        DataFrame.unionByName,
+        [
+            tier.select(
+                F.lit(i + 1).alias("step_idx"),
+                F.lit(steps[i]).alias("step"),
+                "user",
+            )
+            for i, tier in enumerate(tiers)
+        ],
+    )
+    counts = tagged.groupBy("step_idx", "step").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    entry = counts.where(F.col("step_idx") == 1).select(
+        F.col("n_users").cast("double").alias("n_entry")
+    )
+    return counts.crossJoin(F.broadcast(entry)).select(
+        "step_idx",
+        "step",
+        "n_users",
+        (F.col("n_users").cast("double") / F.col("n_entry")).alias(
+            "conversion"
+        ),
+    )

@@ -132,3 +132,115 @@ def triangle_counts(
             .alias("clustering"),
         )
     )
+
+
+def adamic_adar(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_common_degree: int | None = 64,
+    include_adjacent: bool = False,
+) -> DataFrame:
+    """Adamic-Adar link prediction: (node_a, node_b, n_common, score).
+
+    score(u, v) = sum over common neighbors w of 1 / ln(deg(w))
+    (Adamic & Adar 2003) — the classic "friends you may know" /
+    related-pages signal: sharing a RARE neighbor is worth more than
+    sharing a hub. Pairs already adjacent are excluded by default
+    (link PREDICTION proposes new edges).
+
+    Scale design: the wedge self-join centered on w is the same
+    hot-key hazard as mirrors' gram join — a hub with degree d emits
+    d^2/2 pairs. ``max_common_degree`` drops hub centers BEFORE the
+    join (their contribution 1/ln(d) is the smallest anyway; the cut
+    is part of the operator contract, deterministic, documented). The
+    per-pair sum folds in w-sorted order so the double is
+    bit-reproducible across partitionings (same recipe as
+    more_like_this cosine).
+    """
+    e = _canonical_edges(edges, src, dst)
+    adj = e.select(F.col("a").alias("w"), F.col("b").alias("n")).unionAll(
+        e.select(F.col("b").alias("w"), F.col("a").alias("n"))
+    )
+    deg = adj.groupBy("w").agg(F.count(F.lit(1)).alias("deg"))
+    centers = adj.join(deg, "w")
+    if max_common_degree is not None:
+        centers = centers.where(F.col("deg") <= F.lit(max_common_degree))
+    x, y = centers.alias("x"), centers.alias("y")
+    wedges = (
+        x.join(y, F.col("x.w") == F.col("y.w"))
+        .where(F.col("x.n") < F.col("y.n"))
+        .select(
+            F.col("x.n").alias("node_a"),
+            F.col("y.n").alias("node_b"),
+            F.col("x.w").alias("w"),
+            (
+                F.lit(1.0)
+                / F.log(F.col("x.deg").cast("double"))
+            ).alias("val"),
+        )
+    )
+    if not include_adjacent:
+        wedges = wedges.join(
+            e,
+            (F.col("a") == F.col("node_a")) & (F.col("b") == F.col("node_b")),
+            "left_anti",
+        )
+    return wedges.groupBy("node_a", "node_b").agg(
+        F.count(F.lit(1)).alias("n_common"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(w, val))), 0.0D, "
+            "(acc, s) -> acc + s.val)"
+        ).alias("score"),
+    )
+
+
+def k_core(
+    edges: DataFrame, k: int, max_iters: int = 50
+) -> DataFrame:
+    """Nodes of the k-core (node, core_degree): iterative peeling.
+
+    Repeatedly deletes nodes whose degree in the SURVIVING subgraph is
+    below k until a fixpoint (Seidman 1983 cores; the distributed
+    peel-until-stable loop is the standard Pregel/GraphX formulation).
+    ``core_degree`` is the node's degree inside the final core.
+
+    Loop discipline matches dup_clusters/linkrank: per-iteration
+    generations hand off via eager localCheckpoint (lineage never
+    chains), the driver sees ONE scalar (surviving-node count) per
+    round, and the peel is monotone so equal consecutive counts prove
+    the fixpoint. Raises past ``max_iters`` rather than returning a
+    silently-unconverged core.
+    """
+    e = _canonical_edges(edges, "src", "dst").localCheckpoint(eager=True)
+    alive = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_alive = alive.count()
+    for _ in range(max_iters):
+        ee = e.join(
+            alive.withColumnRenamed("node", "a"), "a", "left_semi"
+        ).join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+        deg = (
+            ee.select(F.col("a").alias("node"))
+            .unionAll(ee.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("core_degree"))
+        )
+        survivors = deg.where(F.col("core_degree") >= F.lit(k))
+        nxt = survivors.select("node").localCheckpoint(eager=True)
+        n_next = nxt.count()
+        alive = nxt
+        if n_next == n_alive:
+            # monotone peel: same count means the SAME node set — done;
+            # the surviving degree table is the k-core answer
+            return survivors
+        n_alive = n_next
+        if n_alive == 0:
+            return survivors
+    raise RuntimeError(
+        f"k_core: peeling did not stabilize in {max_iters} iterations"
+    )
