@@ -883,6 +883,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return BPE.bpe_train(occurrences, n_merges=6)
 
+    def q_bpe_encode(spark, sf):
+        # apply the 6 learned merges back to the corpus: per-doc BPE
+        # piece counts via a token-keyed join against the final vocab
+        # (the corpus is never string-re-encoded)
+        from searchengine_spark.operators import bpe as BPE
+
+        occ = TF.doc_tokens(_docs(spark, sf)).select(
+            "doc_id", F.explode("tokens").alias("token")
+        )
+        return BPE.bpe_piece_counts(occ, n_merges=6)
+
+    def q_kmv_distinct(spark, sf):
+        # KMV/bottom-k cardinality sketch over the token vocabulary:
+        # md5-60bit hashing makes the k-th smallest hash — and hence
+        # the estimate itself — bit-reproducible in DuckDB
+        from searchengine_spark.operators import sketches as SK
+
+        occ = TF.doc_tokens(_docs(spark, sf)).select(
+            F.explode("tokens").alias("token")
+        )
+        return _r(SK.kmv_distinct(occ, "token", k=256), "est_distinct")
+
     def q_funnel(spark, sf):
         # ordered-step funnel view -> click -> purchase with earliest-
         # completion semantics; pseudo-users event_id % 200 make the
@@ -1008,6 +1030,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel": q_funnel,
         "adamic_adar": q_adamic_adar,
         "k_core": q_kcore,
+        "bpe_encode": q_bpe_encode,
+        "kmv_distinct": q_kmv_distinct,
     }
 
 
@@ -2259,18 +2283,21 @@ a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE core_degree >= {k})"""
     )
 
 
-def _duck_bpe(n_merges: int) -> str:
-    """Unrolled BPE merge chain mirroring operators/bpe.bpe_train:
+def _duck_bpe_chain(n_merges: int) -> str:
+    """Unrolled BPE merge CTE chain mirroring operators/bpe._train:
     v0 = char-encoded weighted vocabulary; each iteration counts
     adjacent "|x |y " pairs, takes the argmax (count DESC, pair ASC)
     and applies the greedy left-to-right replace. DuckDB string
     literals keep backslashes (standard SQL), hence the single-
-    backslash chunk regex vs the Spark-side doubled one."""
+    backslash chunk regex vs the Spark-side doubled one. Every v{k}
+    is MATERIALIZED — the chain references each v{k-1} three times
+    (pair scan + two argmax scalar subqueries), so inlining would
+    expand the plan tree 3^n_merges-fold."""
     from searchengine_spark.operators.bpe import CHUNK_RE_DUCK
 
     parts = [
-        """v0 AS (
-  SELECT count(*) AS freq,
+        """v0 AS MATERIALIZED (
+  SELECT token AS tok, count(*) AS freq,
          regexp_replace(token, '(.)', '|\\1 ', 'g') AS enc
   FROM tok2 GROUP BY token
 )"""
@@ -2287,13 +2314,18 @@ p{k} AS (
        y -> y IS NOT NULL)) AS u(p)
   GROUP BY pair
 ),
-b{k} AS (SELECT pair, f FROM p{k} ORDER BY f DESC, pair ASC LIMIT 1),
-v{k} AS (
-  SELECT freq, replace(enc, (SELECT pair FROM b{k}),
+b{k} AS MATERIALIZED (SELECT pair, f FROM p{k}
+                      ORDER BY f DESC, pair ASC LIMIT 1),
+v{k} AS MATERIALIZED (
+  SELECT tok, freq, replace(enc, (SELECT pair FROM b{k}),
                        replace((SELECT pair FROM b{k}), ' |', '')) AS enc
   FROM v{k - 1}
 )"""
         )
+    return "WITH " + _DUCK_TOKENS + ",\n" + ",\n".join(parts) + "\n"
+
+
+def _duck_bpe(n_merges: int) -> str:
     selects = [
         f"SELECT {k} AS \"rank\", "
         f"ltrim(string_split(pair, ' ')[1], '|') AS \"left\", "
@@ -2301,14 +2333,41 @@ v{k} AS (
         f"CAST(f AS BIGINT) AS freq FROM b{k}"
         for k in range(1, n_merges + 1)
     ]
+    return _duck_bpe_chain(n_merges) + "\nUNION ALL\n".join(selects)
+
+
+def _duck_bpe_encode(n_merges: int) -> str:
+    """Per-doc piece counts under the final merged vocabulary."""
+    from searchengine_spark.operators.bpe import CHUNK_RE_DUCK
+
     return (
-        "WITH "
-        + _DUCK_TOKENS
-        + ",\n"
-        + ",\n".join(parts)
-        + "\n"
-        + "\nUNION ALL\n".join(selects)
+        _duck_bpe_chain(n_merges)
+        + f""", vt AS (
+  SELECT tok AS token,
+         len(regexp_extract_all(enc, '{CHUNK_RE_DUCK}')) AS np
+  FROM v{n_merges}
+)
+SELECT doc_id, count(*) AS n_tokens, CAST(sum(np) AS BIGINT) AS n_pieces
+FROM tok2 JOIN vt USING (token) GROUP BY doc_id"""
     )
+
+
+def _duck_kmv(k: int) -> str:
+    """KMV bottom-k distinct sketch over the token vocabulary — the
+    k smallest distinct md5-60bit hashes reproduce bit-identically,
+    so even the ESTIMATE is value-checked ((k-1)*2^60 / h_k, exact
+    count when fewer than k distinct values exist)."""
+    return f"""
+WITH {_DUCK_TOKENS},
+ht AS (SELECT DISTINCT {_duck_h60("token")} AS h FROM tok2),
+top AS (SELECT h FROM ht ORDER BY h LIMIT {k}),
+a AS (SELECT count(*) AS n_kept, max(h) AS kth_hash FROM top)
+SELECT n_kept, kth_hash,
+       round(CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+             ELSE (CAST({k - 1} AS DOUBLE)
+                   * CAST(1152921504606846976 AS DOUBLE))
+                  / CAST(kth_hash AS DOUBLE) END, 9) AS est_distinct
+FROM a"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2704,6 +2763,8 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         "funnel": _DUCK_FUNNEL,
         "adamic_adar": _DUCK_ADAMIC_ADAR,
         "k_core": _duck_kcore(4, rounds=8),
+        "bpe_encode": _duck_bpe_encode(6),
+        "kmv_distinct": _duck_kmv(256),
         # Round 2 closed the rows-only set to ZERO: simhash_pairs and
         # frame_sample moved to engine-portable md5-60bit hashes,
         # ann_lsh/ivf_topk share literal planes / data-derived centroids

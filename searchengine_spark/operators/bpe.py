@@ -72,24 +72,19 @@ def merged_chunk(pair: str) -> str:
     return pair.replace(" |", "")
 
 
-def bpe_train(
-    docs_tokens: DataFrame,
-    n_merges: int = 6,
-    token_col: str = "token",
-) -> DataFrame:
-    """Learn ``n_merges`` BPE merges; returns (rank, left, right, freq).
+def _train(
+    docs_tokens: DataFrame, n_merges: int, token_col: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Greedy merge loop; returns (merges, final vocab (tok, freq, enc)).
 
-    ``docs_tokens`` is one row per token OCCURRENCE (the tokenizer
-    explosion — duplicates carry the frequency weight). ``freq`` is
-    the corpus-wide count of the winning adjacent pair at the moment
-    it was merged; ``left``/``right`` are the two symbols joined.
-    Stops early (shorter output) if the corpus runs out of pairs.
+    The returned vocab frame is handed off via eager localCheckpoint so
+    callers that keep using it (piece counting) neither re-derive the
+    corpus groupBy nor leak a session-lifetime cache entry.
     """
-    spark = docs_tokens.sparkSession
     vocab = (
         docs_tokens.groupBy(F.col(token_col).alias("tok"))
         .agg(F.count(F.lit(1)).alias("freq"))
-        .selectExpr("freq", ENCODE_SQL.format(tok="tok") + " AS enc")
+        .selectExpr("tok", "freq", ENCODE_SQL.format(tok="tok") + " AS enc")
         .cache()
     )
     merges: list[tuple[int, str, str, int]] = []
@@ -113,7 +108,62 @@ def bpe_train(
         cur = cur.withColumn(
             "enc", F.replace("enc", F.lit(pair), F.lit(merged_chunk(pair)))
         )
+    final = cur.localCheckpoint(eager=True)
     vocab.unpersist()
+    return merges, final
+
+
+def bpe_train(
+    docs_tokens: DataFrame,
+    n_merges: int = 6,
+    token_col: str = "token",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns (rank, left, right, freq).
+
+    ``docs_tokens`` is one row per token OCCURRENCE (the tokenizer
+    explosion — duplicates carry the frequency weight). ``freq`` is
+    the corpus-wide count of the winning adjacent pair at the moment
+    it was merged; ``left``/``right`` are the two symbols joined.
+    Stops early (shorter output) if the corpus runs out of pairs.
+    """
+    spark = docs_tokens.sparkSession
+    merges, _ = _train(docs_tokens, n_merges, token_col)
     return spark.createDataFrame(
         merges, "rank INT, left STRING, right STRING, freq BIGINT"
+    )
+
+
+def bpe_piece_counts(
+    docs_tokens: DataFrame,
+    n_merges: int = 6,
+    id_col: str = "doc_id",
+    token_col: str = "token",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_pieces) after applying learned merges.
+
+    The tokenizer-budgeting view of the corpus: train ``n_merges``
+    merges, then count how many BPE pieces each document costs under
+    that vocabulary. Encoding the corpus is a JOIN against the final
+    vocab's per-token piece count — the corpus itself is never
+    re-encoded string-wise (the vocab already holds every distinct
+    token's final segmentation), so the extra cost over bpe_train is
+    one token-keyed join + a doc_id aggregation. At web scale the
+    vocab side may exceed broadcast size; the join is a plain hash
+    join and AQE picks broadcast when it fits.
+    """
+    merges, vocab = _train(docs_tokens, n_merges, token_col)
+    pieces = vocab.selectExpr(
+        "tok",
+        f"size(regexp_extract_all(enc, '{CHUNK_RE}', 0)) AS np",
+    )
+    return (
+        docs_tokens.select(
+            F.col(id_col).alias("doc_id"), F.col(token_col).alias("tok")
+        )
+        .join(pieces, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("np").alias("n_pieces"),
+        )
     )

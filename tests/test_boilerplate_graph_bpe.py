@@ -152,3 +152,56 @@ def test_bpe_stops_when_out_of_pairs(spark):
 
 def test_merged_chunk():
     assert merged_chunk("|lo |w ") == "|low "
+
+
+def test_bpe_piece_counts(spark):
+    from searchengine_spark.operators.bpe import bpe_piece_counts
+
+    # after 1 merge, 'es' is one piece: test -> t+es+t, best -> b+es+t
+    occ = spark.createDataFrame(
+        [(1, "test"), (1, "best"), (2, "ab")],
+        "doc_id int, token string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_pieces)
+        for r in bpe_piece_counts(occ, n_merges=1).collect()
+    }
+    # merge rank1 = most frequent pair; pairs: te1 es2 st2 be1 ab1 ->
+    # tie es/st -> '|es ' < '|st ' so es merges
+    assert got[1] == (2, 6)  # t,es,t + b,es,t
+    assert got[2] == (1, 2)  # untouched
+
+
+def test_kmv_exact_below_k(spark):
+    from searchengine_spark.operators.sketches import kmv_distinct
+
+    df = spark.createDataFrame(
+        [(f"v{i % 7}",) for i in range(100)], "token string"
+    )
+    row = kmv_distinct(df, "token", k=64).collect()[0]
+    assert row.n_kept == 7
+    assert row.est_distinct == 7.0  # exact when under k
+
+
+def test_kmv_estimate_within_tolerance(spark):
+    from searchengine_spark.operators.sketches import kmv_distinct
+
+    n = 5000
+    df = spark.createDataFrame(
+        [(f"value-{i}",) for i in range(n)], "token string"
+    ).repartition(8)
+    row = kmv_distinct(df, "token", k=256).collect()[0]
+    assert row.n_kept == 256
+    # KMV relative error ~ 1/sqrt(k) ~ 6%; allow 4 sigma
+    assert abs(row.est_distinct - n) / n < 0.25
+
+
+def test_kmv_deterministic_across_partitionings(spark):
+    from searchengine_spark.operators.sketches import kmv_distinct
+
+    rows = [(f"tok{i}",) for i in range(1000)]
+    a = spark.createDataFrame(rows, "token string").repartition(2)
+    b = spark.createDataFrame(rows, "token string").repartition(16)
+    ra = kmv_distinct(a, "token", k=128).collect()[0]
+    rb = kmv_distinct(b, "token", k=128).collect()[0]
+    assert (ra.kth_hash, ra.est_distinct) == (rb.kth_hash, rb.est_distinct)
