@@ -905,6 +905,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return _r(SK.kmv_distinct(occ, "token", k=256), "est_distinct")
 
+    def q_ltr_features(spark, sf):
+        # LTR training-table export: BM25 + match breadth + doc length
+        # + quality + PageRank assembled on the token-pruned candidate
+        # set of the BM25 query terms
+        from searchengine_spark.operators import ltr as LT
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        return _r(
+            LT.ltr_features(docs, _BM25_TERMS, edges),
+            "bm25", "quality", "rank",
+        )
+
     def q_funnel(spark, sf):
         # ordered-step funnel view -> click -> purchase with earliest-
         # completion semantics; pseudo-users event_id % 200 make the
@@ -1032,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_core": q_kcore,
         "bpe_encode": q_bpe_encode,
         "kmv_distinct": q_kmv_distinct,
+        "ltr_features": q_ltr_features,
     }
 
 
@@ -2352,6 +2374,32 @@ FROM tok2 JOIN vt USING (token) GROUP BY doc_id"""
     )
 
 
+def _duck_ltr(terms: list[str]) -> str:
+    """LTR feature assembly: BM25 pivot + match breadth on the pruned
+    candidate set, joined to doc length (tq's token list), quality
+    (qq) and a NESTED full PageRank query (its CTE names scope inside
+    `pr AS (...)`, so they can't clash with the wts/tq bundles)."""
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    case = " + ".join(
+        f"coalesce(max(CASE WHEN token = '{t}' THEN w END), 0.0e0)"
+        for t in uniq
+    )
+    inlist = ", ".join(f"'{t}'" for t in uniq)
+    return f"""
+WITH {_DUCK_BM25_WTS},
+{_DUCK_QQ},
+pr AS ({_pagerank_sql()}),
+cand AS (
+  SELECT doc_id, {case} AS bm25, count(DISTINCT token) AS n_matched
+  FROM wts WHERE token IN ({inlist}) GROUP BY doc_id
+),
+dl AS (SELECT doc_id, len(tl) AS doc_len FROM tq)
+SELECT cand.doc_id, round(cand.bm25, 9) AS bm25, cand.n_matched,
+       dl.doc_len, q.qq AS quality, pr.rank AS rank
+FROM cand JOIN dl USING (doc_id) JOIN q USING (doc_id)
+JOIN pr USING (doc_id)"""
+
+
 def _duck_kmv(k: int) -> str:
     """KMV bottom-k distinct sketch over the token vocabulary — the
     k smallest distinct md5-60bit hashes reproduce bit-identically,
@@ -2765,6 +2813,7 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         "k_core": _duck_kcore(4, rounds=8),
         "bpe_encode": _duck_bpe_encode(6),
         "kmv_distinct": _duck_kmv(256),
+        "ltr_features": _duck_ltr(_BM25_TERMS),
         # Round 2 closed the rows-only set to ZERO: simhash_pairs and
         # frame_sample moved to engine-portable md5-60bit hashes,
         # ann_lsh/ivf_topk share literal planes / data-derived centroids

@@ -122,3 +122,59 @@ def test_k_core_raises_on_truncation(spark):
     )
     with pytest.raises(RuntimeError, match="did not stabilize"):
         k_core(e, k=2, max_iters=2)
+
+
+# ----------------------------------------------------------------------- ltr
+def test_ltr_features_candidates_and_priors(spark):
+    from searchengine_spark.operators.ltr import ltr_features
+
+    docs = spark.createDataFrame(
+        [
+            (0, "spark window spark"),
+            (1, "window dup things"),
+            (2, "nothing relevant here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0)], "src bigint, dst bigint"
+    )
+    rows = {
+        r.doc_id: r
+        for r in ltr_features(docs, ["spark", "window"], edges).collect()
+    }
+    # doc 2 matches no term -> not a candidate
+    assert set(rows) == {0, 1}
+    assert rows[0].n_matched == 2 and rows[1].n_matched == 1
+    assert rows[0].doc_len == 3 and rows[1].doc_len == 3
+    assert rows[0].bm25 > rows[1].bm25  # two matched terms beat one
+    # symmetric ring graph -> equal pageranks
+    assert rows[0].rank == rows[1].rank
+    assert 0.0 < rows[0].quality <= 1.0
+
+
+def test_ltr_features_accepts_precomputed_priors(spark):
+    from searchengine_spark.operators.ltr import ltr_features
+    from searchengine_spark.operators.ranking import bm25_table
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], "doc_id bigint, text string"
+    )
+    edges = spark.createDataFrame([(0, 1)], "src bigint, dst bigint")
+    pre = ltr_features(
+        docs,
+        ["beta"],
+        edges,
+        weights=bm25_table(docs),
+        lengths=spark.createDataFrame(
+            [(0, 2), (1, 2)], "doc_id bigint, doc_len int"
+        ),
+        quality=spark.createDataFrame(
+            [(0, 0.5), (1, 0.6)], "doc_id bigint, quality double"
+        ),
+        ranks=spark.createDataFrame(
+            [(0, 0.5), (1, 0.5)], "doc_id bigint, rank double"
+        ),
+    ).collect()
+    assert {r.doc_id for r in pre} == {0, 1}
+    assert all(r.doc_len == 2 for r in pre)
