@@ -53,7 +53,9 @@ def frequent_lines(
         docs.select(
             F.col(host_col).alias("host"),
             F.col(doc_id_col).alias("doc_id"),
-            F.explode(F.split(F.col(text_col), "\n")).alias("raw"),
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+            ).alias("raw"),
         )
         .select("host", "doc_id", F.trim(F.col("raw")).alias("line"))
         .where(F.col("line") != "")
@@ -95,10 +97,14 @@ def strip_boilerplate(
         F.collect_set("line").alias("boiler_lines")
     )
     out = (
+        # null text behaves as empty (split(null) would otherwise
+        # propagate null arrays into size() = -1 counts)
         docs.select(
             F.col(doc_id_col).alias("doc_id"),
             F.col(host_col).alias("host"),
-            F.split(F.col(text_col), "\n").alias("lines"),
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n").alias(
+                "lines"
+            ),
         )
         .join(F.broadcast(per_host), "host", "left")
         .select(

@@ -205,3 +205,15 @@ def test_kmv_deterministic_across_partitionings(spark):
     ra = kmv_distinct(a, "token", k=128).collect()[0]
     rb = kmv_distinct(b, "token", k=128).collect()[0]
     assert (ra.kth_hash, ra.est_distinct) == (rb.kth_hash, rb.est_distinct)
+
+
+def test_strip_null_text_behaves_as_empty(spark):
+    rows = [("d0", "h", None), ("d1", "h", "body\nbody2")]
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in strip_boilerplate(spark.createDataFrame(
+            rows, "doc_id string, host string, text string"
+        )).collect()
+    }
+    assert got["d0"] == ("", 1, 0)  # the single empty line survives
+    assert got["d1"] == ("body\nbody2", 2, 0)
