@@ -974,6 +974,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return GS.k_core(edges, k=4)
 
+    def q_change_rate(spark, sf):
+        # Cho-Garcia-Molina recrawl change-rate: captures = one row per
+        # event, url = user_id, fingerprint = event_type; event_id
+        # totalises capture order under equal timestamps
+        from searchengine_spark.operators import recrawl as RC
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return _r(
+            RC.change_rate(
+                ev,
+                url_col="user_id",
+                ts_col="ts",
+                fp_col="event_type",
+                id_col="event_id",
+            ),
+            "gap_days",
+            "lambda_day",
+            "recrawl_days",
+        )
+
+    def q_cms_topk(spark, sf):
+        # count-min-sketch heavy hitters over the token stream: w=16 x
+        # d=3 counters force real collisions at fixture vocabulary
+        # size; md5-60bit depth-salted hashing makes every counter —
+        # and the min-of-rows estimate — bit-reproducible in DuckDB
+        from searchengine_spark.operators import sketches as SK
+
+        occ = TF.doc_tokens(_docs(spark, sf)).select(
+            F.explode("tokens").alias("token")
+        )
+        est = SK.cms_estimates(occ, "token", w=16, d=3)
+        return (
+            est.orderBy(
+                F.col("est_count").desc(), F.col("v").asc()
+            )
+            .limit(25)
+            .select(
+                F.col("v").alias("token"), "exact_count", "est_count"
+            )
+        )
+
+    def q_host_budget(spark, sf):
+        # largest-remainder apportionment of a 97-fetch round budget
+        # across hosts (source), proportional to corpus bytes
+        from searchengine_spark.operators import budget as BG
+
+        hosts = (
+            _docs(spark, sf)
+            .groupBy(F.col("source").alias("host"))
+            .agg(F.sum("n_chars").alias("score"))
+        )
+        return BG.host_budget(hosts, budget=97)
+
     return {
         "tumbling_counts": q_tumbling,
         "tf": q_tf,
@@ -1054,6 +1107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode": q_bpe_encode,
         "kmv_distinct": q_kmv_distinct,
         "ltr_features": q_ltr_features,
+        "change_rate": q_change_rate,
+        "cms_topk": q_cms_topk,
+        "host_budget": q_host_budget,
     }
 
 
@@ -2418,6 +2474,100 @@ SELECT n_kept, kth_hash,
 FROM a"""
 
 
+_DUCK_CHANGE_RATE = """
+WITH cap AS (
+  SELECT user_id AS url, ts AS cap_ts,
+         CASE WHEN lag(event_type) OVER w IS NOT NULL
+               AND event_type <> lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+agg AS (
+  SELECT url, CAST(count(*) AS BIGINT) AS n_caps,
+         CAST(sum(chg) AS BIGINT) AS n_changed,
+         date_diff('microseconds', min(cap_ts), max(cap_ts)) AS span_us
+  FROM cap GROUP BY url HAVING count(*) >= 2
+),
+d1 AS (
+  SELECT url, n_caps, n_changed,
+         CAST(span_us AS DOUBLE) / CAST(n_caps - 1 AS DOUBLE)
+           / 86400.0e6 AS gap_days,
+         -ln((CAST(n_caps - 1 - n_changed AS DOUBLE) + 0.5e0)
+             / (CAST(n_caps - 1 AS DOUBLE) + 0.5e0)) AS r_hat
+  FROM agg
+),
+d2 AS (
+  SELECT url, n_caps, n_changed, gap_days,
+         CASE WHEN gap_days > 0.0e0 THEN r_hat / gap_days
+              ELSE 0.0e0 END AS lambda_day
+  FROM d1
+)
+SELECT url, n_caps, n_changed, round(gap_days, 9) AS gap_days,
+       round(lambda_day, 9) AS lambda_day,
+       round(CASE WHEN lambda_day <= 0.0e0 THEN 365.0e0
+             ELSE least(365.0e0, greatest(1.0e0 / 24, 1.0e0 / lambda_day))
+             END, 9) AS recrawl_days
+FROM d2"""
+
+
+def _duck_cms(w: int, d: int, k: int) -> str:
+    """Count-min sketch replay: identical depth-salted md5-60bit
+    bucketing, bucket-wise sum, min over depths — integers
+    throughout, so the estimate itself is value-checked."""
+    h = _duck_h60("concat(CAST(depth AS VARCHAR), ':', v)")
+    return f"""
+WITH {_DUCK_TOKENS},
+freq AS (
+  SELECT token AS v, CAST(count(*) AS BIGINT) AS n
+  FROM tok2 GROUP BY token
+),
+dep AS (SELECT CAST(unnest(range({d})) AS BIGINT) AS depth),
+kb AS (
+  SELECT v, n, depth, {h} % {w} AS bucket FROM freq CROSS JOIN dep
+),
+sk AS (
+  SELECT depth, bucket, CAST(sum(n) AS BIGINT) AS c
+  FROM kb GROUP BY depth, bucket
+),
+est AS (
+  SELECT v, n, min(c) AS est_count
+  FROM kb JOIN sk USING (depth, bucket) GROUP BY v, n
+)
+SELECT v AS token, n AS exact_count, est_count FROM est
+ORDER BY est_count DESC, token LIMIT {k}"""
+
+
+def _duck_host_budget(budget: int) -> str:
+    """Largest-remainder apportionment — pure int64 arithmetic, the
+    straightforward window formulation (the Spark side's bucketed
+    threshold selection is a plan optimization, same result set)."""
+    return f"""
+WITH h AS (
+  SELECT source AS host, CAST(sum(n_chars) AS BIGINT) AS score
+  FROM documents GROUP BY source
+),
+t AS (SELECT CAST(sum(score) AS BIGINT) AS s FROM h),
+b AS (
+  SELECT host, score,
+         CASE WHEN s > 0 THEN CAST({budget} AS BIGINT) * score // s
+              ELSE CAST(0 AS BIGINT) END AS base,
+         CASE WHEN s > 0 THEN CAST({budget} AS BIGINT) * score % s
+              ELSE CAST(0 AS BIGINT) END AS rem
+  FROM h CROSS JOIN t
+),
+r AS (
+  SELECT host, score, base, rem,
+         row_number() OVER (ORDER BY rem DESC, host) AS rk
+  FROM b
+),
+x AS (SELECT CAST({budget} - sum(base) AS BIGINT) AS extra FROM b)
+SELECT host, score,
+       CAST(base + CASE WHEN rk <= extra THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM r CROSS JOIN x"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tf": f"WITH {_DUCK_TOKENS} SELECT doc_id, token, round(tf, 9) AS tf FROM tf",
@@ -2814,6 +2964,9 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         "bpe_encode": _duck_bpe_encode(6),
         "kmv_distinct": _duck_kmv(256),
         "ltr_features": _duck_ltr(_BM25_TERMS),
+        "change_rate": _DUCK_CHANGE_RATE,
+        "cms_topk": _duck_cms(16, 3, 25),
+        "host_budget": _duck_host_budget(97),
         # Round 2 closed the rows-only set to ZERO: simhash_pairs and
         # frame_sample moved to engine-portable md5-60bit hashes,
         # ann_lsh/ivf_topk share literal planes / data-derived centroids

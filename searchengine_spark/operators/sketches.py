@@ -38,6 +38,61 @@ from searchengine_spark.operators.sampling import h60_col
 _TWO60 = float(1 << 60)
 
 
+def cms_estimates(
+    df: DataFrame, expr: str, w: int = 1024, d: int = 4
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) frequency
+    estimates for every distinct value of ``expr``.
+
+    Output: (v, exact_count, est_count) with the CMS guarantee
+    est_count >= exact_count (equality unless the value collided in
+    all d rows). ``exact_count`` rides along for free here because the
+    batch construction pre-aggregates — production callers estimating
+    keys NOT present in the build scan would drop it.
+
+    Batch construction exploits CMS *linearity*: inserting the
+    (value, count) frequency vector yields the identical d x w counter
+    array as inserting every occurrence, so the corpus is shuffled
+    ONCE (groupBy value, map-side combine) and only the distinct-value
+    frame is exploded d ways. The sketch itself is d*w rows — mergeable
+    across days/shards by bucket-wise addition, which is the point of
+    carrying a sketch instead of the exact table at 100 TB.
+
+    Hashing is the repo's md5-60bit (depth-salted) so every counter —
+    and hence every ESTIMATE — is bit-reproducible in DuckDB: the
+    approximate answer is exactly verified, same discipline as KMV.
+    """
+    freq = (
+        df.select(F.expr(expr).cast("string").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    depths = F.array(*[F.lit(i) for i in range(d)])
+    keyed = freq.select(
+        "v", "n", F.explode(depths).alias("depth")
+    ).select(
+        "v",
+        "n",
+        "depth",
+        F.pmod(
+            h60_col("concat(CAST(depth AS STRING), ':', v)"), F.lit(w)
+        ).alias("bucket"),
+    )
+    sketch = keyed.groupBy("depth", "bucket").agg(
+        F.sum("n").alias("c")
+    )
+    return (
+        keyed.join(F.broadcast(sketch), ["depth", "bucket"])
+        .groupBy("v", "n")
+        .agg(F.min("c").alias("est_count"))
+        .select(
+            "v",
+            F.col("n").alias("exact_count"),
+            "est_count",
+        )
+    )
+
+
 def kmv_distinct(df: DataFrame, expr: str, k: int = 256) -> DataFrame:
     """One-row frame (n_kept, kth_hash, est_distinct) for ``expr``.
 
