@@ -1027,6 +1027,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return BG.host_budget(hosts, budget=97)
 
+    def q_url_templates(spark, sf):
+        # URL pattern census over the deterministic 5-family URL fixture
+        # (crawl-trap detection): hex runs -> {H}, digit runs -> {N},
+        # one groupBy((host, template)) with map-side partial agg
+        from searchengine_spark.operators import urlmining as UM
+
+        return UM.url_templates(UM.url_fixture(_docs(spark, sf)))
+
+    def q_chunk_text(spark, sf):
+        # overlapping 64-token windows at stride 48 (RAG/pretraining
+        # chunking with an exact tail window): pure projection+explode,
+        # no shuffle; chunk identity via md5 of the joined window
+        return TD.chunk_text(_docs(spark, sf), win=64, stride=48)
+
+    def q_containment(spark, sf):
+        # directed shingle containment |g(a)∩g(b)|/|g(a)| ≥ 0.75 — the
+        # asymmetric near-dup Jaccard misses (short doc quoted inside a
+        # long one); exact via the same prefix-filter pre-join
+        return _r(
+            DD.containment_pairs(_docs(spark, sf), threshold=0.75),
+            "containment",
+        )
+
     return {
         "tumbling_counts": q_tumbling,
         "tf": q_tf,
@@ -1110,6 +1133,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "change_rate": q_change_rate,
         "cms_topk": q_cms_topk,
         "host_budget": q_host_budget,
+        "url_templates": q_url_templates,
+        "chunk_text": q_chunk_text,
+        "containment_pairs": q_containment,
     }
 
 
@@ -2567,6 +2593,67 @@ SELECT host, score,
          AS quota
 FROM r CROSS JOIN x"""
 
+# URL template census over the 5-family fixture (urlmining.url_fixture);
+# regexes are RE2-safe and identical to urlmining.HOST_RE/HEX_RUN_RE/
+# DIGIT_RUN_RE (DuckDB needs the explicit 'g' flag Spark implies)
+_DUCK_URL_TEMPLATES = """
+WITH u AS (
+  SELECT 'https://h' || CAST(doc_id % 16 AS VARCHAR) || '.test' ||
+    CASE doc_id % 5
+      WHEN 0 THEN '/article/' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN '/product/' || CAST(doc_id AS VARCHAR)
+                  || '?ref=' || CAST(doc_id % 7 AS VARCHAR)
+      WHEN 2 THEN '/tag/' || lang || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+      WHEN 3 THEN '/s/' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+      ELSE '/static/about'
+    END AS url
+  FROM documents
+),
+t AS (
+  SELECT
+    regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1) AS host,
+    regexp_replace(regexp_replace(
+      regexp_replace(lower(url), '^[a-z][a-z0-9+.-]*://[^/?#]+', ''),
+      '[0-9a-f]{8,}', '{H}', 'g'), '[0-9]+', '{N}', 'g') AS template,
+    url
+  FROM u
+)
+SELECT host, template, count(*) AS n_urls,
+       count(DISTINCT url) AS n_distinct_urls, min(url) AS example_url
+FROM t GROUP BY host, template"""
+
+# overlapping 64/48 token chunking — same start-set construction as
+# traindata.chunk_text (full-stride starts + exact-tail start, distinct)
+_DUCK_CHUNK_TEXT = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+t2 AS (SELECT doc_id, tl, len(tl) AS n FROM toks WHERE len(tl) > 0),
+s AS (
+  SELECT doc_id, tl, n,
+         unnest(list_distinct(list_append(
+           list_transform(
+             range(CAST(floor(greatest(n - 64, 0) / 48.0) AS BIGINT) + 1),
+             i -> i * 48),
+           greatest(n - 64, 0)))) AS start
+  FROM t2
+)
+SELECT doc_id, CAST(start AS INTEGER) AS start_tok,
+       CAST(least(64, n - start) AS INTEGER) AS n_tok,
+       md5(array_to_string(tl[start + 1 : start + 64], ' ')) AS chunk_hash
+FROM s"""
+
+# directed containment over stride-3 gram sets (exact; the Spark side's
+# xxhash64 gram hashing is count-preserving so string-gram intersection
+# sizes match, as with ngram_pairs)
+_DUCK_CONTAINMENT = f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+g0 AS (SELECT doc_id, {_DUCK_GRAMS} AS gs FROM toks),
+g AS (SELECT doc_id, gs FROM g0 WHERE len(gs) > 0)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  round(CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) / len(a.gs), 9)
+    AS containment
+FROM g a JOIN g b ON a.doc_id <> b.doc_id
+WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) / len(a.gs) >= 0.75"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -2967,6 +3054,9 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         "change_rate": _DUCK_CHANGE_RATE,
         "cms_topk": _duck_cms(16, 3, 25),
         "host_budget": _duck_host_budget(97),
+        "url_templates": _DUCK_URL_TEMPLATES,
+        "chunk_text": _DUCK_CHUNK_TEXT,
+        "containment_pairs": _DUCK_CONTAINMENT,
         # Round 2 closed the rows-only set to ZERO: simhash_pairs and
         # frame_sample moved to engine-portable md5-60bit hashes,
         # ann_lsh/ivf_topk share literal planes / data-derived centroids

@@ -127,6 +127,76 @@ def ngram_dup_pairs(
     return out
 
 
+# -------------------------------------------------- asymmetric containment
+
+
+def containment_pairs(
+    documents: DataFrame,
+    threshold: float = 0.75,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Directed containment pairs: (doc_a, doc_b, containment) where
+    C(a→b) = |g(a) ∩ g(b)| / |g(a)| ≥ threshold and a ≠ b — "a's grams
+    are (mostly) contained in b". The asymmetric complement of
+    ngram_dup_pairs: Jaccard misses a short document quoted/embedded
+    inside a much longer one (union is dominated by the long doc), the
+    web case being boilerplate-wrapped mirrors, quote pages, and RSS
+    excerpts of full articles.
+
+    EXACT and sub-quadratic: the Jaccard prefix filter is valid verbatim
+    for containment — if none of a's ⌊(1-t)·|A|⌋+1 globally-rarest grams
+    hit B, then |A∩B| ≤ |A| - (⌊(1-t)|A|⌋+1) < t·|A|, so the pair cannot
+    reach C ≥ t (same bound, denominator |A| instead of |A∪B|). Unlike
+    the Jaccard path there is NO size-ratio prune — a 10-gram doc fully
+    contained in a 10k-gram doc is precisely the signal — so candidates
+    go straight to the exact array_intersect verify. Empty-fingerprint
+    docs are dropped (containment undefined).
+
+    Reference scope: the reference dedups by symmetric n-gram Jaccard
+    only (url_similarity.py / ngrams.py); containment is a
+    beyond-reference curation operator (SURVEY §2.11 family)."""
+    fps = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(fingerprint_sql(tokens_sql(text_col), n)).alias("fp"),
+        )
+        .filter(F.size("fp") > 0)
+        .persist()
+    )
+    left = fps.select(F.col("doc_id").alias("url_hash"), "fp")
+    lg = _prefix_grams(left, threshold).select(
+        F.col("url_hash").alias("doc_a"), "gram"
+    )
+    rg = fps.select(F.col("doc_id").alias("doc_b"), F.explode("fp").alias("gram"))
+    cands = (
+        lg.join(rg, "gram")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    out = (
+        cands.join(
+            fps.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a")),
+            "doc_a",
+        )
+        .join(
+            fps.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "containment",
+            F.expr(
+                "CAST(size(array_intersect(fp_a, fp_b)) AS double) / size(fp_a)"
+            ),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+    return out
+
+
 # ------------------------------------------------------------- MinHash+LSH
 
 

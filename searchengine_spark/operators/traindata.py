@@ -267,6 +267,52 @@ def pack_sequences(
     )
 
 
+def chunk_text(
+    documents: DataFrame,
+    win: int = 64,
+    stride: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, start_tok, n_tok, chunk_hash) — overlapping fixed-width
+    token windows per document: chunk starts at 0, stride, 2·stride, …
+    while a full `win`-token window fits, plus one tail window ending
+    exactly at the last token when the stride doesn't align (so no text
+    is dropped and every chunk except a short-doc's single chunk has
+    exactly `win` tokens). The RAG/pretraining "chunk with overlap"
+    primitive — distinct from pack_sequences (which packs whole docs
+    into a global token stream, no overlap, no per-doc windows).
+
+    Per-row projection + explode, no shuffle at all: scales linearly
+    and stays in whole-stage codegen (the window starts are a sequence()
+    over two ints; the slice/join/md5 are built-in Column exprs).
+    Zero-token documents produce no chunks.
+
+    Beyond-reference curation operator (SURVEY §2.11 family); the
+    chunk_hash (md5 of the space-joined window) makes the output
+    value-comparable in DuckDB and doubles as the chunk-level dedup key
+    downstream."""
+    if not (0 < stride <= win):
+        raise ValueError("chunk_text: require 0 < stride <= win")
+    toks = tokens_sql(text_col)
+    starts = (
+        f"array_distinct(concat(transform("
+        f"sequence(0, CAST(floor(greatest(size(tl) - {win}, 0) / {stride}) AS INT)), "
+        f"i -> i * {stride}), array(greatest(size(tl) - {win}, 0))))"
+    )
+    return (
+        documents.selectExpr(f"{id_col} AS doc_id", f"{toks} AS tl")
+        .filter(F.expr("size(tl) > 0"))
+        .selectExpr("doc_id", "tl", f"explode({starts}) AS start_tok")
+        .selectExpr(
+            "doc_id",
+            "CAST(start_tok AS INT) AS start_tok",
+            f"CAST(least({win}, size(tl) - start_tok) AS INT) AS n_tok",
+            f"md5(array_join(slice(tl, start_tok + 1, {win}), ' ')) AS chunk_hash",
+        )
+    )
+
+
 def export_jsonl(
     df: DataFrame,
     path: str,
