@@ -102,6 +102,21 @@ class CrawlConfig:
     ngram_n: int = 3
     trap_threshold: float = 0.85  # J6 (reference link_similarity.py:12)
 
+    # ---- URL-template trap gate (default OFF — beyond-reference; the
+    # corpus-level complement of the per-pair J6 gate): every
+    # template_gate_every rounds the accumulated frontier URLs are
+    # template-censused (operators/urlmining: hex runs → {H}, digit
+    # runs → {N}) and (host, template) families backing ≥
+    # template_trap_min_urls distinct URLs become a deny list, staged
+    # as the tiny overwrite table `trap_templates` and broadcast
+    # anti-joined against each round's candidates — so a calendar/
+    # session/facet family is throttled by PATTERN after it crosses the
+    # budget, instead of admitting 10^6 syntactically-distinct urls one
+    # pair-comparison at a time. O(frontier) census cost only on
+    # refresh rounds; O(|deny|) broadcast per round otherwise.
+    template_gate_every: int = 0  # 0 disables
+    template_trap_min_urls: int = 256
+
     def seen_module(self):
         """The URL-seen backend module (one seam: build_segments /
         merge_segments / filter_new / segment_load / required_m_bits /

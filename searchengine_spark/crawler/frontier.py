@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from searchengine_spark.crawler import gates
 from searchengine_spark.crawler.config import CrawlConfig, frontier_score
 from searchengine_spark.crawler.tableio import TableIO
+from searchengine_spark.operators import urlmining as UM
 from searchengine_spark.functions.text import (
     extract_canon_links_udf,
     extract_text_udf,
@@ -62,6 +63,10 @@ METRICS_SCHEMA = (
     "dup_pages bigint, candidates bigint, new_urls bigint, queued_remaining bigint"
 )
 HOST_GRAPH_SCHEMA = "src_host string, dst_host string, n bigint, round_added int"
+TRAP_TEMPLATES_SCHEMA = (
+    "host string, template string, n_urls bigint, n_distinct_urls bigint, "
+    "example_url string"
+)
 
 
 def _seen_projection(df: DataFrame, round_no: int) -> DataFrame:
@@ -131,6 +136,13 @@ def init_crawl(
         io.stage(
             "host_graph", spark.createDataFrame([], HOST_GRAPH_SCHEMA), 0,
             mode="append",
+        )
+    if cfg.template_gate_every > 0:
+        io.stage(
+            "trap_templates",
+            spark.createDataFrame([], TRAP_TEMPLATES_SCHEMA),
+            0,
+            n_files=1,
         )
     io.stage("extracted", spark.createDataFrame([], EXTRACTED_SCHEMA), 0, mode="append")
     io.stage("metrics", spark.createDataFrame([], METRICS_SCHEMA), 0, mode="append")
@@ -370,6 +382,30 @@ def _run_round_body(
         .dropDuplicates(["canon_url"])
         .withColumn("url_hash", F.xxhash64("canon_url"))
     )
+    # ---- URL-template trap gate (cfg.template_gate_every, default
+    # off): anti-join candidates against the tiny broadcast deny list
+    # of (host, template) families the last census flagged. Both join
+    # keys are computed from canon_url with the census's own exprs, so
+    # the keys match by construction.
+    if cfg.template_gate_every > 0:
+        deny = io.read("trap_templates", round_no - 1)
+        if deny is not None:
+            cands = (
+                cands.withColumn("_th", UM.host_expr("canon_url"))
+                .withColumn("_tt", UM.template_expr("canon_url"))
+                .join(
+                    F.broadcast(
+                        deny.select(
+                            F.col("host").alias("_th"),
+                            F.col("template").alias("_tt"),
+                        )
+                    ),
+                    ["_th", "_tt"],
+                    "left_anti",
+                )
+                .drop("_th", "_tt")
+            )
+
     # explicit repartition: dedup stage on (host, salt) (north rule)
     cands = cands.withColumn(
         "salt", F.pmod(F.col("url_hash"), F.lit(cfg.n_salts))
@@ -549,6 +585,27 @@ def _run_round_body(
         for f in futs:
             f.result()
     _mark("stage:url_seen+fps+extracted+bloom" + (":compact" if do_compact else ""))
+
+    # ---- template-census refresh (cfg.template_gate_every): re-mine
+    # the accumulated URL families from the just-written frontier state
+    # (cached — the frontier write above materialized it) and stage the
+    # deny list as a full-replace snapshot. O(frontier) agg, but only
+    # every K rounds; between refreshes the gate costs one tiny
+    # broadcast per round.
+    if (
+        cfg.template_gate_every > 0
+        and round_no % cfg.template_gate_every == 0
+    ):
+        census = UM.url_templates(
+            frontier_next.select("canon_url"), url_col="canon_url"
+        )
+        io.stage(
+            "trap_templates",
+            UM.trap_templates(census, cfg.template_trap_min_urls),
+            round_no,
+            n_files=1,
+        )
+        _mark("stage:trap_templates")
 
     def _stage_metrics(row_df: DataFrame) -> None:
         if do_compact:  # metrics history squashes with the other deltas

@@ -31,6 +31,22 @@ HEX_RUN_RE = r"[0-9a-f]{8,}"
 DIGIT_RUN_RE = r"[0-9]+"
 
 
+def host_expr(url_col: str):
+    """Column: authority of the (lowercased) URL."""
+    return F.regexp_extract(F.lower(F.col(url_col)), HOST_RE, 1)
+
+
+def template_expr(url_col: str):
+    """Column: the URL's template — path+query lowercased, hex runs ≥8
+    collapsed to ``{H}`` then digit runs to ``{N}``. The shared
+    normalization used by the census (url_templates) and by the
+    crawler's frontier gate, so deny-list keys always match."""
+    rest = F.regexp_replace(F.lower(F.col(url_col)), HOST_RE, "")
+    return F.regexp_replace(
+        F.regexp_replace(rest, HEX_RUN_RE, "{H}"), DIGIT_RUN_RE, "{N}"
+    )
+
+
 def url_templates(
     urls: DataFrame, url_col: str = "url"
 ) -> DataFrame:
@@ -42,16 +58,10 @@ def url_templates(
     URLs behind the template — a template with huge n_distinct_urls and
     low content diversity is the classic crawler trap signature.
     example_url = min URL, a deterministic representative."""
-    u = F.lower(F.col(url_col))
-    host = F.regexp_extract(u, HOST_RE, 1)
-    rest = F.regexp_replace(u, HOST_RE, "")
-    template = F.regexp_replace(
-        F.regexp_replace(rest, HEX_RUN_RE, "{H}"), DIGIT_RUN_RE, "{N}"
-    )
     return (
         urls.select(
-            host.alias("host"),
-            template.alias("template"),
+            host_expr(url_col).alias("host"),
+            template_expr(url_col).alias("template"),
             F.col(url_col).alias("url"),
         )
         .groupBy("host", "template")
