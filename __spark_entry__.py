@@ -1050,6 +1050,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "containment",
         )
 
+    def q_shard_assign(spark, sf):
+        # rendezvous (HRW) fetch-shard assignment over the URL fixture:
+        # shard = argmax_s md5-60bit(url#s), one per-row projection
+        # (no UDF, no shuffle until the reporting groupBy)
+        from searchengine_spark.operators import sharding as SH
+        from searchengine_spark.operators import urlmining as UM
+
+        return (
+            SH.shard_assign(UM.url_fixture(_docs(spark, sf)), 8, key_col="url")
+            .groupBy("shard")
+            .agg(
+                F.count("*").alias("n_urls"),
+                F.min("url").alias("example_url"),
+            )
+        )
+
+    def q_shard_moves(spark, sf):
+        # the HRW minimal-movement property as data: per 8-shard id,
+        # how many keys change shard when shard 7 is removed — nonzero
+        # only for shard 7 itself (mod-N would move ~7/8 of every row)
+        from searchengine_spark.operators import sharding as SH
+        from searchengine_spark.operators import urlmining as UM
+
+        df = SH.shard_assign(
+            SH.shard_assign(
+                UM.url_fixture(_docs(spark, sf)), 8,
+                key_col="url", out_col="shard_8",
+            ),
+            7,
+            key_col="url",
+            out_col="shard_7",
+        )
+        return df.groupBy("shard_8").agg(
+            F.count("*").alias("n_urls"),
+            F.sum(
+                F.when(F.col("shard_8") != F.col("shard_7"), 1).otherwise(0)
+            ).alias("n_moved"),
+        )
+
     return {
         "tumbling_counts": q_tumbling,
         "tf": q_tf,
@@ -1136,6 +1175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_templates": q_url_templates,
         "chunk_text": q_chunk_text,
         "containment_pairs": q_containment,
+        "shard_assign": q_shard_assign,
+        "shard_moves": q_shard_moves,
     }
 
 
@@ -2654,6 +2695,48 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM g a JOIN g b ON a.doc_id <> b.doc_id
 WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) / len(a.gs) >= 0.75"""
 
+# ---- rendezvous (HRW) sharding over the URL fixture: weights are the
+# repo-wide md5-60bit hash of url#shard, argmax = first max position
+# (operators/sharding.py); fixture CTE identical to _DUCK_URL_TEMPLATES
+_DUCK_URL_FIXTURE = """
+  SELECT 'https://h' || CAST(doc_id % 16 AS VARCHAR) || '.test' ||
+    CASE doc_id % 5
+      WHEN 0 THEN '/article/' || CAST(doc_id AS VARCHAR)
+      WHEN 1 THEN '/product/' || CAST(doc_id AS VARCHAR)
+                  || '?ref=' || CAST(doc_id % 7 AS VARCHAR)
+      WHEN 2 THEN '/tag/' || lang || '/page/' || CAST(doc_id % 50 AS VARCHAR)
+      WHEN 3 THEN '/s/' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+      ELSE '/static/about'
+    END AS url
+  FROM documents"""
+
+_DUCK_HRW_W = _duck_h60("url || '#' || CAST(s AS VARCHAR)")
+
+
+def _duck_shard(ws: str) -> str:
+    return f"CAST(list_position({ws}, list_max({ws})) - 1 AS INTEGER)"
+
+
+_DUCK_SHARD_ASSIGN = f"""
+WITH u AS ({_DUCK_URL_FIXTURE}),
+w AS (SELECT url, list_transform(range(8), s -> {_DUCK_HRW_W}) AS ws FROM u),
+a AS (SELECT url, {_duck_shard('ws')} AS shard FROM w)
+SELECT shard, count(*) AS n_urls, min(url) AS example_url
+FROM a GROUP BY shard"""
+
+_DUCK_SHARD_MOVES = f"""
+WITH u AS ({_DUCK_URL_FIXTURE}),
+w AS (SELECT url,
+        list_transform(range(8), s -> {_DUCK_HRW_W}) AS w8,
+        list_transform(range(7), s -> {_DUCK_HRW_W}) AS w7
+      FROM u),
+a AS (SELECT {_duck_shard('w8')} AS shard_8, {_duck_shard('w7')} AS shard_7
+      FROM w)
+SELECT shard_8, count(*) AS n_urls,
+       CAST(sum(CASE WHEN shard_8 <> shard_7 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved
+FROM a GROUP BY shard_8"""
+
 
 def oracle_sql() -> dict[str, str]:
     return {
@@ -3057,6 +3140,8 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         "url_templates": _DUCK_URL_TEMPLATES,
         "chunk_text": _DUCK_CHUNK_TEXT,
         "containment_pairs": _DUCK_CONTAINMENT,
+        "shard_assign": _DUCK_SHARD_ASSIGN,
+        "shard_moves": _DUCK_SHARD_MOVES,
         # Round 2 closed the rows-only set to ZERO: simhash_pairs and
         # frame_sample moved to engine-portable md5-60bit hashes,
         # ann_lsh/ivf_topk share literal planes / data-derived centroids

@@ -1,6 +1,8 @@
 """Simulates the driver's verify loop: entry() smoke + queries() vs
 oracle_sql() via DuckDB at a given sf dir (order-insensitive value
-compare). Usage: python tools/driver_sim.py [sf_dir]."""
+compare). Usage: python tools/driver_sim.py [sf_dir [name,name,...]] —
+the optional comma-list restricts to those queries (and skips the
+entry() smoke) for fast iteration on a new oracle."""
 
 from __future__ import annotations
 
@@ -35,6 +37,7 @@ def norm(rows, cols):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     spark = get_spark("driver-sim", master="local[8]", shuffle_partitions=16)
     con = duckdb.connect()
     for t in TABLES:
@@ -42,14 +45,21 @@ def main() -> int:
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    print("== entry() smoke ==")
-    edf = entrymod.entry(spark)
-    erows = edf.collect()
-    print(f"entry rows={len(erows)} schema={edf.schema.simpleString()}")
-    for r in erows:
-        print("  ", r)
+    if only is None:
+        print("== entry() smoke ==")
+        edf = entrymod.entry(spark)
+        erows = edf.collect()
+        print(f"entry rows={len(erows)} schema={edf.schema.simpleString()}")
+        for r in erows:
+            print("  ", r)
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    if only is not None:
+        missing = only - set(qs)
+        if missing:
+            print("unknown query names:", sorted(missing))
+            return 2
+        qs = {k: v for k, v in qs.items() if k in only}
     fails = []
     for name, fn in qs.items():
         sdf = fn(spark, sf_dir)
