@@ -1089,6 +1089,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("n_moved"),
         )
 
+    def q_hll_distinct(spark, sf):
+        # HyperLogLog distinct-token estimate per language from
+        # explicit md5-60bit registers; the register harmonic sum stays
+        # in exact int64 so the ESTIMATE itself is bit-reproducible in
+        # DuckDB (shard registers merge by groupBy+max — tests/test_hll)
+        from searchengine_spark.functions.text import tokens_sql
+        from searchengine_spark.operators import sketches as SK
+
+        occ = _docs(spark, sf).select(
+            "lang", F.explode(F.expr(tokens_sql("text"))).alias("token")
+        )
+        return _r(
+            SK.hll_distinct(occ, "token", ["lang"], p=8), "est_distinct"
+        )
+
     return {
         "tumbling_counts": q_tumbling,
         "tf": q_tf,
@@ -1177,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment,
         "shard_assign": q_shard_assign,
         "shard_moves": q_shard_moves,
+        "hll_distinct": q_hll_distinct,
     }
 
 
@@ -2738,6 +2754,48 @@ SELECT shard_8, count(*) AS n_urls,
 FROM a GROUP BY shard_8"""
 
 
+def _duck_hll(p: int) -> str:
+    """Per-lang HLL distinct-token estimate — identical registers
+    (md5-60bit: top p bits index, leading-zeros+1 of the remainder via
+    length(bin(x))-1 integer arithmetic) and identical exact-int64
+    harmonic sum as sketches.hll_distinct; the numeric constants are
+    the same Python doubles the Spark side embeds."""
+    m = 1 << p
+    rem = 60 - p
+    mask = (1 << rem) - 1
+    num = (0.7213 / (1.0 + 1.079 / m)) * m * m * float(1 << 53)
+    e_raw = (
+        f"{num!r} / CAST(raw_present + "
+        f"({m} - n_registers) * {1 << 53} AS DOUBLE)"
+    )
+    return f"""
+WITH tok AS (
+  SELECT lang, trim(t, ' ''') AS token
+  FROM documents,
+       unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+')) AS u(t)
+),
+tok2 AS (SELECT lang, token FROM tok
+         WHERE token <> '' AND length(token) <= 10000),
+h AS (SELECT lang, {_duck_h60("token")} AS hv FROM tok2),
+b AS (SELECT lang, hv >> {rem} AS idx,
+             CASE WHEN (hv & {mask}) > 0
+                  THEN {rem} - (length(bin(hv & {mask})) - 1)
+                  ELSE {rem + 1} END AS rho
+      FROM h),
+regs AS (SELECT lang, idx, max(rho) AS r FROM b GROUP BY lang, idx),
+a AS (SELECT lang,
+             CAST(sum(CAST(1 AS BIGINT) << CAST(53 - r AS INTEGER))
+               AS BIGINT) AS raw_present,
+             CAST(count(*) AS BIGINT) AS n_registers
+      FROM regs GROUP BY lang)
+SELECT lang, n_registers,
+  round(CASE WHEN {e_raw} <= {2.5 * m!r} AND n_registers < {m}
+        THEN {float(m)!r}
+             * ln({float(m)!r} / CAST({m} - n_registers AS DOUBLE))
+        ELSE {e_raw} END, 9) AS est_distinct
+FROM a"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "tf": f"WITH {_DUCK_TOKENS} SELECT doc_id, token, round(tf, 9) AS tf FROM tf",
@@ -3142,6 +3200,7 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         "containment_pairs": _DUCK_CONTAINMENT,
         "shard_assign": _DUCK_SHARD_ASSIGN,
         "shard_moves": _DUCK_SHARD_MOVES,
+        "hll_distinct": _duck_hll(8),
         # Round 2 closed the rows-only set to ZERO: simhash_pairs and
         # frame_sample moved to engine-portable md5-60bit hashes,
         # ann_lsh/ivf_topk share literal planes / data-derived centroids

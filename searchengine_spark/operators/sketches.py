@@ -1,18 +1,29 @@
-"""KMV (k-minimum-values) distinct-count sketch — exact-verifiable.
+"""Cardinality / frequency sketches — approximate, exactly verified.
 
-The classic bottom-k / theta-sketch cardinality estimator (Bar-Yossef
-et al. 2002; Beyer et al. SIGMOD'07 "On synopses for distinct-value
-estimation"): hash every value, keep the k smallest DISTINCT hashes;
-if fewer than k exist the count is exact, otherwise the k-th smallest
-hash position estimates the density, giving
+KMV (k-minimum-values): the classic bottom-k / theta-sketch cardinality
+estimator (Bar-Yossef et al. 2002; Beyer et al. SIGMOD'07 "On synopses
+for distinct-value estimation"): hash every value, keep the k smallest
+DISTINCT hashes; if fewer than k exist the count is exact, otherwise
+the k-th smallest hash position estimates the density, giving
 ``est = (k - 1) * 2^60 / h_k``.
 
-Why this sketch and not HLL: Spark's approx_count_distinct is a
-black-box HLL whose exact output no second engine reproduces. KMV
-with the repo's deterministic md5-60bit hash is *bit-reproducible*:
-the same k hashes fall out in DuckDB, so the estimate itself is
-oracle-checkable — the suite's "approximate algorithms, exactly
-verified" discipline.
+HLL (hll_distinct): HyperLogLog (Flajolet et al. AofA'07) built from
+explicit registers rather than Spark's approx_count_distinct — the
+builtin is a black-box HLL whose exact output no second engine
+reproduces, while these registers derive from the repo's deterministic
+md5-60bit hash, so the ESTIMATE is bit-reproducible in DuckDB. The
+register harmonic sum is kept in exact int64 arithmetic
+(sum 2^-rho == (sum 2^(53-rho)) / 2^53 — numerator fits: m * 2^52 <
+2^63 for m <= 1024) so no float-summation order can perturb it; only
+the final alpha*m^2/S division and the low-range ln correction are
+floating point, both single deterministic IEEE ops.
+
+Why carry both: KMV gives an unbiased estimator with exact-below-k
+behavior and a merge that needs the candidate sets; HLL is the
+fixed-size (m registers, max-mergeable) shape a 1000-shard crawl
+actually gossips — per-shard register tables merge by element-wise MAX,
+the same groupBy(..).agg(max) this builder already uses, so cross-day /
+cross-shard unions are one more tiny aggregation, never a rescan.
 
 Scale design:
   * ONE pass, no corpus shuffle: each partition streams its Arrow
@@ -90,6 +101,81 @@ def cms_estimates(
             F.col("n").alias("exact_count"),
             "est_count",
         )
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    expr: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HLL register table (group_cols..., idx, r) for the
+    values of SQL expression ``expr`` — m = 2^p registers indexed by the
+    hash's top p bits, r = max over values of rho(remaining 60-p bits)
+    where rho = leading zeros + 1. Registers from different shards/days
+    merge by the same groupBy+max, which is the operational point."""
+    if not 4 <= p <= 10:
+        raise ValueError(f"p must be in [4, 10], got {p}")
+    gcols = list(group_cols or [])
+    rem_bits = 60 - p
+    h = h60_col(expr)
+    idx = F.shiftright(h, rem_bits).alias("idx")
+    rest = F.expr(
+        f"CAST(conv(substring(md5({expr}), 1, 15), 16, 10) AS BIGINT) "
+        f"& {(1 << rem_bits) - 1}"
+    )
+    # rho = rem_bits - floor(log2(rest)) when rest > 0 else rem_bits + 1;
+    # floor(log2) via length(bin(x)) - 1 — exact integer arithmetic,
+    # no float log (both engines print minimal binary strings)
+    rho = (
+        F.when(
+            rest > 0,
+            F.lit(rem_bits) - (F.length(F.bin(rest)) - F.lit(1)),
+        )
+        .otherwise(F.lit(rem_bits + 1))
+        .alias("rho")
+    )
+    return (
+        df.select(*gcols, idx, rho)
+        .groupBy(*gcols, "idx")
+        .agg(F.max("rho").alias("r"))
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    expr: str,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group (group_cols..., n_registers, est_distinct) HLL
+    cardinality estimate for ``expr``. Standard HLL with the low-range
+    linear-counting correction (E <= 2.5m with empty registers ->
+    m*ln(m/zeros)); the 60-bit hash space makes the large-range
+    correction irrelevant. See module docstring for why the register
+    sum stays in exact int64."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    regs = hll_registers(df, expr, group_cols, p)
+    gcols = list(group_cols or [])
+    agg = regs.groupBy(*gcols).agg(
+        F.sum(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(53 - r AS INT))")
+        ).alias("raw_present"),
+        F.count(F.lit(1)).alias("n_registers"),
+    )
+    zeros = F.lit(m) - F.col("n_registers")
+    s_exact = F.col("raw_present") + zeros * F.lit(1 << 53)
+    e_raw = (
+        F.lit(alpha * m * m * float(1 << 53)) / s_exact.cast("double")
+    )
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (zeros > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        *gcols, "n_registers", est.alias("est_distinct")
     )
 
 
