@@ -1104,6 +1104,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SK.hll_distinct(occ, "token", ["lang"], p=8), "est_distinct"
         )
 
+    def q_maxscore(spark, sf):
+        # MaxScore-pruned exact BM25 top-10: term-UB suffix pruning
+        # drops non-essential (stopword-class) terms from candidate
+        # generation; the oracle is the BRUTE-FORCE bm25 SQL — the
+        # pruned plan must reproduce it bit-for-bit
+        w = RK.bm25_table(_docs(spark, sf))
+        return _r(RK.maxscore_search(w, _BM25_TERMS, k=10), "score")
+
     return {
         "tumbling_counts": q_tumbling,
         "tf": q_tf,
@@ -1193,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": q_shard_assign,
         "shard_moves": q_shard_moves,
         "hll_distinct": q_hll_distinct,
+        "maxscore_topk": q_maxscore,
     }
 
 
@@ -3201,6 +3210,8 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         "shard_assign": _DUCK_SHARD_ASSIGN,
         "shard_moves": _DUCK_SHARD_MOVES,
         "hll_distinct": _duck_hll(8),
+        # exact pruning: MaxScore's oracle IS the brute-force bm25 SQL
+        "maxscore_topk": _duck_bm25(_BM25_TERMS, k=10),
         # Round 2 closed the rows-only set to ZERO: simhash_pairs and
         # frame_sample moved to engine-portable md5-60bit hashes,
         # ann_lsh/ivf_topk share literal planes / data-derived centroids

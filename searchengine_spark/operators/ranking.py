@@ -152,6 +152,119 @@ def champion_lists(
     )
 
 
+def _pivot_score(qw: DataFrame, uniq: list[str], docs: DataFrame) -> DataFrame:
+    """(doc_id, score) exact BM25 for the docs in ``docs`` — the same
+    fixed query-order column pivot as bm25_search, so float addition
+    order (and hence the oracle hash) is identical on every path."""
+    per_term = [
+        F.coalesce(
+            F.max(F.when(F.col("token") == t, F.col("weight"))), F.lit(0.0)
+        ).alias(f"w{i}")
+        for i, t in enumerate(uniq)
+    ]
+    pivoted = (
+        qw.join(docs, "doc_id", "left_semi").groupBy("doc_id").agg(*per_term)
+    )
+    score = F.col("w0")
+    for i in range(1, len(uniq)):
+        score = score + F.col(f"w{i}")
+    return pivoted.select("doc_id", score.alias("score"))
+
+
+def _essential_terms(
+    ubs: list[tuple[str, float]], theta: float
+) -> list[str]:
+    """MaxScore term split: drop the maximal low-upper-bound SUFFIX
+    whose cumulative UB sum stays strictly below theta — a doc matching
+    only those terms scores < theta and cannot enter the top-k. At
+    least one term always stays essential (theta is an achieved score,
+    so it never strictly exceeds the sum of all UBs)."""
+    by_ub = sorted(ubs, key=lambda p: (-p[1], p[0]))
+    suffix = 0.0
+    non_ess: set[str] = set()
+    for t, ub in reversed(by_ub):
+        if suffix + ub < theta:
+            suffix += ub
+            non_ess.add(t)
+        else:
+            break
+    return [t for t, _ in by_ub if t not in non_ess]
+
+
+def maxscore_search(
+    weights: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    return_stats: bool = False,
+):
+    """Exact BM25 top-k with MaxScore pruning (Turtle & Flood IPM'95)
+    re-expressed as dataflow — identical output to bm25_search, but only
+    docs that can possibly reach the top-k are ever scored.
+
+    Plan: (1) per-term weight upper bounds — |query| rows to the driver;
+    (2) seed theta = k-th best exact score over the champion-list union
+    (<= k·|terms| docs, one more driver scalar); (3) terms whose
+    UB-descending suffix sums to < theta are non-essential — a doc
+    matching only those scores < theta, below k already-found docs, so
+    candidates = docs matching >= 1 ESSENTIAL term (∪ the seeds, which
+    close every tie edge); (4) exact-score the candidates over ALL query
+    terms with the bm25_search pivot. At 100 TB this is the difference
+    between scoring every doc containing a stopword and scoring the rare
+    terms' posting lists: the stopword list is scanned only in the
+    semi-joined final scoring, never materialized as candidates.
+    Driver state is O(|query|) scalars — never data. Exactness: every
+    excluded doc scores strictly below theta, and theta is a lower bound
+    on the true k-th score; ties beyond that break (score DESC, doc_id
+    ASC) among included docs only.
+
+    With return_stats=True also returns {n_terms, n_essential, theta,
+    n_candidates, n_matching} for tests/observability (adds two counts).
+    """
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    empty = weights.select(
+        "doc_id", F.lit(0.0).alias("score")
+    ).limit(0)
+    if not uniq or k < 1:
+        return (empty, {}) if return_stats else empty
+    qw = weights.filter(F.col("token").isin(uniq))
+    ubs = [
+        (r["token"], float(r["ub"]))
+        for r in qw.groupBy("token").agg(F.max("weight").alias("ub")).collect()
+    ]
+    if not ubs:
+        return (empty, {}) if return_stats else empty
+    seed_docs = champion_lists(qw, k=k).select("doc_id").distinct()
+    seed_top = (
+        _pivot_score(qw, uniq, seed_docs)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .collect()
+    )
+    theta = float(seed_top[-1]["score"]) if len(seed_top) == k else float("-inf")
+    ess = _essential_terms(ubs, theta)
+    cands = (
+        qw.filter(F.col("token").isin(ess))
+        .select("doc_id")
+        .union(seed_docs)
+        .distinct()
+    )
+    out = (
+        _pivot_score(qw, uniq, cands)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    if not return_stats:
+        return out
+    stats = {
+        "n_terms": len(uniq),
+        "n_essential": len(ess),
+        "theta": theta,
+        "n_candidates": cands.count(),
+        "n_matching": qw.select("doc_id").distinct().count(),
+    }
+    return out, stats
+
+
 def diversify_mmr(
     page: DataFrame,
     postings: DataFrame,
