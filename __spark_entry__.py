@@ -1112,6 +1112,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w = RK.bm25_table(_docs(spark, sf))
         return _r(RK.maxscore_search(w, _BM25_TERMS, k=10), "score")
 
+    def q_pld_census(spark, sf):
+        # registrable-domain (PLD) politeness grouping over a
+        # deterministic host fixture: subdomain shards collapse to one
+        # budget key while github.io-style platform users stay separate
+        from searchengine_spark.functions.urls import pld_col
+
+        d = F.col("doc_id")
+        host = (
+            F.when(
+                d % 4 == 0,
+                F.concat(
+                    F.lit("www.site"), (d % 20).cast("string"), F.lit(".co.uk")
+                ),
+            )
+            .when(
+                d % 4 == 1,
+                F.concat(
+                    F.lit("blog.site"), (d % 20).cast("string"), F.lit(".com")
+                ),
+            )
+            .when(
+                d % 4 == 2,
+                F.concat(
+                    F.lit("user"), (d % 50).cast("string"), F.lit(".github.io")
+                ),
+            )
+            .otherwise(
+                F.concat(F.lit("site"), (d % 20).cast("string"), F.lit(".com"))
+            )
+        )
+        return (
+            _docs(spark, sf)
+            .select(host.alias("host"))
+            .select("host", pld_col("host").alias("pld"))
+            .groupBy("pld")
+            .agg(
+                F.count("*").alias("n_hosts"),
+                F.countDistinct("host").alias("n_distinct_hosts"),
+            )
+        )
+
     return {
         "tumbling_counts": q_tumbling,
         "tf": q_tf,
@@ -1202,6 +1243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_moves": q_shard_moves,
         "hll_distinct": q_hll_distinct,
         "maxscore_topk": q_maxscore,
+        "pld_census": q_pld_census,
     }
 
 
@@ -2763,6 +2805,37 @@ SELECT shard_8, count(*) AS n_urls,
 FROM a GROUP BY shard_8"""
 
 
+# registrable-domain census: fixture hosts + the pld_sql rules
+# (functions/urls.py) transcribed to DuckDB list ops — multi-suffix
+# literal set comes from the same PLD_MULTI_SUFFIXES tuple
+def _duck_pld_census() -> str:
+    from searchengine_spark.functions.urls import PLD_MULTI_SUFFIXES
+
+    in_list = ", ".join(f"'{s}'" for s in PLD_MULTI_SUFFIXES)
+    return f"""
+WITH hosts AS (
+  SELECT CASE doc_id % 4
+    WHEN 0 THEN 'www.site' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk'
+    WHEN 1 THEN 'blog.site' || CAST(doc_id % 20 AS VARCHAR) || '.com'
+    WHEN 2 THEN 'user' || CAST(doc_id % 50 AS VARCHAR) || '.github.io'
+    ELSE 'site' || CAST(doc_id % 20 AS VARCHAR) || '.com'
+  END AS host
+  FROM documents
+),
+s AS (SELECT host, string_split(lower(host), '.') AS l FROM hosts),
+p AS (
+  SELECT host,
+    CASE WHEN len(l) <= 2 THEN lower(host)
+         WHEN regexp_matches(lower(host), '^[0-9.]+$') THEN lower(host)
+         WHEN l[-2] || '.' || l[-1] IN ({in_list})
+           THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+         ELSE l[-2] || '.' || l[-1] END AS pld
+  FROM s
+)
+SELECT pld, count(*) AS n_hosts, count(DISTINCT host) AS n_distinct_hosts
+FROM p GROUP BY pld"""
+
+
 def _duck_hll(p: int) -> str:
     """Per-lang HLL distinct-token estimate — identical registers
     (md5-60bit: top p bits index, leading-zeros+1 of the remainder via
@@ -3212,6 +3285,7 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         "hll_distinct": _duck_hll(8),
         # exact pruning: MaxScore's oracle IS the brute-force bm25 SQL
         "maxscore_topk": _duck_bm25(_BM25_TERMS, k=10),
+        "pld_census": _duck_pld_census(),
         # Round 2 closed the rows-only set to ZERO: simhash_pairs and
         # frame_sample moved to engine-portable md5-60bit hashes,
         # ann_lsh/ivf_topk share literal planes / data-derived centroids

@@ -52,6 +52,61 @@ def urlhash_sha256_col(url: Column) -> Column:
     )
 
 
+# Registrable-domain (pay-level domain) extraction. Real deployments
+# key politeness and budgets on the PLD, not the hostname — otherwise a
+# site sharded as {www,cdn,blog,m}.example.com gets 4x the crawl rate,
+# and *.blogspot-style platforms collapse to one starved key. The full
+# public-suffix list is an external artifact a deployment drops in (the
+# seam is this tuple); this embedded subset covers the common multi-part
+# ICANN suffixes + the major user-subdomain platforms and is documented
+# as a subset, not the PSL.
+PLD_MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "co.nz", "net.nz", "org.nz",
+    "co.kr", "or.kr", "go.kr",
+    "co.in", "net.in", "org.in", "ac.in", "gov.in",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
+    "co.za", "org.za", "co.il", "org.il", "ac.il",
+    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
+    "netlify.app", "vercel.app", "web.app", "pages.dev",
+)
+
+
+def pld_sql(host_expr: str) -> str:
+    """Registrable domain (PLD) of a lowercased host, as a pure SQL
+    expression (codegen'd, pushdown-friendly — same style as
+    is_valid_sql). Rules: <=2 labels or an all-numeric (IPv4) host pass
+    through; a host whose last two labels form a known multi-part
+    public suffix keeps three labels; everything else keeps two."""
+    h = f"lower({host_expr})"
+    in_list = ", ".join(f"'{s}'" for s in PLD_MULTI_SUFFIXES)
+    l2 = (
+        f"concat_ws('.', element_at(split({h}, '[.]'), -2), "
+        f"element_at(split({h}, '[.]'), -1))"
+    )
+    l3 = (
+        f"concat_ws('.', element_at(split({h}, '[.]'), -3), "
+        f"element_at(split({h}, '[.]'), -2), "
+        f"element_at(split({h}, '[.]'), -1))"
+    )
+    return (
+        f"CASE WHEN {h} IS NULL THEN NULL "
+        f"WHEN size(split({h}, '[.]')) <= 2 THEN {h} "
+        f"WHEN {h} RLIKE '^[0-9.]+$' THEN {h} "
+        f"WHEN {l2} IN ({in_list}) THEN {l3} "
+        f"ELSE {l2} END"
+    )
+
+
+def pld_col(host_expr: str) -> Column:
+    """pld_sql over a SQL expression (usually a column name)."""
+    return F.expr(pld_sql(host_expr))
+
+
 def is_valid_sql(url_expr: str, allowed_host_re: str | None = None) -> str:
     """P4 as a pure SQL boolean expression (pushdown-friendly).
 
