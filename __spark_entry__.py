@@ -1153,6 +1153,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q_length_quantiles(spark, sf):
+        # exact doc-length percentiles (curation cutoffs) via bounded
+        # histogram rank-selection: one value-frequency shuffle, a
+        # coarse bucket table to the driver, boundary buckets walked —
+        # never a global sort
+        from searchengine_spark.operators.quantiles import exact_quantiles
+
+        return exact_quantiles(
+            _docs(spark, sf),
+            "n_chars",
+            [0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
+            bucket_width=64.0,
+        )
+
     return {
         "tumbling_counts": q_tumbling,
         "tf": q_tf,
@@ -1244,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_distinct": q_hll_distinct,
         "maxscore_topk": q_maxscore,
         "pld_census": q_pld_census,
+        "length_quantiles": q_length_quantiles,
     }
 
 
@@ -3286,6 +3301,18 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         # exact pruning: MaxScore's oracle IS the brute-force bm25 SQL
         "maxscore_topk": _duck_bm25(_BM25_TERMS, k=10),
         "pld_census": _duck_pld_census(),
+        # exact rank-ceil(p*n) order statistics — reproduced by a plain
+        # row_number selection (tie order cannot change the k-th VALUE)
+        "length_quantiles": """
+WITH x AS (SELECT CAST(n_chars AS DOUBLE) AS v FROM documents
+           WHERE n_chars IS NOT NULL),
+r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM x),
+c AS (SELECT count(*) AS n FROM x),
+p AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE)
+        AS p)
+SELECT p.p AS p, r.v AS value
+FROM p CROSS JOIN c
+JOIN r ON r.rn = least(greatest(1, CAST(ceil(p.p * c.n) AS BIGINT)), c.n)""",
         # Round 2 closed the rows-only set to ZERO: simhash_pairs and
         # frame_sample moved to engine-portable md5-60bit hashes,
         # ann_lsh/ivf_topk share literal planes / data-derived centroids
