@@ -1167,6 +1167,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bucket_width=64.0,
         )
 
+    def q_winnow_fp(spark, sf):
+        # SWA winnowing (MOSS): robust local fingerprints — per-row
+        # nested-transform selection, array_distinct before the
+        # explode, ZERO shuffles (plan-shape asserted in
+        # tests/test_winnow.py)
+        from searchengine_spark.operators.winnow import winnow_fingerprints
+
+        return winnow_fingerprints(_docs(spark, sf), k=4, w=5)
+
+    def q_winnow_matches(spark, sf):
+        # MOSS match step: pairs sharing >= 2 winnow fingerprints —
+        # only the ~2/(w+1)-density fingerprint rows shuffle
+        from searchengine_spark.operators.winnow import fingerprint_matches
+
+        return fingerprint_matches(_docs(spark, sf), k=4, w=5, min_shared=2)
+
     return {
         "tumbling_counts": q_tumbling,
         "tf": q_tf,
@@ -1259,6 +1275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxscore_topk": q_maxscore,
         "pld_census": q_pld_census,
         "length_quantiles": q_length_quantiles,
+        "winnow_fp": q_winnow_fp,
+        "winnow_matches": q_winnow_matches,
     }
 
 
@@ -1996,6 +2014,39 @@ def _duck_h60(expr: str) -> str:
         "CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)"
         " * (CAST(1 AS BIGINT) << CAST((14 - i) * 4 AS INTEGER)))) AS BIGINT)"
     )
+
+
+def _duck_winnow(k: int, w: int) -> str:
+    """CTE block ending in `winfp` = robust-winnowing fingerprints
+    (doc_id, pos, fp) — the DuckDB mirror of
+    operators/winnow.winnow_fingerprints: same md5-60bit gram hashes,
+    same rightmost-min window rule, row-level DISTINCT standing in for
+    Spark's in-row array_distinct."""
+    # _duck_h60 binds its inner lambda var as `i`; the gram-position
+    # var here must not shadow it — use g/j/q.
+    gram = _duck_h60(f"array_to_string(list_slice(tl, g + 1, g + {k}), ' ')")
+    mn = "list_min(list_slice(hl, j + 1, j + we))"
+    return f"""
+wtl AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+whl AS (
+  SELECT doc_id,
+         list_transform(range(len(tl) - {k} + 1), g -> {gram}) AS hl
+  FROM wtl WHERE len(tl) >= {k}
+),
+whw AS (SELECT doc_id, hl, least({w}, len(hl)) AS we FROM whl),
+wsel AS (
+  SELECT doc_id,
+    unnest(list_transform(range(len(hl) - we + 1), j ->
+      {{'pos': j + list_max(list_transform(range(we), q ->
+           CASE WHEN hl[j + q + 1] = {mn} THEN q + 1 ELSE 0 END)) - 1,
+        'fp': {mn}}})) AS s
+  FROM whw
+),
+winfp AS (
+  SELECT DISTINCT doc_id, CAST(s.pos AS INT) AS pos,
+         CAST(s.fp AS BIGINT) AS fp
+  FROM wsel
+)"""
 
 
 _DUCK_H60 = _duck_h60("token")
@@ -3313,6 +3364,17 @@ p AS (SELECT CAST(unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE)
 SELECT p.p AS p, r.v AS value
 FROM p CROSS JOIN c
 JOIN r ON r.rn = least(greatest(1, CAST(ceil(p.p * c.n) AS BIGINT)), c.n)""",
+        "winnow_fp": (
+            f"WITH {_duck_winnow(4, 5)} SELECT doc_id, pos, fp FROM winfp"
+        ),
+        "winnow_matches": f"""
+WITH {_duck_winnow(4, 5)},
+dfp AS (SELECT DISTINCT doc_id, fp FROM winfp)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+FROM dfp a JOIN dfp b USING (fp)
+WHERE a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING count(*) >= 2""",
         # Round 2 closed the rows-only set to ZERO: simhash_pairs and
         # frame_sample moved to engine-portable md5-60bit hashes,
         # ann_lsh/ivf_topk share literal planes / data-derived centroids
