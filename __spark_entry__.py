@@ -1167,6 +1167,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bucket_width=64.0,
         )
 
+    def q_vocab_growth(spark, sf):
+        # Heaps-law curve: corpus-order running token/type totals via a
+        # TWO-PHASE prefix sum (bucket upsweep + in-bucket window) — no
+        # global-order window anywhere (asserted in tests)
+        return TS.vocab_growth(_docs(spark, sf), bucket=64)
+
+    def q_robots_gate(spark, sf):
+        # RFC 9309 longest-match allow/deny over the URL fixture:
+        # broadcast rule probe + map-side-combinable max(struct) —
+        # struct ordering IS the precedence rule (len, then allow)
+        from searchengine_spark.functions.robots import (
+            apply_robots_rules,
+            rules_fixture,
+        )
+        from searchengine_spark.operators import urlmining as UM
+
+        urls = UM.url_fixture(_docs(spark, sf))
+        return apply_robots_rules(urls, rules_fixture(urls))
+
     def q_winnow_fp(spark, sf):
         # SWA winnowing (MOSS): robust local fingerprints — per-row
         # nested-transform selection, array_distinct before the
@@ -1277,6 +1296,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_quantiles": q_length_quantiles,
         "winnow_fp": q_winnow_fp,
         "winnow_matches": q_winnow_matches,
+        "robots_gate": q_robots_gate,
+        "vocab_growth": q_vocab_growth,
     }
 
 
@@ -2843,6 +2864,11 @@ _DUCK_URL_FIXTURE = """
     END AS url
   FROM documents"""
 
+# same fixture, carrying doc_id (robots_gate needs the row identity)
+_DUCK_URL_FIXTURE_ID = _DUCK_URL_FIXTURE.replace(
+    "SELECT 'https://h'", "SELECT doc_id, 'https://h'", 1
+)
+
 _DUCK_HRW_W = _duck_h60("url || '#' || CAST(s AS VARCHAR)")
 
 
@@ -3375,6 +3401,65 @@ FROM dfp a JOIN dfp b USING (fp)
 WHERE a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING count(*) >= 2""",
+        # the oracle's single global window is the SEMANTICS (corpus-
+        # order running totals); the Spark plan realizes it two-phase
+        "vocab_growth": f"""
+WITH {_DUCK_TOKENS},
+nt AS (
+  SELECT doc_id, greatest(len({_DUCK_TL}), 0) AS n_tokens FROM documents
+),
+firstdoc AS (SELECT token, min(doc_id) AS doc_id FROM tok2 GROUP BY token),
+newt AS (SELECT doc_id, count(*) AS new_types FROM firstdoc GROUP BY doc_id),
+s AS (
+  SELECT nt.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+         CAST(COALESCE(newt.new_types, 0) AS BIGINT) AS new_types
+  FROM nt LEFT JOIN newt ON nt.doc_id = newt.doc_id
+)
+SELECT doc_id, n_tokens, new_types,
+       CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
+       CAST(sum(new_types) OVER (ORDER BY doc_id) AS BIGINT) AS cum_types
+FROM s""",
+        # longest-match wins, allow wins length ties, no-match allows —
+        # the window ORDER BY transcribes the Spark max(struct) ordering
+        "robots_gate": f"""
+WITH u0 AS (SELECT doc_id, url FROM ({_DUCK_URL_FIXTURE_ID}) x),
+u AS (
+  SELECT doc_id, url,
+    regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS host,
+    CASE WHEN regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$', 1) = ''
+         THEN '/'
+         ELSE regexp_extract(url, '^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$', 1)
+    END AS path
+  FROM u0
+),
+hn AS (
+  SELECT DISTINCT host,
+         CAST(regexp_extract(host, '^h([0-9]+)', 1) AS INT) AS n
+  FROM u
+),
+rules AS (
+            SELECT host, 0 AS allow, '/tag/' AS prefix FROM hn
+  UNION ALL SELECT host, 0, '/s/' FROM hn
+  UNION ALL SELECT host, 1, '/tag/en/' FROM hn WHERE n % 3 = 0
+  UNION ALL SELECT host, 0, '/product/' FROM hn WHERE n % 2 = 0
+  UNION ALL SELECT host, 1, '/product/' FROM hn WHERE n % 4 = 1
+  UNION ALL SELECT host, 0, '/product/' FROM hn WHERE n % 4 = 1
+),
+cand AS (
+  SELECT u.doc_id, u.url, r.allow, r.prefix
+  FROM u LEFT JOIN rules r
+    ON u.host = r.host AND starts_with(u.path, r.prefix)
+),
+rk AS (
+  SELECT doc_id, url, allow, prefix,
+    row_number() OVER (PARTITION BY doc_id, url
+      ORDER BY (prefix IS NULL) ASC, length(prefix) DESC,
+               allow DESC, prefix DESC) AS rn
+  FROM cand
+)
+SELECT doc_id, url, (prefix IS NULL OR allow = 1) AS allowed,
+       prefix AS matched_prefix
+FROM rk WHERE rn = 1""",
         # Round 2 closed the rows-only set to ZERO: simhash_pairs and
         # frame_sample moved to engine-portable md5-60bit hashes,
         # ann_lsh/ivf_topk share literal planes / data-derived centroids

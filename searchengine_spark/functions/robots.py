@@ -48,3 +48,120 @@ def robots_table(
         F.col("_r.deny_prefixes").alias("deny_prefixes"),
         F.col("_r.crawl_delay").alias("crawl_delay"),
     )
+
+
+# ---- longest-match allow/deny gate (RFC 9309 / Google semantics) ----
+#
+# The crawler's frontier uses deny-prefix-only robots rules (the
+# reference's shape); real robots.txt files mix Allow and Disallow and
+# the normative rule (RFC 9309 §2.2.2) is LONGEST MATCH WINS, with
+# Allow winning length ties. `apply_robots_rules` is that evaluation as
+# a pure relational plan: rules are a tiny dimension (one site's rule
+# set is KBs) so they BROADCAST; the only shuffle is the per-URL
+# winner aggregation, keyed by the URL row itself and map-side
+# combinable (max of a (len, allow, prefix) struct). At 10^10 URLs the
+# plan is one broadcast nested-loop prefix probe + one combine — no
+# all-rules-per-url fan-out survives past the map side.
+
+
+def _host_expr(url_col: str):
+    return F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+
+
+def _path_expr(url_col: str):
+    # robots matching operates on path + query (RFC 9309 matches the
+    # percent-decoded path; the fixture carries no percent-escapes)
+    p = F.regexp_extract(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$", 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def apply_robots_rules(
+    urls: DataFrame,
+    rules: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+) -> DataFrame:
+    """(doc_id, url, allowed, matched_prefix) — RFC 9309 longest-match
+    evaluation of an (host, allow:int, prefix) rule table against a URL
+    table.
+
+    Winner per URL = the matching rule with the longest prefix; on a
+    length tie the Allow rule wins; URLs with no matching rule are
+    allowed (the RFC default). Implemented as a single broadcast join
+    with the prefix test in the ON clause (non-matching URLs survive as
+    left rows) followed by max(struct(len, allow, prefix)) — struct
+    ordering IS the precedence rule, so the aggregation needs no window
+    and combines map-side."""
+    u = urls.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(url_col).alias("url"),
+        _host_expr(url_col).alias("host"),
+        _path_expr(url_col).alias("path"),
+    )
+    r = rules.select(
+        F.col("host").alias("r_host"),
+        F.col("allow").cast("int").alias("allow"),
+        F.col("prefix").alias("prefix"),
+    )
+    cand = u.join(
+        F.broadcast(r),
+        (F.col("host") == F.col("r_host"))
+        & F.col("path").startswith(F.col("prefix")),
+        "left",
+    )
+    win = (
+        cand.groupBy("doc_id", "url")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("prefix").isNotNull(),
+                    F.struct(
+                        F.length("prefix").alias("len"),
+                        F.col("allow").alias("allow"),
+                        F.col("prefix").alias("prefix"),
+                    ),
+                )
+            ).alias("w")
+        )
+    )
+    return win.select(
+        "doc_id",
+        "url",
+        (F.col("w").isNull() | (F.col("w.allow") == 1)).alias("allowed"),
+        F.col("w.prefix").alias("matched_prefix"),
+    )
+
+
+def rules_fixture(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Deterministic (host, allow, prefix) rule table over the
+    url_fixture's h0..h15 hosts, built to exercise every precedence
+    case: a blanket deny overridden by a longer allow (/tag/ vs
+    /tag/en/), an equal-length allow+deny tie (/product/, allow wins),
+    a deny with no allow (/s/), and hosts with no matching rule at all
+    (the default-allow path)."""
+    hosts = (
+        urls.select(_host_expr(url_col).alias("host"))
+        .distinct()
+        .selectExpr(
+            "host",
+            "CAST(regexp_extract(host, '^h([0-9]+)', 1) AS INT) AS hn",
+        )
+    )
+    rule = "named_struct('allow', {a}, 'prefix', '{p}')"
+    rules_arr = (
+        "filter(array("
+        + ", ".join(
+            [
+                rule.format(a=0, p="/tag/"),
+                rule.format(a=0, p="/s/"),
+                "IF(hn % 3 = 0, " + rule.format(a=1, p="/tag/en/") + ", NULL)",
+                "IF(hn % 2 = 0, " + rule.format(a=0, p="/product/") + ", NULL)",
+                "IF(hn % 4 = 1, " + rule.format(a=1, p="/product/") + ", NULL)",
+                "IF(hn % 4 = 1, " + rule.format(a=0, p="/product/") + ", NULL)",
+            ]
+        )
+        + "), x -> x IS NOT NULL)"
+    )
+    return hosts.selectExpr("host", f"explode({rules_arr}) AS r").selectExpr(
+        "host", "r.allow AS allow", "r.prefix AS prefix"
+    )
