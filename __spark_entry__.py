@@ -1167,6 +1167,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bucket_width=64.0,
         )
 
+    def q_qlm_topk(spark, sf):
+        # Dirichlet-smoothed query likelihood (Zhai-Lafferty): the LM
+        # ranking family next to BM25 — same pruned-scan + fixed-order
+        # pivot plan; collection stats are exact-long aggregates
+        return _r(
+            RK.qlm_search(_docs(spark, sf), _BM25_TERMS, k=10, mu=2000.0),
+            "score",
+        )
+
+    def q_rocchio_expand(spark, sf):
+        # Rocchio pseudo-relevance feedback: top-5 feedback docs
+        # broadcast-prune the postings scan; centroid folds tf_idf in
+        # doc_id order for bit-stable doubles
+        return _r(
+            RK.rocchio_expand(_docs(spark, sf), _BM25_TERMS, k_fb=5, m=5),
+            "rocchio_weight",
+        )
+
     def q_vocab_growth(spark, sf):
         # Heaps-law curve: corpus-order running token/type totals via a
         # TWO-PHASE prefix sum (bucket upsweep + in-bucket window) — no
@@ -1298,6 +1316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_matches": q_winnow_matches,
         "robots_gate": q_robots_gate,
         "vocab_growth": q_vocab_growth,
+        "qlm_topk": q_qlm_topk,
+        "rocchio_expand": q_rocchio_expand,
     }
 
 
@@ -1367,6 +1387,71 @@ scored AS (
 )
 SELECT doc_id, round(sc, 9) AS score FROM scored
 ORDER BY sc DESC, doc_id ASC LIMIT {k}"""
+
+
+def _duck_qlm(terms: list[str], k: int, mu: float) -> str:
+    """Dirichlet query-likelihood oracle — mirrors qlm_search: fixed
+    query-order sum of ln((f + mu*cf/total) / (dl + mu)); the prior
+    (mu * cf) / total is left-assoc double math in both engines."""
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    inlist = ", ".join(f"'{t}'" for t in uniq)
+    pivs = ", ".join(
+        f"sum(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS f{i}"
+        for i, t in enumerate(uniq)
+    )
+    score = " + ".join(
+        f"ln((CAST(f{i} AS DOUBLE) + {mu!r} * "
+        f"coalesce((SELECT c FROM qcf WHERE token = '{t}'), 0) "
+        f"/ (SELECT t FROM qtot)) / (CAST(dl AS DOUBLE) + {mu!r}))"
+        for i, t in enumerate(uniq)
+    )
+    return f"""
+WITH {_DUCK_TOKENS},
+qtot AS (SELECT count(*) AS t FROM tok2),
+qcf AS (SELECT token, count(*) AS c FROM tok2
+        WHERE token IN ({inlist}) GROUP BY token),
+qdl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+qpiv AS (
+  SELECT doc_id, {pivs}
+  FROM tok2 WHERE token IN ({inlist}) GROUP BY doc_id
+),
+qsc AS (
+  SELECT qpiv.doc_id, {score} AS sc
+  FROM qpiv JOIN qdl USING (doc_id)
+)
+SELECT doc_id, round(sc, 9) AS score FROM qsc
+ORDER BY sc DESC, doc_id ASC LIMIT {k}"""
+
+
+def _duck_rocchio(terms: list[str], k_fb: int, m: int) -> str:
+    """Rocchio PRF oracle — bm25 top-k_fb feedback docs, then the
+    tf_idf centroid folded in doc_id order (same sequential fold as
+    Spark's aggregate(sort_array(...)))."""
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    case = " + ".join(
+        f"coalesce(max(CASE WHEN token = '{t}' THEN w END), 0.0e0)"
+        for t in uniq
+    )
+    inlist = ", ".join(f"'{t}'" for t in uniq)
+    fold = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list(tf_idf ORDER BY doc_id)), (a, b) -> a + b)"
+    )
+    return f"""
+WITH {_DUCK_BM25_WTS},
+fbsc AS (
+  SELECT doc_id, {case} AS sc
+  FROM wts WHERE token IN ({inlist}) GROUP BY doc_id
+),
+fb AS (SELECT doc_id FROM fbsc ORDER BY sc DESC, doc_id ASC LIMIT {k_fb}),
+cent AS (
+  SELECT token, {fold} / {float(k_fb)!r} AS rw
+  FROM postings WHERE doc_id IN (SELECT doc_id FROM fb)
+  GROUP BY token
+)
+SELECT token, round(rw, 9) AS rocchio_weight FROM cent
+WHERE token NOT IN ({inlist})
+ORDER BY rw DESC, token ASC LIMIT {m}"""
 
 
 def _duck_champions(k: int) -> str:
@@ -3401,6 +3486,8 @@ FROM dfp a JOIN dfp b USING (fp)
 WHERE a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING count(*) >= 2""",
+        "qlm_topk": _duck_qlm(_BM25_TERMS, k=10, mu=2000.0),
+        "rocchio_expand": _duck_rocchio(_BM25_TERMS, k_fb=5, m=5),
         # the oracle's single global window is the SEMANTICS (corpus-
         # order running totals); the Spark plan realizes it two-phase
         "vocab_growth": f"""

@@ -321,3 +321,131 @@ def diversify_mmr(
     return joined.groupBy("_g").applyInPandas(
         _run, "rank long, doc_id long, mmr_score double"
     )
+
+
+# ---- query-likelihood LM ranking (Dirichlet smoothing) ----------------
+
+MU = 2000.0
+
+
+def qlm_search(
+    documents: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    mu: float = MU,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs by Dirichlet-smoothed query likelihood (Zhai &
+    Lafferty 2001) — the language-model ranking family next to BM25:
+
+      score(q, d) = Σ_{t ∈ q} ln((f_{t,d} + μ·cf_t/|C|) / (dl_d + μ))
+
+    with cf_t the collection frequency of t and |C| the corpus token
+    count. Candidate set = docs matching ≥ 1 query term (standard
+    any-term evaluation; the smoothed score of a no-match doc is a
+    query-constant and cannot enter the top-k of matching docs for
+    ranking purposes at practical μ).
+
+    Scale shape: identical to bm25_search — the scan is pruned to the
+    query terms (token-IN pushdown on the sorted index layout), the
+    per-term frequencies pivot into fixed columns in ONE
+    groupBy(doc_id), and the per-term logs are added in query order so
+    the float sum is deterministic. Collection stats are two exact-long
+    aggregates; cf_t is |terms| longs collected once (query-time
+    constants, like bm25's N/avgdl)."""
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    toks = doc_tokens(documents, id_col, text_col).filter(F.col("n_terms") > 0)
+    if not uniq:
+        return documents.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    stats = toks.agg(F.sum("n_terms").alias("total")).collect()[0]
+    total = int(stats["total"] or 0)
+    if total == 0:
+        return documents.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    ex = toks.select(
+        "doc_id", "n_terms", F.explode("tokens").alias("token")
+    ).filter(F.col("token").isin(uniq))
+    cf = {
+        r["token"]: int(r["cf"])
+        for r in ex.groupBy("token").agg(F.count("*").alias("cf")).collect()
+    }
+    per_term = [
+        F.coalesce(
+            F.sum(F.when(F.col("token") == t, F.lit(1)).otherwise(F.lit(0))),
+            F.lit(0),
+        ).alias(f"f{i}")
+        for i, t in enumerate(uniq)
+    ]
+    piv = ex.groupBy("doc_id").agg(
+        F.first("n_terms").alias("dl"), *per_term
+    )
+    dl = F.col("dl").cast("double")
+    score = None
+    for i, t in enumerate(uniq):
+        prior = (mu * cf.get(t, 0)) / total  # python double == SQL double
+        term = F.log(
+            (F.col(f"f{i}").cast("double") + F.lit(prior))
+            / (dl + F.lit(mu))
+        )
+        score = term if score is None else score + term
+    return (
+        piv.select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+# ---- Rocchio pseudo-relevance feedback --------------------------------
+
+
+def rocchio_expand(
+    documents: DataFrame,
+    terms: list[str],
+    k_fb: int = 5,
+    m: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, rocchio_weight) — the m best query-expansion terms by
+    Rocchio pseudo-relevance feedback: run the query, take the top-k_fb
+    documents as pseudo-relevant, average their tf·idf vectors, and
+    return the highest-weight terms NOT already in the query (the
+    positive-feedback β-term of the classic Rocchio update; with no
+    true negative judgments the γ-term is zero and α only rescales the
+    original terms, so the centroid IS the expansion signal).
+
+    Scale shape: the feedback set is k_fb rows — it broadcasts into a
+    semi-join that prunes the postings scan to k_fb documents before
+    the per-token aggregation, so the centroid costs one shuffle of
+    k_fb document vectors regardless of corpus size. The per-token mean
+    folds the (≤ k_fb) contributions in doc_id order via
+    aggregate(sort_array(...)) for bit-stable doubles."""
+    from searchengine_spark.operators.tfidf import build_postings
+
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    w = bm25_table(documents, id_col, text_col)
+    fb = bm25_search(w, uniq, k=k_fb).select("doc_id")
+    post = build_postings(documents, id_col, text_col)
+    cent = (
+        post.join(F.broadcast(fb), "doc_id")
+        .groupBy("token")
+        .agg(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(doc_id, tf_idf))),"
+                " 0.0D, (acc, s) -> acc + s.tf_idf)"
+            ).alias("s")
+        )
+        .select(
+            "token",
+            (F.col("s") / F.lit(float(k_fb))).alias("rocchio_weight"),
+        )
+    )
+    return (
+        cent.filter(~F.col("token").isin(uniq))
+        .orderBy(F.col("rocchio_weight").desc(), F.col("token").asc())
+        .limit(m)
+    )

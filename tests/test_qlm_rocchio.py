@@ -1,0 +1,64 @@
+"""Query-likelihood LM ranking + Rocchio PRF (operators/ranking.py) —
+semantic golden cases and guard rails."""
+
+from __future__ import annotations
+
+import math
+
+from searchengine_spark.operators.ranking import qlm_search, rocchio_expand
+
+
+def test_qlm_golden_scores(spark):
+    rows = [
+        (0, "cat dog cat"),  # f(cat)=2, dl=3
+        (1, "cat fish fish fish"),  # f(cat)=1, dl=4
+        (2, "bird bird"),  # no query term -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mu = 10.0
+    got = {r.doc_id: r.score for r in qlm_search(df, ["cat"], k=10, mu=mu).collect()}
+    total, cf = 9, 3  # 9 tokens overall, 'cat' occurs 3 times
+    exp0 = math.log((2 + mu * cf / total) / (3 + mu))
+    exp1 = math.log((1 + mu * cf / total) / (4 + mu))
+    assert set(got) == {0, 1}
+    assert abs(got[0] - exp0) < 1e-12 and abs(got[1] - exp1) < 1e-12
+    assert got[0] > got[1]  # higher tf, shorter doc ranks first
+
+
+def test_qlm_multi_term_order_and_empty(spark):
+    rows = [(0, "a b c"), (1, "a a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = qlm_search(df, ["a", "b"], k=1, mu=5.0).collect()
+    assert out[0].doc_id == 1  # doc 1 has more query-term mass
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert qlm_search(empty, ["a"], k=5).count() == 0
+    assert qlm_search(df, [], k=5).count() == 0
+
+
+def test_rocchio_expands_from_feedback_docs(spark):
+    # docs about "spark": consistently co-occur with "shuffle"; the
+    # off-topic docs talk about "garden" — expansion must surface
+    # shuffle-side vocabulary, never the query term itself
+    rows = [
+        (0, "spark shuffle partition spark shuffle"),
+        (1, "spark shuffle executor spark"),
+        (2, "spark partition shuffle core"),
+        (3, "garden flower tree garden soil"),
+        (4, "garden tree flower pond"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = rocchio_expand(df, ["spark"], k_fb=3, m=3).collect()
+    toks = [r.token for r in out]
+    assert "spark" not in toks
+    assert "shuffle" in toks  # the dominant co-occurring term
+    assert all(r.rocchio_weight > 0 for r in out)
+    assert not {"garden", "flower", "tree", "soil", "pond"} & set(toks)
+
+
+def test_rocchio_deterministic(spark, sf_dir):
+    import os
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    a = [tuple(r) for r in rocchio_expand(docs, ["spark", "window"]).collect()]
+    b = [tuple(r) for r in rocchio_expand(docs, ["spark", "window"]).collect()]
+    assert a == b and len(a) == 5
