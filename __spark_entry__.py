@@ -1167,6 +1167,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bucket_width=64.0,
         )
 
+    def q_sitemap_seeds(spark, sf):
+        # sitemap ingest → scored frontier seeds: normative pycore XML
+        # parse (Arrow-batched) vs an oracle that derives ground truth
+        # relationally from the same generative fixture — parser and
+        # generator must invert each other exactly (incl. the spec
+        # default 0.5 and the max-priority dedup rule)
+        from searchengine_spark.functions.sitemap import (
+            sitemap_fixture,
+            sitemap_seeds,
+        )
+
+        return _r(sitemap_seeds(sitemap_fixture(_docs(spark, sf))), "score")
+
     def q_qlm_topk(spark, sf):
         # Dirichlet-smoothed query likelihood (Zhai-Lafferty): the LM
         # ranking family next to BM25 — same pruned-scan + fixed-order
@@ -1318,6 +1331,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "qlm_topk": q_qlm_topk,
         "rocchio_expand": q_rocchio_expand,
+        "sitemap_seeds": q_sitemap_seeds,
     }
 
 
@@ -3486,6 +3500,26 @@ FROM dfp a JOIN dfp b USING (fp)
 WHERE a.doc_id < b.doc_id
 GROUP BY a.doc_id, b.doc_id
 HAVING count(*) >= 2""",
+        # ground truth from the fixture's generative model — the Spark
+        # side must parse the XML back to exactly this
+        "sitemap_seeds": """
+WITH se AS (
+  SELECT 'https://h' || CAST(doc_id % 16 AS VARCHAR) || '.test/article/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         CASE WHEN doc_id % 3 <> 0
+              THEN CAST(doc_id % 10 AS DOUBLE) / 10.0 ELSE 0.5 END AS pr
+  FROM documents
+),
+sm AS (SELECT doc_id % 16 AS hn, min(doc_id) AS mn
+       FROM documents GROUP BY doc_id % 16),
+sdup AS (
+  SELECT 'https://h' || CAST(hn AS VARCHAR) || '.test/article/'
+           || CAST(mn AS VARCHAR) AS url, 0.9 AS pr
+  FROM sm
+),
+sall AS (SELECT url, pr FROM se UNION ALL SELECT url, pr FROM sdup)
+SELECT url AS canon_url, round(max(pr), 9) AS score
+FROM sall GROUP BY url""",
         "qlm_topk": _duck_qlm(_BM25_TERMS, k=10, mu=2000.0),
         "rocchio_expand": _duck_rocchio(_BM25_TERMS, k_fb=5, m=5),
         # the oracle's single global window is the SEMANTICS (corpus-

@@ -87,3 +87,70 @@ def sitemap_seeds(
         .groupBy("canon_url")
         .agg(F.max("score").alias("score"))
     )
+
+
+def sitemap_fixture(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(host, sitemap_xml) — deterministic sitemap corpus synthesized
+    from document ids (the testdata carries no sitemap files; same
+    pattern as urlmining.url_fixture): one urlset per h0..h15 host with
+    an <url> entry per doc on that host (loc = the article URL,
+    lastmod from the id, <priority> stated only when doc_id % 3 != 0 so
+    the spec-default-0.5 path is exercised), plus ONE duplicate entry
+    per host (the host's min doc repeated at priority 0.9) so
+    sitemap_seeds' max-priority dedup rule is exercised too.
+
+    Entries concatenate in doc_id order via sort_array(collect_list)
+    — one groupBy(host), deterministic bytes on any partitioning."""
+    d = F.col(id_col)
+    entry = F.concat(
+        F.lit("<url><loc>https://h"),
+        (d % 16).cast("string"),
+        F.lit(".test/article/"),
+        d.cast("string"),
+        F.lit("</loc><lastmod>2026-01-"),
+        F.lpad(((d % 28) + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod>"),
+        F.when(
+            d % 3 != 0,
+            F.concat(
+                F.lit("<priority>0."),
+                (d % 10).cast("string"),
+                F.lit("</priority>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    per_host = (
+        documents.select(
+            F.concat(F.lit("h"), (d % 16).cast("string"), F.lit(".test")).alias(
+                "host"
+            ),
+            d.alias("doc_id"),
+            entry.alias("e"),
+        )
+        .groupBy("host")
+        .agg(
+            F.expr(
+                "array_join(transform(sort_array(collect_list("
+                "struct(doc_id, e))), x -> x.e), '')"
+            ).alias("body"),
+            F.min("doc_id").alias("mn"),
+        )
+    )
+    dup = F.concat(
+        F.lit("<url><loc>https://"),
+        F.col("host"),
+        F.lit("/article/"),
+        F.col("mn").cast("string"),
+        F.lit("</loc><priority>0.9</priority></url>"),
+    )
+    return per_host.select(
+        "host",
+        F.concat(
+            F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset '
+                  'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+            F.col("body"),
+            dup,
+            F.lit("</urlset>"),
+        ).alias("sitemap_xml"),
+    )

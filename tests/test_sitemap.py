@@ -133,3 +133,33 @@ def test_sitemap_seeds_admit_with_priority(spark, tmp_path):
         assert io.latest_round() >= 1
     finally:
         shutil.rmtree(str(tmp_path / "wh"), ignore_errors=True)
+
+
+def test_sitemap_fixture_roundtrip(spark, sf_dir):
+    """The generative fixture and the parser invert each other: the
+    spec-default 0.5 path, the stated-priority path, and the
+    max-priority dedup rule are all present in the output."""
+    import os
+
+    from searchengine_spark.functions.sitemap import (
+        sitemap_fixture,
+        sitemap_seeds,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    fix = sitemap_fixture(docs)
+    assert fix.count() == 16  # one urlset per host
+    seeds = {r.canon_url: r.score for r in sitemap_seeds(fix).collect()}
+    n_docs = docs.count()
+    assert len(seeds) == n_docs  # dup entries collapse
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    by_host_min = {}
+    for i in ids:
+        by_host_min[i % 16] = min(by_host_min.get(i % 16, i), i)
+    for i in ids:
+        url = f"https://h{i % 16}.test/article/{i}"
+        if i == by_host_min[i % 16]:
+            expect = max(0.9, (i % 10) / 10.0 if i % 3 else 0.5)
+        else:
+            expect = (i % 10) / 10.0 if i % 3 else 0.5
+        assert seeds[url] == expect, url
