@@ -1167,6 +1167,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bucket_width=64.0,
         )
 
+    def q_doc_clusters(spark, sf):
+        # spherical k-means over sparse tf·idf vectors: deterministic
+        # first-k seeds, 2 Lloyd iterations, explicit-broadcast
+        # centroid joins, eager-localCheckpoint generation handoff
+        from searchengine_spark.operators.clustering import doc_clusters
+
+        return _r(doc_clusters(_docs(spark, sf), k=4, iters=2), "cosine")
+
     def q_sitemap_seeds(spark, sf):
         # sitemap ingest → scored frontier seeds: normative pycore XML
         # parse (Arrow-batched) vs an oracle that derives ground truth
@@ -1332,6 +1340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qlm_topk": q_qlm_topk,
         "rocchio_expand": q_rocchio_expand,
         "sitemap_seeds": q_sitemap_seeds,
+        "doc_clusters_kmeans": q_doc_clusters,
     }
 
 
@@ -1466,6 +1475,71 @@ cent AS (
 SELECT token, round(rw, 9) AS rocchio_weight FROM cent
 WHERE token NOT IN ({inlist})
 ORDER BY rw DESC, token ASC LIMIT {m}"""
+
+
+def _duck_doc_clusters(k: int, iters: int) -> str:
+    """Spherical-k-means oracle — unrolled Lloyd iterations (the
+    ivf/PageRank unrolled-CTE pattern): seed centroids = the k lowest
+    doc vectors, per-iteration dot/norm folds in token order and
+    centroid-mean folds in doc_id order via list_reduce (bit-equal to
+    Spark's aggregate(sort_array(...))), assignment tie-break by
+    (-cos, cluster) window rank ≡ Spark's min(struct)."""
+
+    def fold(expr: str, key: str) -> str:
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list({expr} ORDER BY {key})), (a, b) -> a + b)"
+        )
+
+    parts = [
+        f"""sdk AS (SELECT doc_id FROM (SELECT DISTINCT doc_id FROM postings)
+       ORDER BY doc_id LIMIT {k}),
+cseed AS (SELECT doc_id,
+            CAST(row_number() OVER (ORDER BY doc_id) - 1 AS INT) AS cluster
+          FROM sdk),
+cent0 AS (SELECT cluster, token, tf_idf AS w
+          FROM postings JOIN cseed USING (doc_id)),
+dnorm AS (SELECT doc_id, sqrt({fold('tf_idf * tf_idf', 'token')}) AS dn
+          FROM postings GROUP BY doc_id),
+clus AS (SELECT CAST(unnest(range({k})) AS INT) AS cluster)"""
+    ]
+    for i in range(1, iters + 2):  # iters updates + 1 final assignment
+        prev = f"cent{i - 1}"
+        parts.append(
+            f"""cn{i} AS (SELECT cluster, sqrt({fold('w * w', 'token')}) AS cn
+        FROM {prev} GROUP BY cluster),
+dots{i} AS (SELECT doc_id, cluster, {fold('tf_idf * w', 'token')} AS dot
+            FROM postings JOIN {prev} USING (token)
+            GROUP BY doc_id, cluster),
+asg{i} AS (
+  SELECT doc_id, cluster, cos FROM (
+    SELECT d.doc_id, cl.cluster,
+           CASE WHEN dt.dot IS NOT NULL AND d.dn * cn.cn > 0
+                THEN dt.dot / (d.dn * cn.cn) ELSE 0.0 END AS cos,
+           row_number() OVER (
+             PARTITION BY d.doc_id
+             ORDER BY -(CASE WHEN dt.dot IS NOT NULL AND d.dn * cn.cn > 0
+                        THEN dt.dot / (d.dn * cn.cn) ELSE 0.0 END) ASC,
+                      cl.cluster ASC) AS rn
+    FROM dnorm d CROSS JOIN clus cl
+    LEFT JOIN dots{i} dt ON dt.doc_id = d.doc_id AND dt.cluster = cl.cluster
+    JOIN cn{i} cn ON cn.cluster = cl.cluster
+  ) x WHERE rn = 1)"""
+        )
+        if i <= iters:
+            parts.append(
+                f"""sz{i} AS (SELECT cluster, count(*) AS n FROM asg{i} GROUP BY cluster),
+cent{i} AS (
+  SELECT cluster, token,
+         {fold('tf_idf', 'doc_id')} / CAST(n AS DOUBLE) AS w
+  FROM postings JOIN asg{i} USING (doc_id) JOIN sz{i} USING (cluster)
+  GROUP BY cluster, token, n)"""
+            )
+    body = ",\n".join(parts)
+    return f"""
+WITH {_DUCK_TOKENS},
+{body}
+SELECT doc_id, cluster, round(cos, 9) AS cosine FROM asg{iters + 1}"""
 
 
 def _duck_champions(k: int) -> str:
@@ -3522,6 +3596,7 @@ SELECT url AS canon_url, round(max(pr), 9) AS score
 FROM sall GROUP BY url""",
         "qlm_topk": _duck_qlm(_BM25_TERMS, k=10, mu=2000.0),
         "rocchio_expand": _duck_rocchio(_BM25_TERMS, k_fb=5, m=5),
+        "doc_clusters_kmeans": _duck_doc_clusters(k=4, iters=2),
         # the oracle's single global window is the SEMANTICS (corpus-
         # order running totals); the Spark plan realizes it two-phase
         "vocab_growth": f"""
