@@ -588,6 +588,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             TF.build_postings(_docs(spark, sf)).select("doc_id", "token")
         )
 
+    def q_dict_size(spark, sf):
+        # term-dictionary capacity planning: front coding vs raw, the
+        # companion to index_size — lag window PARTITIONED by
+        # first-char block (never a global dictionary sort)
+        return _r(
+            TF.dict_size_estimate(
+                TF.build_postings(_docs(spark, sf)).select("token")
+            ),
+            "ratio",
+        )
+
     def q_lm_score(spark, sf):
         # corpus-trained add-one bigram LM score (CCNet LM-filter
         # analog): count tables map-side combined, score join reuses
@@ -1286,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "repetition": q_repetition,
         "index_size": q_index_size,
+        "dict_size": q_dict_size,
         "lm_score": q_lm_score,
         "keep_best": q_keep_best,
         "curate": q_curate,
@@ -3269,6 +3281,34 @@ SELECT token, count(*) AS df, count(*) * 8 AS raw_bytes,
        CAST(sum(vbytes) AS BIGINT) AS varint_bytes,
        round(CAST(sum(vbytes) AS DOUBLE) / (count(*) * 8), 9) AS ratio
 FROM vb GROUP BY token""",
+        # front-coded dictionary: lag within first-char blocks; the
+        # shared-prefix length replays as the same max-matching-i scan
+        "dict_size": f"""
+WITH {_DUCK_TOKENS},
+dt AS (SELECT DISTINCT token FROM tf),
+db AS (SELECT token, substring(token, 1, 1) AS bkt FROM dt),
+dl AS (
+  SELECT bkt, token,
+         lag(token) OVER (PARTITION BY bkt ORDER BY token) AS prev
+  FROM db
+),
+de AS (
+  SELECT bkt,
+         CAST(length(token) + 1 AS BIGINT) AS raw_b,
+         CAST(CASE WHEN prev IS NULL THEN length(token) + 1
+              ELSE 2 + length(token) - greatest(0, list_max(
+                list_transform(range(least(length(token), length(prev)) + 1),
+                  i -> CASE WHEN substring(token, 1, i)
+                              = substring(prev, 1, i)
+                       THEN i ELSE 0 END)))
+              END AS BIGINT) AS front_b
+  FROM dl
+)
+SELECT bkt AS bucket, count(*) AS n_terms,
+       CAST(sum(raw_b) AS BIGINT) AS raw_bytes,
+       CAST(sum(front_b) AS BIGINT) AS front_bytes,
+       round(CAST(sum(front_b) AS DOUBLE) / sum(raw_b), 9) AS ratio
+FROM de GROUP BY bkt""",
         # corpus-trained add-one bigram LM: count tables by GROUP BY,
         # per-doc sum replayed as the identical position-ordered
         # sequential fold (ln of identical doubles is bit-equal)

@@ -226,3 +226,57 @@ def postings_size_estimate(postings: DataFrame) -> DataFrame:
             "round(CAST(varint_bytes AS DOUBLE) / (df * 8), 9) AS ratio",
         )
     )
+
+
+def dict_size_estimate(postings: DataFrame) -> DataFrame:
+    """(bucket, n_terms, raw_bytes, front_bytes, ratio) — term-DICTIONARY
+    capacity planning under front coding (IIR ch. 5 blocked dictionary
+    compression), the companion to postings_size_estimate: postings are
+    the big half of an index, but at web scale the term dictionary
+    (every distinct token, dominated by long-tail typos/ids) decides
+    whether lookup structures stay in RAM on every executor.
+
+    Encoding model per sorted term: the first term of its block is
+    stored whole (length byte + bytes); every other term stores
+    (shared-prefix-len byte, suffix-len byte, suffix bytes) against its
+    PREDECESSOR. Blocks = first-character buckets — block boundaries
+    double as partition boundaries, so the lexicographic lag() window
+    is PARTITIONED (never a global-order window over the dictionary;
+    same discipline as vocab_growth's bucketed prefix sum). Tokens are
+    [a-z0-9'] runs (the normative tokenizer), so length() in chars ==
+    bytes and both engines count identically.
+
+    raw baseline = length byte + bytes per term. All arithmetic is
+    exact ints; ratio is one double division, rounded at the contract
+    surface."""
+    d = postings.select("token").distinct().withColumn(
+        "bkt", F.substring("token", 1, 1)
+    )
+    w = Window.partitionBy("bkt").orderBy("token")
+    prev = F.lag("token", 1).over(w)
+    cp = (
+        "greatest(0, array_max(transform("
+        "sequence(0, least(length(token), length(prev))), "
+        "i -> IF(substring(token, 1, i) = substring(prev, 1, i), i, 0))))"
+    )
+    enc = d.withColumn("prev", prev).selectExpr(
+        "bkt",
+        "CAST(length(token) + 1 AS BIGINT) AS raw_b",
+        f"CAST(CASE WHEN prev IS NULL THEN length(token) + 1 "
+        f"ELSE 2 + length(token) - {cp} END AS BIGINT) AS front_b",
+    )
+    return (
+        enc.groupBy("bkt")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("raw_b").alias("raw_bytes"),
+            F.sum("front_b").alias("front_bytes"),
+        )
+        .selectExpr(
+            "bkt AS bucket",
+            "n_terms",
+            "raw_bytes",
+            "front_bytes",
+            "round(CAST(front_bytes AS DOUBLE) / raw_bytes, 9) AS ratio",
+        )
+    )

@@ -251,3 +251,36 @@ def test_curate_all_statuses(spark):
     # stopword-boosted 2 has the higher quality → 0 demoted to near_dup
     assert out[2] == "kept"
     assert out[0] == "near_dup"
+
+
+def test_dict_size_front_coding_golden(spark):
+    """Front-coding arithmetic on a hand-computed dictionary."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.tfidf import dict_size_estimate
+
+    # one 'a' block: abc (first: 3+1=4), abcd (2 + 4-3 = 3), axe
+    # (2 + 3-1 = 4); one 'b' block: bob (first: 4)
+    toks = spark.createDataFrame(
+        [("abc",), ("abcd",), ("axe",), ("bob",), ("abc",)], "token string"
+    )
+    out = {r.bucket: r for r in dict_size_estimate(toks).collect()}
+    a, b = out["a"], out["b"]
+    assert (a.n_terms, a.raw_bytes, a.front_bytes) == (3, 13, 11)
+    assert (b.n_terms, b.raw_bytes, b.front_bytes) == (1, 4, 4)
+    assert abs(a.ratio - 11 / 13) < 1e-9  # operator rounds to 9 dp
+
+
+def test_dict_size_window_is_partitioned(spark, sf_dir):
+    import os
+
+    from searchengine_spark.operators.tfidf import build_postings, dict_size_estimate
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = (
+        dict_size_estimate(build_postings(docs).select("token"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SinglePartition" not in plan  # block-partitioned lag only
