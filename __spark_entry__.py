@@ -1199,6 +1199,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _r(sitemap_seeds(sitemap_fixture(_docs(spark, sf))), "score")
 
+    def q_bm25f(spark, sf):
+        # field-weighted BM25 (simple BM25F) over the A6 fixture's
+        # title/bold/body split — exact-int field-combined tf̃/dl̃,
+        # one explode pass, the bm25_search pivot plan
+        return _r(RK.bm25f_search(_docs(spark, sf), _BM25_TERMS, k=10), "score")
+
     def q_qlm_topk(spark, sf):
         # Dirichlet-smoothed query likelihood (Zhai-Lafferty): the LM
         # ranking family next to BM25 — same pruned-scan + fixed-order
@@ -1351,6 +1357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_growth": q_vocab_growth,
         "qlm_topk": q_qlm_topk,
         "rocchio_expand": q_rocchio_expand,
+        "bm25f_topk": q_bm25f,
         "sitemap_seeds": q_sitemap_seeds,
         "doc_clusters_kmeans": q_doc_clusters,
     }
@@ -1487,6 +1494,75 @@ cent AS (
 SELECT token, round(rw, 9) AS rocchio_weight FROM cent
 WHERE token NOT IN ({inlist})
 ORDER BY rw DESC, token ASC LIMIT {m}"""
+
+
+def _duck_tl(expr: str) -> str:
+    """DuckDB ordered token list of an arbitrary string expression
+    (same semantics as _DUCK_TL, which is fixed to the text column)."""
+    return (
+        f"list_filter(list_transform(regexp_split_to_array(lower({expr}), "
+        "'[^a-z0-9'']+'), t -> trim(t, ' ''')), "
+        "t -> t <> '' AND length(t) <= 10000)"
+    )
+
+
+def _duck_bm25f(terms: list[str], k: int) -> str:
+    """BM25F oracle — mirrors ranking.bm25f_table: one concat'd
+    (token, int field weight) unnest over the three fixture fields,
+    exact-int tf̃/dl̃, Lucene idf, then the bm25_search CASE pivot."""
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    case = " + ".join(
+        f"coalesce(max(CASE WHEN token = '{t}' THEN w END), 0.0e0)"
+        for t in uniq
+    )
+    inlist = ", ".join(f"'{t}'" for t in uniq)
+    fields = [
+        ("substring(text, 1, 64)", 3),
+        ("substring(text, 65, 64)", 2),
+        ("substring(text, 129, greatest(length(text) - 128, 0))", 1),
+    ]
+    lists = [
+        f"list_transform({_duck_tl(expr)}, "
+        f"t -> {{'token': t, 'w': CAST({w} AS BIGINT)}})"
+        for expr, w in fields
+    ]
+    # DuckDB 1.0 list_concat is binary — nest the concatenation
+    cat = lists[0]
+    for nxt in lists[1:]:
+        cat = f"list_concat({cat}, {nxt})"
+    return f"""
+WITH bfx AS (
+  SELECT doc_id, unnest({cat}) AS s FROM documents
+),
+bfe AS (SELECT doc_id, s.token AS token, s.w AS w FROM bfx),
+bwtf AS (SELECT doc_id, token, CAST(sum(w) AS BIGINT) AS wtf
+         FROM bfe GROUP BY doc_id, token),
+bwdl AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS wdl
+         FROM bfe GROUP BY doc_id),
+bstat AS (SELECT count(*) AS n, sum(wdl) AS sumwdl FROM bwdl),
+bdf AS (SELECT token, count(*) AS df FROM bwtf GROUP BY token),
+bidf AS (
+  SELECT token,
+         ln(1.0e0 + (CAST((SELECT n FROM bstat) AS DOUBLE) - df + 0.5e0)
+                    / (df + 0.5e0)) AS idf
+  FROM bdf
+),
+bwts AS (
+  SELECT bwtf.doc_id, bwtf.token,
+         bidf.idf * (CAST(wtf AS DOUBLE) * 2.2e0)
+           / (CAST(wtf AS DOUBLE)
+              + 1.2e0 * (1.0e0 - 0.75e0
+                         + (0.75e0 * CAST(bwdl.wdl AS DOUBLE))
+                           / (CAST((SELECT sumwdl FROM bstat) AS DOUBLE)
+                              / CAST((SELECT n FROM bstat) AS DOUBLE)))) AS w
+  FROM bwtf JOIN bidf USING (token) JOIN bwdl USING (doc_id)
+),
+bscored AS (
+  SELECT doc_id, {case} AS sc
+  FROM bwts WHERE token IN ({inlist}) GROUP BY doc_id
+)
+SELECT doc_id, round(sc, 9) AS score FROM bscored
+ORDER BY sc DESC, doc_id ASC LIMIT {k}"""
 
 
 def _duck_doc_clusters(k: int, iters: int) -> str:
@@ -3637,6 +3713,7 @@ FROM sall GROUP BY url""",
         "qlm_topk": _duck_qlm(_BM25_TERMS, k=10, mu=2000.0),
         "rocchio_expand": _duck_rocchio(_BM25_TERMS, k_fb=5, m=5),
         "doc_clusters_kmeans": _duck_doc_clusters(k=4, iters=2),
+        "bm25f_topk": _duck_bm25f(_BM25_TERMS, k=10),
         # the oracle's single global window is the SEMANTICS (corpus-
         # order running totals); the Spark plan realizes it two-phase
         "vocab_growth": f"""

@@ -449,3 +449,101 @@ def rocchio_expand(
         .orderBy(F.col("rocchio_weight").desc(), F.col("token").asc())
         .limit(m)
     )
+
+
+# ---- BM25F: field-weighted BM25 (simple/weighted-tf variant) ----------
+
+# field model = the deterministic A6 html fixture split (tagweights):
+# <title> = chars 1..64 (weight 3), <b> = 65..128 (weight 2), body =
+# the rest (weight 1). INTEGER weights keep every aggregate exact-int
+# until the final BM25 saturation, so the DuckDB oracle is bit-stable.
+BM25F_FIELDS: list[tuple[str, int]] = [
+    ("substring({t}, 1, 64)", 3),
+    ("substring({t}, 65, 64)", 2),
+    ("substring({t}, 129, greatest(length({t}) - 128, 0))", 1),
+]
+
+
+def bm25f_table(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = K1,
+    b: float = B,
+) -> DataFrame:
+    """(doc_id, token, weight) — simple BM25F (Robertson & Zaragoza):
+    per-field term frequencies combine BEFORE saturation,
+
+      tf̃(t,d) = Σ_f w_f·tf_f(t,d),   dl̃(d) = Σ_f w_f·len_f(d),
+      weight   = idf(t) · tf̃·(k1+1) / (tf̃ + k1·(1−b+b·dl̃/avgdl̃)),
+
+    with Lucene idf over df = #docs where tf̃ > 0. A title hit outranks
+    the same hit buried in the body — the field-aware counterpart of
+    the reference's A6 tag boosts (helpers.py:31-47), composed into a
+    principled ranking function instead of a post-hoc tf·idf scale.
+
+    Scale shape: ONE explode pass emits (token, field-weight) pairs for
+    all fields (no per-field scans), then the same two shuffles as
+    bm25_table — (doc, token) partial-agg and a broadcastable token
+    dictionary. tf̃/dl̃ are exact int64 (integer field weights); avgdl̃
+    derives once from two exact longs."""
+    from searchengine_spark.functions.text import tokens_sql
+
+    pairs = " , ".join(
+        f"transform({tokens_sql(expr.format(t=text_col))}, "
+        f"t -> named_struct('token', t, 'w', CAST({w} AS BIGINT)))"
+        for expr, w in BM25F_FIELDS
+    )
+    ex = documents.selectExpr(
+        f"{id_col} AS doc_id", f"explode(concat({pairs})) AS s"
+    ).select("doc_id", F.col("s.token").alias("token"), F.col("s.w").alias("w"))
+    wtf = ex.groupBy("doc_id", "token").agg(F.sum("w").alias("wtf"))
+    wdl = ex.groupBy("doc_id").agg(F.sum("w").alias("wdl"))
+    stats = wdl.agg(
+        F.count("*").alias("n"), F.sum("wdl").alias("sumwdl")
+    ).collect()[0]
+    if not stats["n"]:
+        return documents.sparkSession.createDataFrame(
+            [], "doc_id long, token string, weight double"
+        )
+    n_docs, sumwdl = int(stats["n"]), int(stats["sumwdl"])
+    avgwdl = F.lit(float(sumwdl)) / F.lit(float(n_docs))
+    df_tab = wtf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = df_tab.select(
+        "token",
+        F.log(
+            F.lit(1.0)
+            + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+    )
+    ft, dl = F.col("wtf").cast("double"), F.col("wdl").cast("double")
+    return (
+        wtf.join(wdl, "doc_id")
+        .join(idf, "token")
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("idf")
+                * (ft * F.lit(k1 + 1.0))
+                / (
+                    ft
+                    + F.lit(k1)
+                    * (F.lit(1.0) - F.lit(b) + F.lit(b) * dl / avgwdl)
+                )
+            ).alias("weight"),
+        )
+    )
+
+
+def bm25f_search(
+    documents: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs by Σ of per-term BM25F weights — same fixed-order
+    pivot plan as bm25_search (deterministic float-sum order)."""
+    return bm25_search(bm25f_table(documents, id_col, text_col), terms, k)

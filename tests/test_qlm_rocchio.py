@@ -62,3 +62,23 @@ def test_rocchio_deterministic(spark, sf_dir):
     a = [tuple(r) for r in rocchio_expand(docs, ["spark", "window"]).collect()]
     b = [tuple(r) for r in rocchio_expand(docs, ["spark", "window"]).collect()]
     assert a == b and len(a) == 5
+
+
+def test_bm25f_field_weighting(spark):
+    """A title hit outranks the same term buried in the body."""
+    from searchengine_spark.operators.ranking import bm25f_search
+
+    title_doc = "needle " + "filler " * 40          # needle in chars 1-64
+    body_doc = "filler " * 40 + " needle"           # needle past char 128
+    rows = [(0, title_doc), (1, body_doc), (2, "filler " * 30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25f_search(df, ["needle"], k=10).collect()
+    assert [r.doc_id for r in out] == [0, 1]  # doc 2 has no hit
+    assert out[0].score > out[1].score
+
+
+def test_bm25f_empty_corpus(spark):
+    from searchengine_spark.operators.ranking import bm25f_search
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25f_search(empty, ["a"], k=5).count() == 0
