@@ -1199,6 +1199,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _r(sitemap_seeds(sitemap_fixture(_docs(spark, sf))), "score")
 
+    def q_keyness(spark, sf):
+        # Dunning G² keyness between the parity-split corpus slices
+        # (crawl-drift diagnostic): one token shuffle, per-row double
+        # math from exact ints — no corpus-wide float sum
+        return _r(TS.keyness(_docs(spark, sf)), "g2")
+
+    def q_freq_spectrum(spark, sf):
+        # vocabulary frequency spectrum (hapax count at freq=1)
+        return TS.freq_spectrum(_docs(spark, sf))
+
     def q_bm25f(spark, sf):
         # field-weighted BM25 (simple BM25F) over the A6 fixture's
         # title/bold/body split — exact-int field-combined tf̃/dl̃,
@@ -1358,6 +1368,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qlm_topk": q_qlm_topk,
         "rocchio_expand": q_rocchio_expand,
         "bm25f_topk": q_bm25f,
+        "keyness": q_keyness,
+        "freq_spectrum": q_freq_spectrum,
         "sitemap_seeds": q_sitemap_seeds,
         "doc_clusters_kmeans": q_doc_clusters,
     }
@@ -3714,6 +3726,37 @@ FROM sall GROUP BY url""",
         "rocchio_expand": _duck_rocchio(_BM25_TERMS, k_fb=5, m=5),
         "doc_clusters_kmeans": _duck_doc_clusters(k=4, iters=2),
         "bm25f_topk": _duck_bm25f(_BM25_TERMS, k=10),
+        # slice totals as scalar subqueries ≡ Spark's collected-literal
+        # constants (exact ints either way); per-token math is per-row
+        "keyness": f"""
+WITH {_DUCK_TOKENS},
+kc AS (
+  SELECT token,
+         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+  FROM tok2 GROUP BY token
+),
+kt AS (SELECT sum(n_a) AS na, sum(n_b) AS nb FROM kc)
+SELECT token, n_a, n_b,
+  round(2.0 * (
+    (CASE WHEN n_a = 0 THEN 0.0 ELSE CAST(n_a AS DOUBLE)
+        * ln(CAST(n_a AS DOUBLE) / (CAST((SELECT na FROM kt) AS DOUBLE)
+            * (CAST(n_a + n_b AS DOUBLE)
+               / CAST((SELECT na + nb FROM kt) AS DOUBLE)))) END)
+    + (CASE WHEN n_b = 0 THEN 0.0 ELSE CAST(n_b AS DOUBLE)
+        * ln(CAST(n_b AS DOUBLE) / (CAST((SELECT nb FROM kt) AS DOUBLE)
+            * (CAST(n_a + n_b AS DOUBLE)
+               / CAST((SELECT na + nb FROM kt) AS DOUBLE)))) END)
+  ), 9) AS g2,
+  CASE WHEN CAST(n_a AS DOUBLE) * (SELECT nb FROM kt)
+            >= CAST(n_b AS DOUBLE) * (SELECT na FROM kt)
+       THEN 'a' ELSE 'b' END AS enriched_in
+FROM kc""",
+        "freq_spectrum": f"""
+WITH {_DUCK_TOKENS},
+fs1 AS (SELECT token, count(*) AS freq FROM tok2 GROUP BY token)
+SELECT CAST(freq AS BIGINT) AS freq, CAST(count(*) AS BIGINT) AS n_types
+FROM fs1 GROUP BY freq""",
         # the oracle's single global window is the SEMANTICS (corpus-
         # order running totals); the Spark plan realizes it two-phase
         "vocab_growth": f"""

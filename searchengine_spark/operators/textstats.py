@@ -327,3 +327,80 @@ def vocab_growth(
             .alias("cum_types"),
         )
     )
+
+
+def keyness(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, n_a, n_b, g2, enriched_in) — Dunning log-likelihood
+    keyness (G², "Accurate Methods for the Statistics of Surprise and
+    Coincidence", CL 1994) between two corpus slices: which terms
+    DISTINGUISH slice A from slice B. The standard crawl-drift /
+    contamination diagnostic — run it between yesterday's and today's
+    crawl (here: the deterministic doc_id-parity split stands in for
+    two snapshots) and the top-G² terms are what changed.
+
+      G² = 2·(a·ln(a/E_a) + b·ln(b/E_b)),  E_x = N_x·(a+b)/(N_a+N_b)
+
+    with a/b the token's occurrence counts and N the slice token
+    totals; zero-count sides contribute 0 (lim x→0 of x·ln(x/E) = 0).
+
+    Scale shape: ONE (token) shuffle with conditional map-side partial
+    sums; the two totals are one exact-long aggregate collected as
+    query constants. Per-token math is per-row double arithmetic from
+    exact ints — no corpus-wide float sum anywhere, so output is
+    bit-deterministic under any partitioning."""
+    ex = documents.selectExpr(
+        f"{id_col} % 2 = 0 AS in_a",
+        f"explode({tokens_sql(text_col)}) AS token",
+    )
+    counts = ex.groupBy("token").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("na"), F.sum("n_b").alias("nb")
+    ).collect()[0]
+    na, nb = int(tot["na"] or 0), int(tot["nb"] or 0)
+    if na == 0 or nb == 0:
+        return counts.select(
+            "token", "n_a", "n_b",
+            F.lit(0.0).alias("g2"),
+            F.lit(None).cast("string").alias("enriched_in"),
+        ).limit(0)
+    expect = (
+        f"(CAST(n_a + n_b AS DOUBLE) / CAST({na + nb} AS DOUBLE))"
+    )
+    term = (
+        "(CASE WHEN {x} = 0 THEN 0.0D ELSE CAST({x} AS DOUBLE) * "
+        "ln(CAST({x} AS DOUBLE) / (CAST({n} AS DOUBLE) * {e})) END)"
+    )
+    g2 = (
+        f"2.0D * ({term.format(x='n_a', n=na, e=expect)} + "
+        f"{term.format(x='n_b', n=nb, e=expect)})"
+    )
+    return counts.selectExpr(
+        "token", "n_a", "n_b",
+        f"{g2} AS g2",
+        f"CASE WHEN CAST(n_a AS DOUBLE) * {nb} >= CAST(n_b AS DOUBLE) * {na} "
+        "THEN 'a' ELSE 'b' END AS enriched_in",
+    )
+
+
+def freq_spectrum(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(freq, n_types) — the vocabulary frequency spectrum (how many
+    distinct token types occur exactly `freq` times): the Zipf/Heaps
+    companion view. n_types at freq=1 is the hapax count — the standard
+    "is the corpus still growing vocabulary / how noisy is the token
+    stream" diagnostic. Two chained exact-count aggregates (token, then
+    freq), both map-side combinable."""
+    tok_freq = documents.selectExpr(
+        f"explode({tokens_sql(text_col)}) AS token"
+    ).groupBy("token").agg(F.count("*").alias("freq"))
+    return tok_freq.groupBy("freq").agg(F.count("*").alias("n_types"))

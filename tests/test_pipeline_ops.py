@@ -423,3 +423,43 @@ def test_keep_best_argmax_and_ties(spark):
     assert out[0]["best_quality"] == 0.9
     assert out[3]["kept_doc_id"] == 3 and out[3]["n_members"] == 1
     assert out[4]["kept_doc_id"] == 4 and out[4]["n_members"] == 2
+
+
+def test_keyness_golden(spark):
+    """Hand-computed G² on a tiny two-slice corpus."""
+    import math
+
+    from searchengine_spark.operators.textstats import keyness
+
+    # slice A (even ids): 'x x y'; slice B (odd ids): 'x z z z'
+    rows = [(0, "x x y"), (1, "x z z z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.token: r for r in keyness(df).collect()}
+    na, nb = 3, 4
+
+    def g2(a, b):
+        e = (a + b) / (na + nb)
+        s = 0.0
+        if a:
+            s += a * math.log(a / (na * e))
+        if b:
+            s += b * math.log(b / (nb * e))
+        return 2.0 * s
+
+    assert abs(out["z"].g2 - g2(0, 3)) < 1e-9
+    assert abs(out["x"].g2 - g2(2, 1)) < 1e-9
+    assert out["z"].enriched_in == "b"
+    assert out["y"].enriched_in == "a"
+    # one-sided term: zero count contributes zero, not NaN
+    assert out["z"].n_a == 0 and out["z"].g2 > 0
+
+
+def test_freq_spectrum_golden(spark):
+    from searchengine_spark.operators.textstats import freq_spectrum
+
+    df = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "c d")], "doc_id long, text string"
+    )
+    got = {r.freq: r.n_types for r in freq_spectrum(df).collect()}
+    # a:3, b:2, c:2, d:1  ->  spectrum {1:1, 2:2, 3:1}
+    assert got == {1: 1, 2: 2, 3: 1}
