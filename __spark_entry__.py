@@ -1199,6 +1199,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _r(sitemap_seeds(sitemap_fixture(_docs(spark, sf))), "score")
 
+    def q_facets(spark, sf):
+        # faceted result counts over the DNF match set: ONE matched
+        # frame semi-joined into the attribute table, one exact count
+        # per facet column
+        return Q.facet_counts(_postings(spark, sf), _docs(spark, sf), _DNF)
+
     def q_keyness(spark, sf):
         # Dunning G² keyness between the parity-split corpus slices
         # (crawl-drift diagnostic): one token shuffle, per-row double
@@ -1370,6 +1376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25f_topk": q_bm25f,
         "keyness": q_keyness,
         "freq_spectrum": q_freq_spectrum,
+        "facet_counts": q_facets,
         "sitemap_seeds": q_sitemap_seeds,
         "doc_clusters_kmeans": q_doc_clusters,
     }
@@ -3757,6 +3764,14 @@ WITH {_DUCK_TOKENS},
 fs1 AS (SELECT token, count(*) AS freq FROM tok2 GROUP BY token)
 SELECT CAST(freq AS BIGINT) AS freq, CAST(count(*) AS BIGINT) AS n_types
 FROM fs1 GROUP BY freq""",
+        "facet_counts": _DUCK_DNF_PREFIX
+        + """,
+fm AS (SELECT doc_id FROM firstwin WHERE rn = 1),
+fat AS (SELECT lang, source FROM documents JOIN fm USING (doc_id))
+SELECT 'lang' AS facet, lang AS value, CAST(count(*) AS BIGINT) AS n_docs
+FROM fat GROUP BY lang
+UNION ALL
+SELECT 'source', source, CAST(count(*) AS BIGINT) FROM fat GROUP BY source""",
         # the oracle's single global window is the SEMANTICS (corpus-
         # order running totals); the Spark plan realizes it two-phase
         "vocab_growth": f"""

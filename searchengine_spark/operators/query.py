@@ -130,3 +130,36 @@ def prefix_search(postings: DataFrame, prefix: str, k: int = 10) -> DataFrame:
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def facet_counts(
+    postings: DataFrame,
+    documents: DataFrame,
+    conjuncts: list[list[str]],
+    facet_cols: list[str] = ("lang", "source"),
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(facet, value, n_docs) — faceted result counts: for each facet
+    column, how many documents MATCHING the DNF query carry each value
+    (the "narrow your search" sidebar every search UI renders next to
+    the result list).
+
+    Scale shape: the match set comes from the same count-distinct==k
+    conjunct plan as dnf_query (token-IN pruned scan, no per-term
+    joins); facet attributes then join to the match set — at web scale
+    the match set is the small side, so it SEMI-joins into the
+    attribute table and each facet is one map-side-combinable count
+    aggregate. All facets reuse ONE matched frame (computed once, not
+    per facet); counts are exact ints."""
+    matched = dnf_query(postings, conjuncts).select(id_col)
+    attrs = documents.join(matched, id_col).select(*facet_cols)
+    parts = [
+        attrs.groupBy(F.col(c).alias("value"))
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.lit(c).alias("facet"), "value", "n_docs")
+        for c in facet_cols
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -172,3 +172,28 @@ def test_postings_size_estimate(spark):
     assert out["u"]["varint_bytes"] == 3
     # v: gaps [16384, 16383] → widths [3, 2] — boundary cases both sides
     assert out["v"]["varint_bytes"] == 5
+
+
+def test_facet_counts_golden(spark):
+    from searchengine_spark.operators.query import facet_counts
+    from searchengine_spark.operators.tfidf import build_postings
+
+    rows = [
+        (0, "cat dog", "en", "web"),
+        (1, "cat fish", "en", "news"),
+        (2, "cat dog bird", "de", "web"),
+        (3, "bird only here", "fr", "web"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    post = build_postings(docs)
+    out = {
+        (r.facet, r.value): r.n_docs
+        for r in facet_counts(post, docs, [["cat", "dog"], ["fish"]]).collect()
+    }
+    # matches: docs 0, 2 (cat AND dog) + doc 1 (fish) -> 3 docs
+    assert out == {
+        ("lang", "en"): 2,
+        ("lang", "de"): 1,
+        ("source", "web"): 2,
+        ("source", "news"): 1,
+    }
