@@ -1199,6 +1199,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _r(sitemap_seeds(sitemap_fixture(_docs(spark, sf))), "score")
 
+    def q_best_passage(spark, sf):
+        # passage retrieval: densest query-term window per doc — one
+        # pruned positional scan + one groupBy; window scan is in-row
+        # array math over the hit positions only
+        return PX.best_passage(
+            PX.positional_postings(_docs(spark, sf)), _BM25_TERMS, window=16
+        )
+
     def q_facets(spark, sf):
         # faceted result counts over the DNF match set: ONE matched
         # frame semi-joined into the attribute table, one exact count
@@ -1377,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keyness": q_keyness,
         "freq_spectrum": q_freq_spectrum,
         "facet_counts": q_facets,
+        "best_passage": q_best_passage,
         "sitemap_seeds": q_sitemap_seeds,
         "doc_clusters_kmeans": q_doc_clusters,
     }
@@ -3764,6 +3773,28 @@ WITH {_DUCK_TOKENS},
 fs1 AS (SELECT token, count(*) AS freq FROM tok2 GROUP BY token)
 SELECT CAST(freq AS BIGINT) AS freq, CAST(count(*) AS BIGINT) AS n_types
 FROM fs1 GROUP BY freq""",
+        "best_passage": f"""
+WITH {_DUCK_POSIT},
+bp0 AS (SELECT doc_id, pos, token FROM posit
+        WHERE token IN ({", ".join(f"'{t}'" for t in _BM25_TERMS)})),
+bp1 AS (SELECT doc_id,
+          list(struct_pack(pos := pos, token := token) ORDER BY pos) AS ps
+        FROM bp0 GROUP BY doc_id),
+bp2 AS (SELECT doc_id,
+  list_transform(ps, s -> struct_pack(
+    n := len(list_distinct(list_transform(
+           list_filter(ps, q -> q.pos >= s.pos AND q.pos < s.pos + 16),
+           q -> q.token))),
+    strt := s.pos)) AS wins
+  FROM bp1),
+bp3 AS (SELECT doc_id, list_max(list_transform(wins, w -> w.n)) AS best_n,
+               wins
+        FROM bp2)
+SELECT doc_id,
+  CAST(list_min(list_transform(list_filter(wins, w -> w.n = best_n),
+                               w -> w.strt)) AS INT) AS start_pos,
+  CAST(best_n AS INT) AS n_terms
+FROM bp3""",
         "facet_counts": _DUCK_DNF_PREFIX
         + """,
 fm AS (SELECT doc_id FROM firstwin WHERE rn = 1),

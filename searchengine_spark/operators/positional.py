@@ -291,3 +291,52 @@ def suggest(
         .orderBy(F.col("dist").asc(), F.col("df").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def best_passage(
+    postings: DataFrame,
+    terms: list[str],
+    window: int = 16,
+) -> DataFrame:
+    """(doc_id, start_pos, n_terms) — passage retrieval: per matching
+    document, the `window`-token span covering the MOST DISTINCT query
+    terms (ties → earliest start). The real snippet selector — the
+    existing `snippets` op shows context around the FIRST hit; ranking
+    UIs want the densest window (IIR ch. 8 passage scoring).
+
+    Plan: the positional scan prunes to the query terms (token-IN
+    pushdown), then ONE groupBy(doc_id) collects the per-doc hit
+    positions — bounded by that doc's query-term occurrences, not doc
+    length — and the window scan is per-row array arithmetic: candidate
+    starts are exactly the hit positions (an optimal window can always
+    shift right until its left edge IS a hit), n per start counts
+    distinct covered tokens, the argmax folds (max n, min start). No
+    second shuffle, nothing quadratic in doc length."""
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    if not uniq:
+        return postings.select(
+            "doc_id",
+            F.lit(0).alias("start_pos"),
+            F.lit(0).alias("n_terms"),
+        ).limit(0)
+    occ = postings.filter(F.col("token").isin(uniq))
+    per_doc = occ.groupBy("doc_id").agg(
+        F.expr("sort_array(collect_list(struct(pos, token)))").alias("ps")
+    )
+    wins = (
+        "transform(ps, s -> named_struct("
+        "'n', size(array_distinct(transform("
+        f"filter(ps, q -> q.pos >= s.pos AND q.pos < s.pos + {window}), "
+        "q -> q.token))), "
+        "'start', s.pos))"
+    )
+    return per_doc.selectExpr("doc_id", f"{wins} AS wins").selectExpr(
+        "doc_id",
+        "array_max(transform(wins, w -> w.n)) AS best_n",
+        "wins",
+    ).selectExpr(
+        "doc_id",
+        "CAST(array_min(transform(filter(wins, w -> w.n = best_n), "
+        "w -> w.start)) AS INT) AS start_pos",
+        "CAST(best_n AS INT) AS n_terms",
+    )

@@ -349,3 +349,42 @@ def test_mmr_demotes_redundant_results_and_matches_pycore(spark):
     by_rank = {rk: d for rk, d, _ in got}
     assert by_rank[0] == 1
     assert by_rank[1] != 2
+
+
+def test_best_passage_golden(spark):
+    from searchengine_spark.operators.positional import (
+        best_passage,
+        positional_postings,
+    )
+
+    # doc 0: 'cat' at 0 and 'dog' at 20 never share a 5-window; the
+    # dense span is cat+dog at 20,21 -> start 20, n=2
+    rows = [
+        (0, "cat x x x x x x x x x x x x x x x x x x x dog cat y y"),
+        (1, "dog only here"),
+        (2, "nothing relevant at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.start_pos, r.n_terms)
+        for r in best_passage(
+            positional_postings(df), ["cat", "dog"], window=5
+        ).collect()
+    }
+    assert out[0] == (20, 2)
+    assert out[1] == (0, 1)
+    assert 2 not in out  # no query term -> no passage row
+
+
+def test_best_passage_tie_earliest(spark):
+    from searchengine_spark.operators.positional import (
+        best_passage,
+        positional_postings,
+    )
+
+    # two equally-dense windows -> earliest start wins
+    df = spark.createDataFrame(
+        [(0, "cat dog x x x x x x x x cat dog")], "doc_id long, text string"
+    )
+    r = best_passage(positional_postings(df), ["cat", "dog"], window=4).collect()[0]
+    assert (r.start_pos, r.n_terms) == (0, 2)
