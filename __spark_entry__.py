@@ -162,6 +162,36 @@ andq AS (
 """
 
 
+def _least_sampled_first(
+    d: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The driver's correctness artifact samples a PREFIX of the
+    queries() dict (the first 50 keys at round 3), so entries past the
+    prefix never get an independent driver row. Order keys by how many
+    past driver artifacts (CORRECTNESS_r*.json beside this file) have
+    already covered them — never-sampled queries first, stable original
+    order within a tie — so each round's prefix lands on the entries
+    with the least independent evidence (r03 ADVICE item 4)."""
+    import glob
+    import json
+
+    seen: dict[str, int] = {}
+    root = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+        except Exception:
+            continue
+        keys = data.keys() if isinstance(data, dict) else data
+        for k in keys:
+            if isinstance(k, str):
+                seen[k] = seen.get(k, 0) + 1
+    items = list(d.items())
+    items.sort(key=lambda kv: seen.get(kv[0], 0))  # stable
+    return dict(items)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_tf(spark, sf):
         return _r(
@@ -1282,7 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return fingerprint_matches(_docs(spark, sf), k=4, w=5, min_shared=2)
 
-    return {
+    return _least_sampled_first({
         "tumbling_counts": q_tumbling,
         "tf": q_tf,
         "doc_freq": q_doc_freq,
@@ -1388,7 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_passage": q_best_passage,
         "sitemap_seeds": q_sitemap_seeds,
         "doc_clusters_kmeans": q_doc_clusters,
-    }
+    })
 
 
 # Order-preserving token list as a DuckDB list expression (no unnest —
@@ -3153,9 +3183,15 @@ _DUCK_URL_FIXTURE = """
     END AS url
   FROM documents"""
 
-# same fixture, carrying doc_id (robots_gate needs the row identity)
+# same fixture, carrying doc_id (robots_gate needs the row identity).
+# Built by prefix surgery on the shared literal; the assert keeps a
+# future rewording of the fixture SQL from silently yielding a
+# doc_id-less subquery and a confusing oracle failure far from here.
 _DUCK_URL_FIXTURE_ID = _DUCK_URL_FIXTURE.replace(
     "SELECT 'https://h'", "SELECT doc_id, 'https://h'", 1
+)
+assert _DUCK_URL_FIXTURE_ID != _DUCK_URL_FIXTURE, (
+    "_DUCK_URL_FIXTURE changed; update the doc_id-projection surgery"
 )
 
 _DUCK_HRW_W = _duck_h60("url || '#' || CAST(s AS VARCHAR)")

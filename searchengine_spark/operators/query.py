@@ -146,20 +146,30 @@ def facet_counts(
 
     Scale shape: the match set comes from the same count-distinct==k
     conjunct plan as dnf_query (token-IN pruned scan, no per-term
-    joins); facet attributes then join to the match set — at web scale
-    the match set is the small side, so it SEMI-joins into the
-    attribute table and each facet is one map-side-combinable count
-    aggregate. All facets reuse ONE matched frame (computed once, not
-    per facet); counts are exact ints."""
+    joins); facet attributes LEFT-SEMI join to the match set (semi
+    encodes that match membership, not match multiplicity, is what
+    counts — dnf_query output is distinct, but the plan no longer
+    relies on it) — at web scale the match set is the small side of
+    that join. Each matched row then explodes to |facet_cols| (facet,
+    value) pairs and ONE map-side-combinable count aggregate produces
+    every facet's histogram — the dnf lineage is evaluated once, not
+    once per facet, with no cache/persist needed. Counts are exact
+    ints."""
     matched = dnf_query(postings, conjuncts).select(id_col)
-    attrs = documents.join(matched, id_col).select(*facet_cols)
-    parts = [
-        attrs.groupBy(F.col(c).alias("value"))
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("facet"),
+                    F.col(c).cast("string").alias("value"),
+                )
+                for c in facet_cols
+            ]
+        )
+    )
+    return (
+        documents.join(matched, id_col, "left_semi")
+        .select(pairs.alias("fv"))
+        .groupBy(F.col("fv.facet").alias("facet"), F.col("fv.value").alias("value"))
         .agg(F.count("*").alias("n_docs"))
-        .select(F.lit(c).alias("facet"), "value", "n_docs")
-        for c in facet_cols
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    )

@@ -384,14 +384,24 @@ def qlm_search(
         F.first("n_terms").alias("dl"), *per_term
     )
     dl = F.col("dl").cast("double")
+    # Zero-cf terms (absent from the whole corpus) are dropped from the
+    # sum: their f_{t,d} is 0 for every candidate too, so their
+    # contribution is the doc-independent ln(0) = -inf — which in Spark
+    # SQL is F.log(0) = NULL and would silently null the whole score
+    # (nulls sort last), diverging from a true -inf tie. Dropping them
+    # leaves the ranking among candidates unchanged.
     score = None
     for i, t in enumerate(uniq):
-        prior = (mu * cf.get(t, 0)) / total  # python double == SQL double
+        if cf.get(t, 0) == 0:
+            continue
+        prior = (mu * cf[t]) / total  # python double == SQL double
         term = F.log(
             (F.col(f"f{i}").cast("double") + F.lit(prior))
             / (dl + F.lit(mu))
         )
         score = term if score is None else score + term
+    if score is None:  # every term zero-cf ⇒ no candidates exist either
+        score = F.lit(0.0)
     return (
         piv.select("doc_id", score.alias("score"))
         .orderBy(F.col("score").desc(), F.col("doc_id").asc())
