@@ -1156,27 +1156,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_pld_census(spark, sf):
         # registrable-domain (PLD) politeness grouping over a
         # deterministic host fixture: subdomain shards collapse to one
-        # budget key while github.io-style platform users stay separate
+        # budget key (incl. under a multi-part ccTLD the full PSL knows
+        # — yamanashi.jp keeps THREE labels) while github.io-style
+        # platform users stay separate
         from searchengine_spark.functions.urls import pld_col
 
         d = F.col("doc_id")
         host = (
             F.when(
-                d % 4 == 0,
+                d % 5 == 0,
                 F.concat(
                     F.lit("www.site"), (d % 20).cast("string"), F.lit(".co.uk")
                 ),
             )
             .when(
-                d % 4 == 1,
+                d % 5 == 1,
                 F.concat(
                     F.lit("blog.site"), (d % 20).cast("string"), F.lit(".com")
                 ),
             )
             .when(
-                d % 4 == 2,
+                d % 5 == 2,
                 F.concat(
                     F.lit("user"), (d % 50).cast("string"), F.lit(".github.io")
+                ),
+            )
+            .when(
+                d % 5 == 3,
+                F.concat(
+                    F.lit("cdn.site"),
+                    (d % 10).cast("string"),
+                    F.lit(".yamanashi.jp"),
                 ),
             )
             .otherwise(
@@ -3222,33 +3232,54 @@ SELECT shard_8, count(*) AS n_urls,
 FROM a GROUP BY shard_8"""
 
 
-# registrable-domain census: fixture hosts + the pld_sql rules
-# (functions/urls.py) transcribed to DuckDB list ops — multi-suffix
-# literal set comes from the same PLD_MULTI_SUFFIXES tuple
-def _duck_pld_census() -> str:
-    from searchengine_spark.functions.urls import PLD_MULTI_SUFFIXES
+def duck_pld_case() -> str:
+    """The full-PSL registrable-domain CASE in DuckDB dialect, generated
+    from the SAME pycore.psl.branch_spec() the Spark pld_sql generator
+    consumes (one rule source, two dialects). Expects columns `hl`
+    (lowercased host) and `l` (string_split(hl, '.')); DuckDB's
+    negative list slice clamps at the list head, giving the identical
+    degrade-to-whole-host totality pld_sql gets from try_element_at +
+    concat_ws NULL-skip."""
+    from searchengine_spark.pycore.psl import branch_spec
 
-    in_list = ", ".join(f"'{s}'" for s in PLD_MULTI_SUFFIXES)
+    def last(n: int) -> str:
+        return f"array_to_string(l[-{n}:], '.')"
+
+    parts = [
+        "CASE WHEN hl IS NULL THEN NULL",
+        "WHEN len(l) <= 1 OR regexp_matches(hl, '^[0-9.]+$') THEN hl",
+    ]
+    for kind, d, rule_set, rd in branch_spec():
+        in_list = ", ".join(f"'{r}'" for r in rule_set)
+        if kind == "exc":
+            parts.append(f"WHEN {last(d)} IN ({in_list}) THEN {last(d)}")
+        else:
+            parts.append(
+                f"WHEN len(l) >= {rd - 1} AND {last(d)} IN ({in_list}) "
+                f"THEN {last(rd)}"
+            )
+    parts.append(f"ELSE {last(2)} END")
+    return " ".join(parts)
+
+
+# registrable-domain census: fixture hosts (incl. multi-part-ccTLD,
+# wildcard and platform suffixes) + the full-PSL rules in DuckDB ops
+def _duck_pld_census() -> str:
     return f"""
 WITH hosts AS (
-  SELECT CASE doc_id % 4
+  SELECT CASE doc_id % 5
     WHEN 0 THEN 'www.site' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk'
     WHEN 1 THEN 'blog.site' || CAST(doc_id % 20 AS VARCHAR) || '.com'
     WHEN 2 THEN 'user' || CAST(doc_id % 50 AS VARCHAR) || '.github.io'
+    WHEN 3 THEN 'cdn.site' || CAST(doc_id % 10 AS VARCHAR)
+                || '.yamanashi.jp'
     ELSE 'site' || CAST(doc_id % 20 AS VARCHAR) || '.com'
   END AS host
   FROM documents
 ),
-s AS (SELECT host, string_split(lower(host), '.') AS l FROM hosts),
-p AS (
-  SELECT host,
-    CASE WHEN len(l) <= 2 THEN lower(host)
-         WHEN regexp_matches(lower(host), '^[0-9.]+$') THEN lower(host)
-         WHEN l[-2] || '.' || l[-1] IN ({in_list})
-           THEN l[-3] || '.' || l[-2] || '.' || l[-1]
-         ELSE l[-2] || '.' || l[-1] END AS pld
-  FROM s
-)
+s AS (SELECT host, lower(host) AS hl, string_split(lower(host), '.') AS l
+      FROM hosts),
+p AS (SELECT host, {duck_pld_case()} AS pld FROM s)
 SELECT pld, count(*) AS n_hosts, count(DISTINCT host) AS n_distinct_hosts
 FROM p GROUP BY pld"""
 

@@ -31,7 +31,9 @@ from searchengine_spark.crawler.synth import ALLOWED_HOST_RE, pages_df
 from searchengine_spark.crawler.tableio import TableIO
 
 
-def bench_config(seeds: list[str], n_partitions: int) -> CrawlConfig:
+def bench_config(
+    seeds: list[str], n_partitions: int, codegen: bool = True
+) -> CrawlConfig:
     return CrawlConfig(
         seeds=seeds,
         allowed_host_re=ALLOWED_HOST_RE,
@@ -41,6 +43,11 @@ def bench_config(seeds: list[str], n_partitions: int) -> CrawlConfig:
         n_partitions=n_partitions,
         n_bloom_segments=32,
         light_metrics=True,
+        # caller picks by workload weight: light-body small-batch rounds
+        # flip codegen off (per-round Janino compile tax beats
+        # interpreted eval there); heavy-body rounds keep it ON — see
+        # the CrawlConfig.codegen_in_round measurements
+        codegen_in_round=codegen,
     )
 
 
@@ -55,6 +62,7 @@ def run_fixed_crawl(
     max_per_host: int | None = None,
     timed_from_round: int = 1,
     pages_path: str | None = None,
+    codegen: bool = True,
 ) -> tuple[float, int]:
     """Run `rounds` frontier rounds; returns (wall_sec, urls_fetched)
     for the TIMED window (rounds ≥ timed_from_round). Corpus generation,
@@ -69,7 +77,7 @@ def run_fixed_crawl(
     pdf = FR.prepare_pages(pdf, n_partitions)
     pdf.count()  # materialize the co-partitioned corpus before the clock
     seeds = [f"https://h{i}.test" for i in range(n_hosts)]  # all roots
-    cfg = bench_config(seeds, n_partitions)
+    cfg = bench_config(seeds, n_partitions, codegen=codegen)
     if max_per_host is not None:
         cfg.max_per_host_per_round = max_per_host
     # shuffle partitions sized to the crawl's explicit partitioning —
@@ -112,6 +120,7 @@ def bench_crawl(
     wall, _ = run_fixed_crawl(
         spark, n_pages, rounds, n_hosts=16, body_scale=2, n_partitions=8,
         max_per_host=400, pages_path=pages_path,
+        codegen=False,  # light bodies: compile tax > interpreted eval
     )
     return round(wall, 3)
 

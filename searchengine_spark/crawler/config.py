@@ -93,6 +93,30 @@ class CrawlConfig:
     # varying round sizes where runtime coalescing pays for its jobs.
     aqe_in_round: bool = False
 
+    # ---- Catalyst constraint propagation inside the round loop
+    # (default OFF): the round's plans are join/window/union-deep, and
+    # constraint inference is quadratic-ish in predicate count per
+    # operator — pure DRIVER-serial Catalyst time, the exact fixed cost
+    # that caps N→4N scaling. Measured (r4, same corpus + seeds): 16k
+    # heavy-body pages at local[8], steady-state window 285.7s → 213.1s
+    # (+34% throughput); 2k-page light bench flat-to-better. Disabling
+    # only skips inferred-filter optimizations, never changes results
+    # (crawl parity suite is the proof). Scoped to the round, restored
+    # after.
+    constraints_in_round: bool = False
+
+    # ---- whole-stage codegen inside the round loop (default ON —
+    # Spark's default): per-round literals (round_added/round_fetched
+    # columns, frontier_score) change the generated source every round,
+    # so every heavy stage pays a fresh Janino compile per round. On
+    # LIGHT rounds (ramp phases, small-batch benches) that compile tax
+    # dominates: 2k-page bench measured ~20% faster interpreted
+    # (53.7s → 43.4s median-of-3 with constraints also off). On HEAVY
+    # rounds codegen earns its compile back (16k heavy-body: 304s
+    # interpreted vs 286s codegen'd) — so the knob defaults ON and the
+    # light-body bench workload flips it off explicitly.
+    codegen_in_round: bool = True
+
     # ---- per-round metrics: full (counts per stage) or light (only the
     # queued-remaining count needed for loop control) — the bench path
     light_metrics: bool = False

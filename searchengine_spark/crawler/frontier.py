@@ -207,8 +207,18 @@ def run_round(
     nothing else coalesces a ramp round's near-empty partitions."""
     aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
     shp_prev = spark.conf.get("spark.sql.shuffle.partitions")
+    cp_prev = spark.conf.get("spark.sql.constraintPropagation.enabled", "true")
+    cg_prev = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+    cgf_prev = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
     if not cfg.aqe_in_round:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+    if not cfg.constraints_in_round:
+        # driver-serial Catalyst cost, not correctness — see CrawlConfig
+        spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    if not cfg.codegen_in_round:
+        # light-round compile-tax escape hatch — see CrawlConfig
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
     if cfg.rows_per_partition_target and prev_queued is not None:
         spark.conf.set(
             "spark.sql.shuffle.partitions",
@@ -227,6 +237,9 @@ def run_round(
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
         spark.conf.set("spark.sql.shuffle.partitions", shp_prev)
+        spark.conf.set("spark.sql.constraintPropagation.enabled", cp_prev)
+        spark.conf.set("spark.sql.codegen.wholeStage", cg_prev)
+        spark.conf.set("spark.sql.codegen.factoryMode", cgf_prev)
 
 
 def _run_round_body(

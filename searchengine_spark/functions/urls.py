@@ -55,51 +55,56 @@ def urlhash_sha256_col(url: Column) -> Column:
 # Registrable-domain (pay-level domain) extraction. Real deployments
 # key politeness and budgets on the PLD, not the hostname — otherwise a
 # site sharded as {www,cdn,blog,m}.example.com gets 4x the crawl rate,
-# and *.blogspot-style platforms collapse to one starved key. The full
-# public-suffix list is an external artifact a deployment drops in (the
-# seam is this tuple); this embedded subset covers the common multi-part
-# ICANN suffixes + the major user-subdomain platforms and is documented
-# as a subset, not the PSL.
-PLD_MULTI_SUFFIXES = (
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk", "sch.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
-    "co.nz", "net.nz", "org.nz",
-    "co.kr", "or.kr", "go.kr",
-    "co.in", "net.in", "org.in", "ac.in", "gov.in",
-    "com.br", "net.br", "org.br", "gov.br",
-    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn",
-    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk", "com.tw",
-    "co.za", "org.za", "co.il", "org.il", "ac.il",
-    "github.io", "gitlab.io", "blogspot.com", "wordpress.com",
-    "netlify.app", "vercel.app", "web.app", "pages.dev",
-)
+# and *.blogspot-style platforms collapse to one starved key. Backed by
+# the COMPLETE Mozilla Public Suffix List (data/public_suffix_list.dat,
+# ~9.5k rules incl. wildcards and exceptions; parsed by pycore/psl.py)
+# generated into one pure CASE/split expression — no UDF, codegen'd,
+# and the giant IN lists become Catalyst InSet hash lookups (reference
+# objects, not inlined source), so the expression stays compile-cached.
 
 
 def pld_sql(host_expr: str) -> str:
-    """Registrable domain (PLD) of a lowercased host, as a pure SQL
-    expression (codegen'd, pushdown-friendly — same style as
-    is_valid_sql). Rules: <=2 labels or an all-numeric (IPv4) host pass
-    through; a host whose last two labels form a known multi-part
-    public suffix keeps three labels; everything else keeps two."""
+    """Registrable domain (PLD) of a host, as a pure SQL expression
+    (same no-UDF style as is_valid_sql), implementing the full PSL
+    algorithm: exception rules beat everything and are themselves the
+    registrable domain; otherwise the longest matching rule (wildcard
+    parents count at depth+1) keeps rule_depth+1 labels; unknown TLDs
+    use the implicit '*' rule (keep two). Single-label and IPv4 hosts
+    pass through, as does a host that IS a public suffix — budget keys
+    are never NULL (pycore.psl.pld is the single-node oracle; parity
+    property-tested in tests/test_pld.py).
+
+    try_element_at + concat_ws(NULL-skip) make every lastN() total: at
+    sz < N it degrades to the whole host, which (a) can never equal a
+    rule of different dot-count in a match condition and (b) IS the
+    wanted pass-through in a result position, so no branch needs an
+    exact-size case split."""
+    from searchengine_spark.pycore.psl import branch_spec
+
     h = f"lower({host_expr})"
-    in_list = ", ".join(f"'{s}'" for s in PLD_MULTI_SUFFIXES)
-    l2 = (
-        f"concat_ws('.', element_at(split({h}, '[.]'), -2), "
-        f"element_at(split({h}, '[.]'), -1))"
-    )
-    l3 = (
-        f"concat_ws('.', element_at(split({h}, '[.]'), -3), "
-        f"element_at(split({h}, '[.]'), -2), "
-        f"element_at(split({h}, '[.]'), -1))"
-    )
-    return (
-        f"CASE WHEN {h} IS NULL THEN NULL "
-        f"WHEN size(split({h}, '[.]')) <= 2 THEN {h} "
-        f"WHEN {h} RLIKE '^[0-9.]+$' THEN {h} "
-        f"WHEN {l2} IN ({in_list}) THEN {l3} "
-        f"ELSE {l2} END"
-    )
+    arr = f"split({h}, '[.]')"
+
+    def last(n: int) -> str:
+        items = ", ".join(
+            f"try_element_at({arr}, -{i})" for i in range(n, 0, -1)
+        )
+        return f"concat_ws('.', {items})"
+
+    parts = [
+        f"CASE WHEN {h} IS NULL THEN NULL",
+        f"WHEN size({arr}) <= 1 OR {h} RLIKE '^[0-9.]+$' THEN {h}",
+    ]
+    for kind, d, rule_set, rd in branch_spec():
+        in_list = ", ".join(f"'{r}'" for r in rule_set)
+        if kind == "exc":
+            parts.append(f"WHEN {last(d)} IN ({in_list}) THEN {last(d)}")
+        else:
+            parts.append(
+                f"WHEN size({arr}) >= {rd - 1} AND {last(d)} IN ({in_list}) "
+                f"THEN {last(rd)}"
+            )
+    parts.append(f"ELSE {last(2)} END")
+    return " ".join(parts)
 
 
 def pld_col(host_expr: str) -> Column:

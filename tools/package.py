@@ -31,7 +31,9 @@ def build(out_path: str | None = None) -> str:
             if "__pycache__" in dirpath:
                 continue
             for fn in sorted(filenames):
-                if not fn.endswith(".py"):
+                # .dat: package data (public_suffix_list.dat) read via
+                # importlib.resources, which resolves inside the zip
+                if not fn.endswith((".py", ".dat")):
                     continue
                 full = os.path.join(dirpath, fn)
                 rel = os.path.relpath(full, ROOT)
