@@ -1290,8 +1290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_vocab_growth(spark, sf):
         # Heaps-law curve: corpus-order running token/type totals via a
         # TWO-PHASE prefix sum (bucket upsweep + in-bucket window) — no
-        # global-order window anywhere (asserted in tests)
-        return TS.vocab_growth(_docs(spark, sf), bucket=64)
+        # global-order window anywhere (asserted in tests); bucket
+        # self-sizes to ceil(sqrt(id_span)) so the upsweep stays bounded
+        return TS.vocab_growth(_docs(spark, sf))
 
     def q_robots_gate(spark, sf):
         # RFC 9309 longest-match allow/deny over the URL fixture:

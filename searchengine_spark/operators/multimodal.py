@@ -64,18 +64,25 @@ def media_table(
 
 def decode_image(payload: bytes):
     """bytes → uint8 ndarray (H,W[,C]). PNG payloads decode via the
-    pure-Python spec-subset codec (pycore.png — stdlib zlib only, no
-    external codec needed), so the pixel path is REAL and tested in
-    this container; other formats fall through to PIL when importable,
-    else raise (jpeg et al. need libjpeg — environment constraint)."""
+    pure-Python spec-subset codec (pycore.png — stdlib zlib only) and
+    baseline JPEG via pycore.jpeg (ITU-T T.81 subset: SOF0, 4:4:4 /
+    4:2:0 / 4:2:2, restart markers), so the pixel path is REAL and
+    tested in this container for the two dominant web formats; other
+    formats fall through to PIL when importable, else raise (webp/gif
+    et al. — environment constraint)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from searchengine_spark.pycore.png import decode_png
 
         return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        from searchengine_spark.pycore.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     if not _HAS_PIL:
         raise NotImplementedError(
-            "non-PNG image decode requires PIL; container ships without "
-            "codecs — PNG decodes via pycore.png, and byte-level features "
+            "non-PNG/JPEG image decode requires PIL; container ships "
+            "without codecs — PNG (pycore.png) and baseline JPEG "
+            "(pycore.jpeg) decode natively; byte-level features "
             "(byte_histogram_features) are the codec-free path"
         )
     import io

@@ -259,7 +259,7 @@ def lm_score(
 
 def vocab_growth(
     documents: DataFrame,
-    bucket: int = 256,
+    bucket: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
@@ -273,15 +273,31 @@ def vocab_growth(
     Scale shape — a running total WITHOUT a global-order window (the
     round-1 verdict's plan killer): the corpus-order prefix sum is
     two-phase. Phase 1 groups per-doc counts into doc_id//bucket
-    buckets and windows over the BUCKET table only (n_docs/bucket rows
-    — size the bucket so this stays trivially small; it is the
-    classic scan prefix-sum upsweep). Phase 2 broadcast-joins the
-    bucket prefixes back and windows WITHIN each bucket partition.
-    No stage ever orders more than max(n_docs/bucket, bucket) rows in
-    one partition. type-first-occurrence is one min-agg shuffled by
-    token; everything else is int arithmetic in whole-stage codegen.
+    buckets and windows over the BUCKET table only (the classic scan
+    prefix-sum upsweep). Phase 2 broadcast-joins the bucket prefixes
+    back and windows WITHIN each bucket partition.
+
+    bucket=None (default) SELF-SIZES: one column-pruned min/max over
+    the id column picks bucket = ceil(sqrt(id_span)), so the upsweep's
+    SinglePartition window orders ≤ sqrt(span)+1 rows and each
+    within-bucket window spans ≤ sqrt(span)+1 ids — no caller can
+    produce an unbounded single-partition sort (at 10^10 docs the
+    upsweep is 10^5 rows, trivially one task). An explicit bucket is
+    honored for callers that know their id density. The RESULT is
+    bucket-invariant (pure prefix-sum regrouping; the oracle SQL has
+    no bucket notion). type-first-occurrence is one min-agg shuffled
+    by token; everything else is int arithmetic in whole-stage codegen.
     """
     from pyspark.sql import Window
+
+    if bucket is None:
+        import math
+
+        lo, hi = documents.select(
+            F.min(F.col(id_col)), F.max(F.col(id_col))
+        ).first()
+        span = max(1, int(hi) - int(lo) + 1) if hi is not None else 1
+        bucket = max(1, math.isqrt(span - 1) + 1)
 
     d = documents.selectExpr(
         f"{id_col} AS doc_id",

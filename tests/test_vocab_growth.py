@@ -48,6 +48,25 @@ def test_bucket_size_invariance(spark):
     assert a == b
 
 
+def test_self_sizing_bucket(spark):
+    # bucket=None derives bucket = ceil(sqrt(id_span)) from a
+    # column-pruned min/max — same result, provably bounded upsweep
+    df = spark.createDataFrame(ROWS, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.new_types, r.cum_tokens, r.cum_types)
+        for r in vocab_growth(df).collect()
+    }
+    assert got == _py_curve(ROWS)
+    # sparse / offset ids: span = 9000-100+1 → bucket ≈ 95, still exact
+    sparse = [(100, "a b"), (5000, "b c"), (9000, "c d e")]
+    sdf = spark.createDataFrame(sparse, "doc_id long, text string")
+    got2 = {
+        r.doc_id: (r.n_tokens, r.new_types, r.cum_tokens, r.cum_types)
+        for r in vocab_growth(sdf).collect()
+    }
+    assert got2 == _py_curve(sparse)
+
+
 def test_no_global_order_window(spark, sf_dir):
     # every window in the plan is either over the tiny bucket table or
     # partitioned by bucket — no unpartitioned window over the doc rows
