@@ -478,9 +478,21 @@ def _run_round_body(
         _mark("mat:candidates+j6+j5")
     # The frontier write runs FIRST and alone: its lineage pulls every
     # persisted round DataFrame (batch, page_stage, fpdf, flagged,
-    # new_urls), so this one job materializes all shared caches.
-    io.stage("frontier", frontier_next, round_no, n_files=cfg.n_partitions)
-    _mark("stage:frontier")
+    # new_urls), so this one job materializes all shared caches. It is
+    # submitted on a WORKER THREAD so the driver builds the delta-table
+    # plans below (pure py4j/Catalyst work, no actions on non-compaction
+    # rounds) while the JVM executes the write — overlapping the two
+    # serial components of the round's fixed cost. The future is joined
+    # before any delta ACTION runs (delta jobs re-read the caches this
+    # write materializes; running them earlier would double-compute the
+    # round lineage).
+    from concurrent.futures import ThreadPoolExecutor
+
+    _stage_pool = ThreadPoolExecutor(max_workers=6)
+    fut_frontier = _stage_pool.submit(
+        io.stage, "frontier", frontier_next, round_no,
+        n_files=cfg.n_partitions,
+    )
     # The four delta snapshots only re-read those hot caches — they are
     # independent outputs, so their jobs are submitted CONCURRENTLY
     # (Spark schedules parallel actions from one session; staging cost
@@ -524,6 +536,11 @@ def _run_round_body(
     # resize is a rebuild — compaction already pays the O(seen) pass).
     do_compact = cfg.compact_every > 0 and round_no % cfg.compact_every == 0
     if do_compact:
+        # compaction needs ACTIONS over the round caches (counts) — wait
+        # for the frontier write to materialize them first (1 round in
+        # compact_every pays the serialization; the common round doesn't)
+        fut_frontier.result()
+        _mark("stage:frontier")
         n_prev, _ = SEEN.segment_load(segments)
         total_seen = n_prev + new_urls.count()  # cached — cheap action
         new_m = SEEN.required_m_bits(
@@ -588,15 +605,19 @@ def _run_round_body(
             stage_args.append(
                 ("host_graph", hg_delta, round_no, "append", 4, False, None)
             )
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=len(stage_args)) as pool:
-        futs = [
-            pool.submit(io.stage, t, df, rn, mode, n_files=nf, base=b, props=pr)
-            for (t, df, rn, mode, nf, b, pr) in stage_args
-        ]
-        for f in futs:
-            f.result()
+        # delta plans were built while the frontier write ran; join it
+        # before the delta JOBS start (they re-read its caches)
+        fut_frontier.result()
+        _mark("stage:frontier")
+    futs = [
+        _stage_pool.submit(
+            io.stage, t, df, rn, mode, n_files=nf, base=b, props=pr
+        )
+        for (t, df, rn, mode, nf, b, pr) in stage_args
+    ]
+    for f in futs:
+        f.result()
+    _stage_pool.shutdown()
     _mark("stage:url_seen+fps+extracted+bloom" + (":compact" if do_compact else ""))
 
     # ---- template-census refresh (cfg.template_gate_every): re-mine

@@ -42,9 +42,16 @@ N_HOSTS = 16
 
 def run_mode(
     spark, pages_kv, rdf, seeds, n_pages: int, max_rounds: int,
-    quota: int, compact_every: int,
+    quota: int, compact_every: int, interleave: bool = False,
 ) -> list[dict]:
+    """interleave=True adds the maintenance ops on top of compaction —
+    requeue-recrawl every 6 rounds, PageRank reseed every 9 (cuckoo
+    backend + host-graph tracking on) — so the curve shows per-round
+    cost stays bounded with the FULL long-crawl interplay enabled, not
+    just compaction alone."""
     mode = f"compact_every={compact_every}" if compact_every else "no-compaction"
+    if interleave:
+        mode += "+recrawl+reseed"
     cfg = CrawlConfig(
         seeds=seeds,
         allowed_host_re=ALLOWED_HOST_RE,
@@ -52,6 +59,8 @@ def run_mode(
         n_partitions=8,
         light_metrics=True,
         compact_every=compact_every,
+        seen_backend="cuckoo" if interleave else "bloom",
+        track_host_graph=interleave,
     )
     wh = tempfile.mkdtemp(prefix=f"longevity-{compact_every}-")
     io = TableIO(spark, wh)
@@ -59,7 +68,20 @@ def run_mode(
     out = []
     remaining = None
     try:
-        for rnd in range(1, max_rounds + 1):
+        rnd = 0
+        while rnd < max_rounds:
+            rnd = io.latest_round() + 1
+            if interleave and rnd > 1 and rnd % 6 == 0:
+                # nothing-stale returns without committing a round —
+                # fall through to a crawl round in that case
+                if FR.recrawl_frontier(
+                    spark, io, cfg, max_age_rounds=4, score=0.9
+                ) == rnd:
+                    remaining = None  # requeue invalidates carried count
+                    continue
+            elif interleave and rnd > 1 and rnd % 9 == 0:
+                FR.reseed_frontier(spark, io, cfg)
+                continue
             t0 = time.perf_counter()
             remaining = FR.run_round(
                 spark, io, cfg, pages_kv, rnd, prev_queued=remaining
@@ -86,9 +108,10 @@ def run_mode(
 
 
 def main() -> int:
-    n_pages = int(sys.argv[1]) if len(sys.argv) > 1 else 8000
-    max_rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 24
-    quota = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    n_pages = int(args[0]) if len(args) > 0 else 8000
+    max_rounds = int(args[1]) if len(args) > 1 else 24
+    quota = int(args[2]) if len(args) > 2 else 20
     spark = get_spark(
         "longevity", master="local[8]", shuffle_partitions=8,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
@@ -103,11 +126,14 @@ def main() -> int:
     pages_kv = FR.prepare_pages(pdf, 8)
 
     summary = {}
+    modes = [(0, False), (8, False)]
+    if "--interleave" in sys.argv:
+        modes.append((8, True))
     try:
-        for compact_every in (0, 8):
+        for compact_every, interleave in modes:
             recs = run_mode(
                 spark, pages_kv, rdf, seeds, n_pages, max_rounds, quota,
-                compact_every,
+                compact_every, interleave=interleave,
             )
             walls = [r["wall_sec"] for r in recs]
             h = len(walls) // 2

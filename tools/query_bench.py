@@ -80,6 +80,66 @@ def main() -> int:
             }
         )
     )
+
+    # ---- serve-path comparison: the same BM25 top-k answered three
+    # ways off prebuilt structures — brute (score every matching doc),
+    # champion-list-pruned (score only docs on a query term's impact
+    # list), MaxScore (exact, essential-list-pruned). Recall is
+    # measured against brute's doc set, so the latency table is at
+    # MEASURED recall, not assumed.
+    k = 10
+    terms = ["spark", "window", "dup"]
+    champs = RK.champion_lists(bm25, k=50).persist()
+    champs.count()
+    uniq = [t.lower() for t in terms]
+
+    def _brute():
+        return RK.bm25_search(bm25, terms, k).collect()
+
+    def _champion():
+        cand = (
+            champs.filter(F.col("token").isin(uniq))
+            .select("doc_id")
+            .distinct()
+        )
+        return RK.bm25_search(
+            bm25.join(cand, "doc_id", "left_semi"), terms, k
+        ).collect()
+
+    def _maxscore():
+        return RK.maxscore_search(bm25, terms, k).collect()
+
+    paths = {"brute": _brute, "champion": _champion, "maxscore": _maxscore}
+    serve_trials = max(trials, 20)
+    base = {r["doc_id"] for r in _brute()}
+    out = {}
+    for name, fn in paths.items():
+        got = {r["doc_id"] for r in fn()}
+        recall = len(got & base) / max(1, len(base))
+        ts = []
+        for _ in range(serve_trials):
+            t0 = time.monotonic()
+            fn()
+            ts.append(time.monotonic() - t0)
+        ts.sort()
+        out[name] = {
+            "p50": round(ts[len(ts) // 2], 4),
+            "p99": round(ts[min(len(ts) - 1, int(0.99 * len(ts)))], 4),
+            "recall_vs_brute": round(recall, 4),
+        }
+    print(
+        json.dumps(
+            {
+                "metric": "serve_path_latency_sec",
+                "k": k,
+                "terms": terms,
+                "paths": out,
+                "trials": serve_trials,
+                "sf_dir": sf_dir,
+                "cpus": int(cpus),
+            }
+        )
+    )
     spark.stop()
     return 0
 
