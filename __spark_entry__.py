@@ -665,6 +665,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return LR.crawl_depth(edges, seeds)
 
+    def q_nb_classify(spark, sf):
+        # multinomial NB source classifier (the curation-pipeline
+        # "quality/domain classifier" slot): trained on the doc_id%2==0
+        # split by pure counting (exact ints), scores the rest via
+        # position-ordered ln-folds — bit-reproducible, hash-oracled
+        from searchengine_spark.operators.classify import nb_classify
+
+        return nb_classify(_docs(spark, sf), label_col="lang")
+
+    def q_opic(spark, sf):
+        # OPIC crawl-priority scores (Abiteboul et al. 2003) over the
+        # same synthetic link graph as crawl_depth: 3 synchronous
+        # integer-cash rounds (largest-remainder splits, same-round
+        # uniform dangling redistribution) — exact int64 cash/history,
+        # order-independent by construction
+        from searchengine_spark.operators.opic import opic_scores
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        # doc_id % 11 == 0 srcs emit no links → real dangling nodes, so
+        # the uniform-redistribution path is exercised and oracle-checked
+        edges = docs.filter("doc_id % 11 != 0").select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        nodes = docs.select(F.col("doc_id").alias("id"))
+        return opic_scores(edges, nodes, rounds=3, dense_ids=True)
+
     def q_curate(spark, sf):
         # the end-to-end curation pipeline composed from the suite's
         # own operators: exact dedup → near-dup keep-best → quality
@@ -685,6 +717,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # line dedup over fixed-span segmentation); winner per span via
         # skew-proof min(struct) partial aggregation
         return TD.span_dedup(_docs(spark, sf), span_tokens=8)
+
+    def q_exact_substr(spark, sf):
+        # ExactSubstr duplication census (Lee et al. 2022 shape):
+        # stride-1 W-token windows, corpus-global multiplicity, maximal
+        # duplicated spans by interval union — catches duplicated text
+        # at any alignment where span_dedup's stride-k segmentation
+        # can't; md5 window keys keep shuffle rows fixed-width
+        return TD.exact_substr(_docs(spark, sf), window_tokens=8)
 
     def q_pii_scrub(spark, sf):
         # PII redaction counts + scrubbed-text md5 over the injected
@@ -1239,6 +1279,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return _r(sitemap_seeds(sitemap_fixture(_docs(spark, sf))), "score")
 
+    def q_warc_ingest(spark, sf):
+        # WARC ingest (Common-Crawl wire format → page rows): the
+        # fixture builds one deterministic WARC blob per doc_id%16 host
+        # (warcinfo + request records to skip, even hosts per-record
+        # gzip'd, a corrupt record in host 0 to resync over), pycore
+        # parses it back via mapInPandas, and the oracle reconstructs
+        # the expected relational output generatively from documents —
+        # builder and parser must invert each other exactly
+        from searchengine_spark.sources.warc import (
+            warc_fixture,
+            warc_records,
+        )
+
+        return warc_records(warc_fixture(_docs(spark, sf))).select(
+            "url",
+            "warc_ts",
+            "status",
+            "content_type",
+            F.length("html").alias("content_len"),
+            F.md5("html").alias("body_md5"),
+            "n_skipped",
+        )
+
     def q_best_passage(spark, sf):
         # passage retrieval: densest query-term window per doc — one
         # pruned positional scan + one groupBy; window scan is in-row
@@ -1373,8 +1436,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "keep_best": q_keep_best,
         "curate": q_curate,
         "crawl_depth": q_crawl_depth,
+        "opic": q_opic,
+        "nb_classify": q_nb_classify,
         "decontaminate": q_decontaminate,
         "span_dedup": q_span_dedup,
+        "exact_substr": q_exact_substr,
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
         "bm25": q_bm25,
@@ -1429,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_passage": q_best_passage,
         "sitemap_seeds": q_sitemap_seeds,
         "doc_clusters_kmeans": q_doc_clusters,
+        "warc_ingest": q_warc_ingest,
     })
 
 
@@ -1478,6 +1545,62 @@ wts AS (
                               / CAST((SELECT n FROM stat) AS DOUBLE)))) AS w
   FROM fq JOIN idfq USING (token) JOIN lens USING (doc_id)
 )"""
+
+
+def _duck_opic(rounds: int = 3, cash0: int = 1_000_000) -> str:
+    """Unrolled OPIC rounds (operators/opic.py semantics, integer cash,
+    largest-remainder splits, same-round dangling redistribution) over
+    the q_opic synthetic link graph — one CTE pair per round; doc_ids
+    are dense 0..n-1 so id itself is the redistribution rank."""
+    head = f"""
+WITH nn AS (SELECT count(*) AS c FROM documents),
+e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src,
+           unnest([(doc_id*2+1) % (SELECT c FROM nn),
+                   (doc_id*3+7) % (SELECT c FROM nn),
+                   (doc_id*5+11) % (SELECT c FROM nn)]) AS dst
+    FROM documents WHERE doc_id % 11 <> 0)
+),
+er AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx,
+         count(*) OVER (PARTITION BY src) AS outdeg
+  FROM e
+),
+s0 AS (SELECT doc_id AS id, CAST({cash0} AS BIGINT) AS cash,
+              CAST(0 AS BIGINT) AS history FROM documents)"""
+    body = []
+    for k in range(rounds):
+        body.append(f""",
+snd{k} AS (
+  SELECT er.dst,
+         s.cash // er.outdeg
+           + CASE WHEN er.idx < s.cash % er.outdeg THEN 1 ELSE 0 END
+           AS amt
+  FROM s{k} s JOIN er ON er.src = s.id
+),
+inc{k} AS (SELECT dst, sum(amt) AS inc FROM snd{k} GROUP BY dst),
+dang{k} AS (
+  SELECT coalesce(sum(cash), 0) AS d FROM s{k}
+  WHERE id NOT IN (SELECT src FROM er)
+),
+s{k + 1} AS (
+  SELECT s.id,
+         CAST(coalesce(i.inc, 0)
+              + (SELECT d FROM dang{k}) // (SELECT c FROM nn)
+              + CASE WHEN s.id < (SELECT d FROM dang{k})
+                                   % (SELECT c FROM nn)
+                     THEN 1 ELSE 0 END AS BIGINT) AS cash,
+         CAST(s.history + s.cash AS BIGINT) AS history
+  FROM s{k} s LEFT JOIN inc{k} i ON i.dst = s.id
+)""")
+    tail = f"""
+SELECT id, cash, history,
+       round(CAST(history AS DOUBLE)
+             / ({rounds}.0 * {cash0} * (SELECT c FROM nn)), 9) AS score
+FROM s{rounds}"""
+    return head + "".join(body) + tail
 
 
 def _duck_bm25(terms: list[str], k: int) -> str:
@@ -3578,6 +3701,59 @@ r AS (
 SELECT id, min(depth) AS depth FROM r GROUP BY id""",
         "decontaminate": _DUCK_DECONTAMINATE,
         "span_dedup": _DUCK_SPAN_DEDUP,
+        # same window/run/union logic as operators/traindata.exact_substr;
+        # W=8 literal kept in lockstep with q_exact_substr
+        "exact_substr": f"""
+WITH tokarr AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+wins AS (
+  SELECT doc_id, win_idx,
+         md5(array_to_string(
+             list_slice(tl, win_idx + 1, win_idx + 8), ' ')) AS h
+  FROM (SELECT doc_id, tl,
+               unnest(range(0, CASE WHEN len(tl) >= 8
+                                    THEN len(tl) - 8 + 1 ELSE 0 END))
+                 AS win_idx
+        FROM tokarr)
+),
+dups AS (SELECT h FROM wins GROUP BY h HAVING count(*) > 1),
+dw AS (SELECT doc_id, win_idx FROM wins JOIN dups USING (h)),
+nr AS (
+  SELECT doc_id, win_idx,
+         CASE WHEN lag(win_idx) OVER dwin IS NULL
+                OR win_idx - lag(win_idx) OVER dwin > 8
+              THEN 1 ELSE 0 END AS new_run
+  FROM dw WINDOW dwin AS (PARTITION BY doc_id ORDER BY win_idx)
+),
+rid AS (
+  SELECT doc_id, win_idx,
+         sum(new_run) OVER (PARTITION BY doc_id ORDER BY win_idx)
+           AS run_id
+  FROM nr
+),
+per_run AS (
+  SELECT doc_id, run_id, max(win_idx) - min(win_idx) + 8 AS covered,
+         count(*) AS n_win
+  FROM rid GROUP BY doc_id, run_id
+),
+per_doc AS (
+  SELECT doc_id, sum(n_win) AS n_dup_windows,
+         count(*) AS n_dup_spans, sum(covered) AS dup_tokens
+  FROM per_run GROUP BY doc_id
+),
+eb AS (
+  SELECT doc_id, len(tl) AS n_tokens,
+         CASE WHEN len(tl) >= 8 THEN len(tl) - 8 + 1 ELSE 0 END
+           AS n_windows
+  FROM tokarr
+)
+SELECT eb.doc_id, n_tokens, n_windows,
+  CAST(coalesce(n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+  CAST(coalesce(n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+  CAST(coalesce(dup_tokens, 0) AS BIGINT) AS dup_tokens,
+  round(CASE WHEN n_tokens > 0
+             THEN CAST(coalesce(dup_tokens, 0) AS DOUBLE) / n_tokens
+             ELSE 0.0 END, 9) AS dup_frac
+FROM eb LEFT JOIN per_doc USING (doc_id)""",
         "pii_scrub": _DUCK_PII_SCRUB,
         "pack_sequences": _DUCK_PACK_SEQUENCES,
         "bm25": _duck_bm25(_BM25_TERMS, k=10),
@@ -3806,7 +3982,81 @@ sdup AS (
 sall AS (SELECT url, pr FROM se UNION ALL SELECT url, pr FROM sdup)
 SELECT url AS canon_url, round(max(pr), 9) AS score
 FROM sall GROUP BY url""",
+        # ground truth from the WARC fixture's generative model — the
+        # Spark side must parse the blobs back to exactly this (md5 is
+        # over the HTTP body bytes = the doc's utf-8 text; 404 docs
+        # carry an empty body; host-0 blobs carry one corrupt record)
+        "warc_ingest": """
+SELECT
+  'https://h' || CAST(doc_id % 16 AS VARCHAR) || '.test/article/'
+    || CAST(doc_id AS VARCHAR) AS url,
+  '2026-02-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+    || 'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+    || ':00:00Z' AS warc_ts,
+  CASE WHEN doc_id % 17 = 0 THEN 404 ELSE 200 END AS status,
+  'text/html' AS content_type,
+  CASE WHEN doc_id % 17 = 0 THEN 0
+       ELSE octet_length(encode(text)) END AS content_len,
+  CASE WHEN doc_id % 17 = 0 THEN md5('') ELSE md5(text) END AS body_md5,
+  CASE WHEN doc_id % 16 = 0 THEN 1 ELSE 0 END AS n_skipped
+FROM documents""",
         "qlm_topk": _duck_qlm(_BM25_TERMS, k=10, mu=2000.0),
+        "opic": _duck_opic(rounds=3, cash0=1_000_000),
+        # same counting + position-ordered fold + (score, label DESC)
+        # argmax as operators/classify.nb_classify (train_mod=2)
+        "nb_classify": f"""
+WITH toks AS (SELECT doc_id, lang AS label, {_DUCK_TL} AS tl
+              FROM documents),
+train AS (SELECT * FROM toks WHERE doc_id % 2 = 0),
+test AS (SELECT * FROM toks WHERE doc_id % 2 <> 0),
+trtok AS (SELECT label, unnest(tl) AS token FROM train),
+cwc AS (SELECT token, label, count(*) AS cwc FROM trtok
+        GROUP BY token, label),
+vv AS (SELECT CAST(count(DISTINCT token) AS DOUBLE) AS v FROM trtok),
+ntr AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM train),
+cls AS (
+  SELECT d.label AS cls,
+         ln(CAST(d.n_docs AS DOUBLE) / (SELECT n FROM ntr)) AS lnprior,
+         CAST(coalesce(t.tok_c, 0) AS DOUBLE) AS tokc
+  FROM (SELECT label, count(*) AS n_docs FROM train GROUP BY label) d
+  LEFT JOIN (SELECT label, count(*) AS tok_c FROM trtok
+             GROUP BY label) t USING (label)
+),
+tt AS (
+  SELECT doc_id,
+         unnest(list_transform(tl, (t, i) ->
+                struct_pack(pos := i - 1, token := t)),
+                recursive := true)
+  FROM test WHERE len(tl) > 0
+),
+sc AS (
+  SELECT tt.doc_id, tt.pos, c.cls,
+         ln((CAST(coalesce(w.cwc, 0) AS DOUBLE) + 1.0e0)
+            / (c.tokc + (SELECT v FROM vv))) AS logp
+  FROM tt CROSS JOIN cls c
+  LEFT JOIN cwc w ON w.token = tt.token AND w.label = c.cls
+),
+pc AS (
+  SELECT doc_id, cls,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(logp ORDER BY pos)),
+                     (a, b) -> a + b) AS s
+  FROM sc GROUP BY doc_id, cls
+),
+ap AS (SELECT t.doc_id, t.label, c.cls, c.lnprior
+       FROM test t CROSS JOIN cls c),
+sumsc AS (
+  SELECT ap.doc_id, ap.label, ap.cls,
+         coalesce(pc.s, CAST(0.0 AS DOUBLE)) + ap.lnprior AS score
+  FROM ap LEFT JOIN pc ON pc.doc_id = ap.doc_id AND pc.cls = ap.cls
+),
+rk AS (SELECT doc_id, label, cls, score,
+              row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, cls DESC) AS r
+       FROM sumsc)
+SELECT doc_id, label, cls AS predicted, round(score, 9) AS score,
+       cls = label AS correct
+FROM rk WHERE r = 1""",
         "rocchio_expand": _duck_rocchio(_BM25_TERMS, k_fb=5, m=5),
         "doc_clusters_kmeans": _duck_doc_clusters(k=4, iters=2),
         "bm25f_topk": _duck_bm25f(_BM25_TERMS, k=10),

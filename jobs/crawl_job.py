@@ -5,8 +5,10 @@
         [--synth-pages 2000] [--rounds 10] [--restart]
 
 With --pages-table the job crawls a real Common-Crawl-style table
-(url, warc_ts, html, text, lang); robots + seeds then come from
---robots-table / --seeds. Without it, the deterministic synthetic corpus
+(url, warc_ts, html, text, lang); with --warc-dir the same table is
+ingested straight from .warc/.warc.gz files (sources/warc.py — the
+wire format Common Crawl actually ships). Robots + seeds then come
+from --robots-table / --seeds. Without it, the deterministic synthetic corpus
 stands in (sandbox mode). --restart = delete the warehouse and start
 from the seed list (reference README.md:122-127 restart semantics);
 otherwise the job resumes from the latest committed round (ST4).
@@ -72,11 +74,22 @@ def main(argv: list[str]) -> int:
         "QUEUED frontier (requires --track-host-graph on this or a "
         "previous run)",
     )
+    ap.add_argument(
+        "--warc-dir",
+        help="directory/glob of .warc / .warc.gz files — ingested via "
+        "sources/warc.py (binaryFile scan, per-file record split, "
+        "cc_pages projection) instead of --pages-table",
+    )
     args = ap.parse_args(argv)
 
     spark = SparkSession.builder.appName("searchengine-crawl").getOrCreate()
-    if args.pages_table:
-        pages = spark.read.parquet(args.pages_table)
+    if args.pages_table or args.warc_dir:
+        if args.warc_dir:
+            from searchengine_spark.sources.warc import cc_pages, read_warc
+
+            pages = cc_pages(read_warc(spark, args.warc_dir))
+        else:
+            pages = spark.read.parquet(args.pages_table)
         if args.robots_txt_table:
             from searchengine_spark.functions.robots import robots_table
 

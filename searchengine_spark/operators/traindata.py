@@ -163,6 +163,102 @@ def span_dedup(
     )
 
 
+def exact_substr(
+    documents: DataFrame,
+    window_tokens: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_windows, n_dup_windows, n_dup_spans,
+    dup_tokens, dup_frac) — exact-substring duplication census, the
+    ExactSubstr shape from Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"): a token window of length W
+    occurring ≥ 2 times ANYWHERE in the corpus marks duplicated text;
+    overlapping/touching duplicated windows in a doc merge into maximal
+    duplicated spans (interval union of [i, i+W) ranges), and dup_frac
+    is the fraction of the doc's tokens inside such spans. Differs from
+    span_dedup (stride-k first-occurrence segmentation) exactly the way
+    ExactSubstr differs from C4: stride 1 catches duplicated text at
+    ANY alignment, and every occurrence (including the first) is
+    counted as duplicated.
+
+    Scale shape: windows explode to O(total tokens) rows but carry only
+    (doc_id, win_idx, md5) — the md5 keeps shuffle rows fixed-width
+    regardless of W. Window multiplicity is one groupBy with map-side
+    partial aggregation (a boilerplate window's millions of occurrences
+    combine locally — same skew argument as span_dedup); the join back
+    is co-partitioned on the same key. The only per-doc window function
+    (lag over win_idx) partitions by doc_id, bounded by document
+    length, never by corpus size. A full Lee-et-al suffix array is a
+    different cost class (global suffix sort); this census gives the
+    same ≥W-token duplicated-span signal with plain shuffles, which is
+    what a 100 TB curation pass needs from it."""
+    w = int(window_tokens)
+    toks = tokens_sql(text_col)
+    base = documents.selectExpr(
+        f"{id_col} AS doc_id",
+        f"size({toks}) AS n_tokens",
+        f"CASE WHEN size({toks}) < {w} THEN array() ELSE "
+        f"transform(sequence(0, size({toks}) - {w}), "
+        f"i -> md5(array_join(slice({toks}, i + 1, {w}), ' '))) END AS wh",
+    ).persist()
+    wins = base.select(
+        "doc_id", F.posexplode("wh").alias("win_idx", "h")
+    )
+    dup_h = wins.groupBy("h").agg(F.count(F.lit(1)).alias("occ")).filter(
+        "occ > 1"
+    )
+    dup_wins = wins.join(dup_h.select("h"), "h").select("doc_id", "win_idx")
+    lag_w = Window.partitionBy("doc_id").orderBy("win_idx")
+    runs = (
+        dup_wins.withColumn("prev", F.lag("win_idx").over(lag_w))
+        .withColumn(
+            "new_run",
+            F.when(
+                F.col("prev").isNull()
+                | (F.col("win_idx") - F.col("prev") > w),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("run_id", F.sum("new_run").over(lag_w))
+    )
+    per_run = runs.groupBy("doc_id", "run_id").agg(
+        (F.max("win_idx") - F.min("win_idx") + w).alias("covered"),
+        F.count(F.lit(1)).alias("n_win"),
+    )
+    per_doc = per_run.groupBy("doc_id").agg(
+        F.sum("n_win").alias("n_dup_windows"),
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("covered").alias("dup_tokens"),
+    )
+    return (
+        base.select("doc_id", "n_tokens", F.size("wh").alias("n_windows"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias(
+                "n_dup_windows"
+            ),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias(
+                "n_dup_spans"
+            ),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias(
+                "dup_tokens"
+            ),
+            F.round(
+                F.when(
+                    F.col("n_tokens") > 0,
+                    F.coalesce("dup_tokens", F.lit(0))
+                    / F.col("n_tokens"),
+                ).otherwise(F.lit(0.0)),
+                9,
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def pii_table(
     documents: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
