@@ -1193,6 +1193,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w = RK.bm25_table(_docs(spark, sf))
         return _r(RK.maxscore_search(w, _BM25_TERMS, k=10), "score")
 
+    def q_postings_compress(spark, sf):
+        # Delta-gap varint posting blobs: the oracle recomputes the
+        # encoded byte count from pure gap arithmetic (a varint CASE
+        # ladder in SQL) and fingerprints the ids; Spark must get
+        # n_bytes from the REAL encoder and ids_md5 from a REAL decode
+        # round-trip — a codec bug in either direction breaks the hash
+        from searchengine_spark.operators import postcompress as PZ
+
+        tf = TF.term_frequencies(TF.doc_tokens(_docs(spark, sf)))
+        return PZ.roundtrip_digest(PZ.compress_postings(tf))
+
+    def q_bmw(spark, sf):
+        # Block-Max WAND exact BM25 top-10: doc-id-range block-max
+        # metadata prunes whole posting blocks whose UB sum < theta
+        # (the skip-index / zone-map axis, orthogonal to MaxScore's
+        # term axis); the oracle is the same BRUTE-FORCE bm25 SQL —
+        # the block-pruned plan must reproduce it bit-for-bit
+        w = RK.bm25_table(_docs(spark, sf))
+        return _r(RK.bmw_search(w, _BM25_TERMS, k=10, block_size=64), "score")
+
     def q_pld_census(spark, sf):
         # registrable-domain (PLD) politeness grouping over a
         # deterministic host fixture: subdomain shards collapse to one
@@ -1480,6 +1500,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_moves": q_shard_moves,
         "hll_distinct": q_hll_distinct,
         "maxscore_topk": q_maxscore,
+        "bmw_topk": q_bmw,
+        "postings_compress": q_postings_compress,
         "pld_census": q_pld_census,
         "length_quantiles": q_length_quantiles,
         "winnow_fp": q_winnow_fp,
@@ -3938,6 +3960,36 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         "hll_distinct": _duck_hll(8),
         # exact pruning: MaxScore's oracle IS the brute-force bm25 SQL
         "maxscore_topk": _duck_bm25(_BM25_TERMS, k=10),
+        "bmw_topk": _duck_bm25(_BM25_TERMS, k=10),
+        # varint size = pure integer arithmetic on doc_id gaps; md5 of
+        # the comma-joined ascending ids mirrors the Spark-side decode
+        "postings_compress": f"""
+WITH {_DUCK_TOKENS},
+g AS (
+  SELECT token, doc_id,
+         COALESCE(doc_id - lag(doc_id)
+           OVER (PARTITION BY token ORDER BY doc_id), doc_id) AS gap
+  FROM (SELECT DISTINCT token, doc_id FROM tf)
+),
+sz AS (
+  SELECT token, doc_id,
+         CASE WHEN gap < 128 THEN 1
+              WHEN gap < 16384 THEN 2
+              WHEN gap < 2097152 THEN 3
+              WHEN gap < 268435456 THEN 4
+              WHEN gap < 34359738368 THEN 5
+              WHEN gap < 4398046511104 THEN 6
+              WHEN gap < 562949953421312 THEN 7
+              WHEN gap < 72057594037927936 THEN 8
+              ELSE 9 END AS b
+  FROM g
+)
+SELECT token,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(b) AS BIGINT) AS n_bytes,
+       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS ids_md5
+FROM sz GROUP BY token
+""",
         "pld_census": _duck_pld_census(),
         # exact rank-ceil(p*n) order statistics — reproduced by a plain
         # row_number selection (tie order cannot change the k-th VALUE)

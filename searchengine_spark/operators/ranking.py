@@ -265,6 +265,94 @@ def maxscore_search(
     return out, stats
 
 
+def bmw_search(
+    weights: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    block_size: int = 64,
+    return_stats: bool = False,
+):
+    """Exact BM25 top-k with Block-Max WAND pruning (Ding & Suel,
+    SIGIR'11) re-expressed as dataflow — identical output to
+    bm25_search / maxscore_search, but pruning along the DOC-ID axis
+    instead of MaxScore's term axis.
+
+    Posting lists are partitioned into fixed doc-id-range blocks
+    (``block = floor(doc_id / block_size)``) and a per-(token, block)
+    max weight is aggregated — the distributed analog of the block-max
+    skip metadata BMW keeps next to each posting block (and of parquet
+    row-group zone maps: at 100 TB the (token, block) frame is smaller
+    than the postings by ~block_size and is the only thing the pruning
+    pass scans). A block whose summed query-term block-maxes falls
+    strictly below theta cannot contain a top-k doc (any doc's score is
+    bounded by its own block's UB sum), so candidate generation
+    LEFT-SEMI-joins postings against the surviving block ids — posting
+    rows in dead blocks are never shuffled or scored.
+
+    theta is seeded exactly like maxscore_search: the k-th exact score
+    over the champion-list union (a lower bound on the true k-th
+    score). Exactness: a doc scoring >= theta forces its block UB >=
+    theta, so no prunable block can hold a final answer; ties at theta
+    stay in (blocks are kept at ub >= theta, not >). Driver state is
+    O(|query|) scalars — block metadata stays distributed.
+
+    Reference parity: same result contract as retrieve_query.py's
+    ranked top-k (SURVEY §2 T2), verified against the brute-force
+    bm25 oracle bit-for-bit.
+
+    With return_stats=True also returns {n_blocks, n_live_blocks,
+    theta, n_candidates, n_matching}.
+    """
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    empty = weights.select("doc_id", F.lit(0.0).alias("score")).limit(0)
+    if not uniq or k < 1 or block_size < 1:
+        return (empty, {}) if return_stats else empty
+    qw = weights.filter(F.col("token").isin(uniq))
+    seed_docs = champion_lists(qw, k=k).select("doc_id").distinct()
+    seed_top = (
+        _pivot_score(qw, uniq, seed_docs)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .collect()
+    )
+    if not seed_top:
+        return (empty, {}) if return_stats else empty
+    theta = float(seed_top[-1]["score"]) if len(seed_top) == k else float("-inf")
+    blocked = qw.withColumn(
+        "block", F.floor(F.col("doc_id") / F.lit(block_size))
+    )
+    bmax = blocked.groupBy("block", "token").agg(
+        F.max("weight").alias("bmax")
+    )
+    live = (
+        bmax.groupBy("block")
+        .agg(F.sum("bmax").alias("block_ub"))
+        .filter(F.col("block_ub") >= F.lit(theta))
+        .select("block")
+    )
+    cands = (
+        blocked.join(live, "block", "left_semi")
+        .select("doc_id")
+        .union(seed_docs)
+        .distinct()
+    )
+    out = (
+        _pivot_score(qw, uniq, cands)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    if not return_stats:
+        return out
+    stats = {
+        "n_blocks": bmax.select("block").distinct().count(),
+        "n_live_blocks": live.count(),
+        "theta": theta,
+        "n_candidates": cands.count(),
+        "n_matching": qw.select("doc_id").distinct().count(),
+    }
+    return out, stats
+
+
 def diversify_mmr(
     page: DataFrame,
     postings: DataFrame,
