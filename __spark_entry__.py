@@ -46,6 +46,7 @@ from searchengine_spark.operators import sampling as SP
 from searchengine_spark.operators import simsearch as SS
 from searchengine_spark.operators import tagweights as TW
 from searchengine_spark.operators import textstats as TS
+from searchengine_spark.operators import textnorm as TN
 from searchengine_spark.operators import tfidf as TF
 from searchengine_spark.operators import traindata as TD
 from searchengine_spark.sources.jsoncorpus import read_corpus
@@ -128,6 +129,9 @@ _DNF = [["spark", "dup"], ["fast", "the"]]
 _BM25_TERMS = ["spark", "window", "dup"]
 _PHRASE = ["table", "value"]
 _SPELL_TERM = "quary"
+# mojibake fixture for text_clean: decomposed e+acute, zero-width
+# space, tab, BEL, double spaces — every class the normalizer handles
+_NORM_SUFFIX = "  cafe\u0301 \u200bmenu\tA\u0007B  "
 _SNIPPET_TERMS = ["dup"]
 _ALERTS = [
     (1, "spark AND window"),
@@ -1193,6 +1197,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w = RK.bm25_table(_docs(spark, sf))
         return _r(RK.maxscore_search(w, _BM25_TERMS, k=10), "score")
 
+    def q_text_clean(spark, sf):
+        # Unicode normalization stage: the corpus is pure ASCII, so a
+        # deterministic mojibake suffix (decomposed accent, zero-width
+        # space, BEL, tab runs, edge spaces) is grafted onto every 7th
+        # doc — the oracle must reproduce NFC + strip + collapse on
+        # exactly those codepoints, md5-compared
+        docs = _docs(spark, sf).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.col("text"), F.lit(_NORM_SUFFIX)),
+            ).otherwise(F.col("text")),
+        )
+        return TN.clean_text(docs).select(
+            "doc_id",
+            F.md5("clean").alias("clean_md5"),
+            "n_chars_raw",
+            "n_chars_clean",
+        )
+
+    def q_dsir_weights(spark, sf):
+        # DSIR importance log-weights: hashed-unigram (md5-60bit mod
+        # 128) target/source multinomial log-ratio summed per doc in
+        # bucket-sorted fold order (the lm_score determinism pattern);
+        # target exemplars = the lang='de' slice
+        docs = _docs(spark, sf)
+        occ = TF.doc_tokens(docs).select(
+            "doc_id", F.explode("tokens").alias("token")
+        )
+        target = docs.filter(F.col("lang") == "de").select("doc_id")
+        return _r(
+            SP.dsir_log_weights(occ, target, n_buckets=128), "log_weight"
+        )
+
+    def q_dsir_sample(spark, sf):
+        # Gumbel-top-k resampling over the DSIR weights — deterministic
+        # (hash-derived Gumbels), so the SQL oracle reproduces the
+        # exact sampled set and keys
+        docs = _docs(spark, sf)
+        occ = TF.doc_tokens(docs).select(
+            "doc_id", F.explode("tokens").alias("token")
+        )
+        target = docs.filter(F.col("lang") == "de").select("doc_id")
+        w = SP.dsir_log_weights(occ, target, n_buckets=128)
+        return _r(SP.dsir_sample(w, k=40), "log_weight", "key")
+
     def q_postings_compress(spark, sf):
         # Delta-gap varint posting blobs: the oracle recomputes the
         # encoded byte count from pure gap arithmetic (a varint CASE
@@ -1502,6 +1552,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "maxscore_topk": q_maxscore,
         "bmw_topk": q_bmw,
         "postings_compress": q_postings_compress,
+        "dsir_weights": q_dsir_weights,
+        "dsir_sample": q_dsir_sample,
+        "text_clean": q_text_clean,
         "pld_census": q_pld_census,
         "length_quantiles": q_length_quantiles,
         "winnow_fp": q_winnow_fp,
@@ -2510,6 +2563,48 @@ def _duck_h60(expr: str) -> str:
         "CAST(i + 1 AS INTEGER), 1)) - 1 AS BIGINT)"
         " * (CAST(1 AS BIGINT) << CAST((14 - i) * 4 AS INTEGER)))) AS BIGINT)"
     )
+
+
+_DUCK_DSIR = f"""
+bocc AS (
+  SELECT doc_id, {_duck_h60("token")} % 128 AS bucket FROM tok2
+),
+tgt AS (SELECT doc_id FROM documents WHERE lang = 'de'),
+cs AS (SELECT bucket, count(*) AS cs FROM bocc GROUP BY bucket),
+ct AS (
+  SELECT bucket, count(*) AS ct FROM bocc
+  WHERE doc_id IN (SELECT doc_id FROM tgt) GROUP BY bucket
+),
+tots AS (
+  SELECT (SELECT count(*) FROM bocc) AS ts,
+         (SELECT count(*) FROM bocc
+          WHERE doc_id IN (SELECT doc_id FROM tgt)) AS tt
+),
+ratio AS (
+  SELECT b.bucket,
+         ln((CAST(COALESCE(ct.ct, 0) AS DOUBLE) + 1.0e0)
+            / (CAST(tots.tt AS DOUBLE) + 128.0e0))
+       - ln((CAST(COALESCE(cs.cs, 0) AS DOUBLE) + 1.0e0)
+            / (CAST(tots.ts AS DOUBLE) + 128.0e0)) AS logr
+  FROM (SELECT unnest(range(128)) AS bucket) b
+  LEFT JOIN cs ON cs.bucket = b.bucket
+  LEFT JOIN ct ON ct.bucket = b.bucket, tots
+),
+pdb AS (
+  SELECT doc_id, bucket, count(*) AS nb FROM bocc GROUP BY doc_id, bucket
+),
+dterm AS (
+  SELECT doc_id, pdb.bucket, nb, CAST(nb AS DOUBLE) * logr AS term
+  FROM pdb JOIN ratio ON ratio.bucket = pdb.bucket
+),
+dsirw AS (
+  SELECT doc_id, CAST(sum(nb) AS BIGINT) AS n_tokens,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(term ORDER BY bucket)),
+                     (a, x) -> a + x) AS log_weight
+  FROM dterm GROUP BY doc_id
+)
+"""
 
 
 def _duck_winnow(k: int, w: int) -> str:
@@ -3961,6 +4056,46 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         # exact pruning: MaxScore's oracle IS the brute-force bm25 SQL
         "maxscore_topk": _duck_bm25(_BM25_TERMS, k=10),
         "bmw_topk": _duck_bm25(_BM25_TERMS, k=10),
+        # NFC + strip + collapse replayed in DuckDB (nfc_normalize +
+        # RE2 global replaces); the mojibake suffix literal is the SAME
+        # python string on both sides, so the codepoints are identical
+        "text_clean": f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN text || '{_NORM_SUFFIX}'
+              ELSE text END AS text
+  FROM documents
+),
+cln AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_raw,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(nfc_normalize(text),
+               '{TN._STRIP_CLASS}', '', 'g'),
+             '{TN._HSPACE_RUN}', ' ', 'g'),
+           '(?m){TN._EDGE_SPACE}', '', 'g') AS clean
+  FROM aug
+)
+SELECT doc_id, md5(clean) AS clean_md5, n_chars_raw,
+       CAST(length(clean) AS BIGINT) AS n_chars_clean
+FROM cln""",
+        # DSIR: same bucket hash, same add-one ratios, same bucket-
+        # ordered fold (0.0-prepended list_reduce == Spark aggregate)
+        "dsir_weights": f"""
+WITH {_DUCK_TOKENS}, {_DUCK_DSIR.strip().strip(',')}
+SELECT doc_id, n_tokens, round(log_weight, 9) AS log_weight FROM dsirw""",
+        "dsir_sample": f"""
+WITH {_DUCK_TOKENS}, {_DUCK_DSIR.strip().strip(',')},
+keyed AS (
+  SELECT doc_id, log_weight,
+         log_weight
+           - ln(-ln((CAST({_duck_h60("'dsir:' || CAST(doc_id AS VARCHAR)")}
+                          AS DOUBLE) + 0.5e0)
+                    / 1152921504606846976.0e0)) AS key
+  FROM dsirw
+)
+SELECT doc_id, round(log_weight, 9) AS log_weight, round(key, 9) AS key
+FROM keyed ORDER BY key DESC, doc_id ASC LIMIT 40""",
         # varint size = pure integer arithmetic on doc_id gaps; md5 of
         # the comma-joined ascending ids mirrors the Spark-side decode
         "postings_compress": f"""

@@ -103,6 +103,111 @@ def mixture_sample(
     )
 
 
+def dsir_log_weights(
+    occurrences: DataFrame,
+    target_ids: DataFrame,
+    n_buckets: int = 128,
+    id_col: str = "doc_id",
+    token_col: str = "token",
+) -> DataFrame:
+    """DSIR importance log-weights (Xie et al., NeurIPS 2023 "Data
+    Selection via Importance Resampling"): score every source document
+    by how much more likely its hashed bag-of-tokens is under the
+    TARGET distribution than under the SOURCE (raw-corpus) one —
+
+        log w(d) = Σ_tokens [ ln p_t(b(tok)) − ln p_s(b(tok)) ]
+
+    with b = md5-60bit token hash mod n_buckets and both multinomials
+    add-one smoothed. ``target_ids`` is the exemplar set (e.g. the
+    wiki-quality slice a pretraining mix should resemble).
+
+    Scale shape: the two bucket count tables are map-side-combined
+    groupBy aggregations over the SAME bucketed occurrence frame (the
+    target side is a left-semi prune of it); the per-bucket log-ratio
+    dim is ≤ n_buckets rows — broadcast-joined, never shuffling the
+    corpus; totals fold in as 1-row crossJoins so no scalar ever visits
+    the driver. The per-doc sum folds (bucket, count·ratio) structs in
+    bucket-sorted order — the lm_score determinism pattern — so the
+    DuckDB oracle reproduces every double bit-for-bit.
+
+    Returns (doc_id, n_tokens, log_weight) for every doc with ≥1 token.
+    """
+    b = F.pmod(h60_col(token_col), F.lit(n_buckets)).alias("bucket")
+    occ = occurrences.select(
+        F.col(id_col).alias("doc_id"), F.col(token_col).alias(token_col)
+    ).withColumn("bucket", b)
+    src_cnt = occ.groupBy("bucket").agg(F.count("*").alias("cs"))
+    tgt_occ = occ.join(
+        target_ids.select(F.col(id_col).alias("doc_id")).distinct(),
+        "doc_id",
+        "left_semi",
+    )
+    tgt_cnt = tgt_occ.groupBy("bucket").agg(F.count("*").alias("ct"))
+    src_tot = src_cnt.agg(F.sum("cs").alias("ts"))
+    tgt_tot = tgt_cnt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+    spark = occurrences.sparkSession
+    ratio = (
+        spark.range(n_buckets)
+        .select(F.col("id").alias("bucket"))
+        .join(src_cnt, "bucket", "left")
+        .join(tgt_cnt, "bucket", "left")
+        .crossJoin(src_tot)
+        .crossJoin(tgt_tot)
+        .selectExpr(
+            "bucket",
+            # counts << 2^53 stay exact in double; ln of the smoothed
+            # ratios is then bit-identical across engines
+            "ln((CAST(coalesce(ct, 0) AS DOUBLE) + 1.0D)"
+            f" / (CAST(tt AS DOUBLE) + {float(n_buckets)!r}D))"
+            " - ln((CAST(coalesce(cs, 0) AS DOUBLE) + 1.0D)"
+            f" / (CAST(ts AS DOUBLE) + {float(n_buckets)!r}D)) AS logr",
+        )
+    )
+    per_db = occ.groupBy("doc_id", "bucket").agg(F.count("*").alias("nb"))
+    return (
+        per_db.join(F.broadcast(ratio), "bucket")
+        .withColumn("term", F.col("nb").cast("double") * F.col("logr"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("nb").alias("n_tokens"),
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(bucket, term))), "
+                "CAST(0.0 AS DOUBLE), (a, s) -> a + s.term)"
+            ).alias("log_weight"),
+        )
+    )
+
+
+def dsir_sample(
+    log_weights: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Gumbel-top-k resampling over DSIR log-weights: each doc draws a
+    deterministic Gumbel g = −ln(−ln(u)) from u = (h60('dsir:'+id)+½)/2^60
+    and the k largest (log_weight + g) are the sample — exactly sampling
+    WITHOUT replacement ∝ softmax(log_weight) (the Gumbel-max trick),
+    but reproducible: a pure function of the data, so retries, resumed
+    runs and the DuckDB oracle agree bit-for-bit. The 'dsir:' salt
+    decorrelates these draws from weighted_sample's. One scan +
+    TakeOrdered — no shuffle beyond the top-k merge.
+
+    Returns (doc_id, log_weight, key) for the k sampled docs.
+    """
+    u = (
+        h60_col(f"concat('dsir:', CAST({id_col} AS STRING))").cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(2**H60_BITS))
+    key = F.col("log_weight") - F.log(-F.log(u))
+    return (
+        log_weights.select(
+            F.col(id_col), F.col("log_weight"), key.alias("key")
+        )
+        .orderBy(F.col("key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     weight: F.Column | str,
