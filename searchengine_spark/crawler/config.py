@@ -117,6 +117,37 @@ class CrawlConfig:
     # light-body bench workload flips it off explicitly.
     codegen_in_round: bool = True
 
+    # ---- leaf-plan checkpoints inside the round (default ON): the
+    # round's hot intermediates (batch, page_stage, fpdf, flagged,
+    # new_urls, frontier_next) are lineage-truncated with
+    # localCheckpoint(eager=False) instead of persist(). Each is
+    # referenced 2-6× downstream, and with plain persist() every
+    # downstream Dataset op re-ANALYZES the full accumulated round tree
+    # (caching swaps in InMemoryRelation only at planning time) — pure
+    # driver-serial Catalyst cost measured at ~6.7 s/round at bench
+    # scale, the largest single term in the fixed cost that caps N→4N
+    # scaling. With leaves, downstream ops analyze a LogicalRDD leaf.
+    # Semantics are unchanged (parity suite + an explicit A/B test);
+    # the two deliberate trade-offs: a leaf drops static size stats
+    # (irrelevant here — every broadcast on the round path is an
+    # explicit hint) and drops outputPartitioning (irrelevant here —
+    # each downstream join/agg keys differently and shuffles either
+    # way). Blocks are unpersisted explicitly at round end, exactly
+    # like the persist() path.
+    leaf_plans_in_round: bool = True
+
+    # ---- async hot-intermediate prefetch (default ON): as each hot
+    # intermediate is checkpointed/persisted, a count() is submitted on
+    # a worker thread so EXECUTORS materialize it while the DRIVER is
+    # still building the downstream plans — overlapping the round's two
+    # serial components (Catalyst plan construction vs cluster work)
+    # instead of paying them back-to-back. Downstream jobs reuse the
+    # already-persisted blocks (block-manager locking single-computes
+    # under concurrency), so no work is duplicated; the only cost is
+    # one near-free count job per intermediate (AQE is off in-round, so
+    # a count is a single driver round-trip).
+    prefetch_in_round: bool = True
+
     # ---- per-round metrics: full (counts per stage) or light (only the
     # queued-remaining count needed for loop control) — the bench path
     light_metrics: bool = False

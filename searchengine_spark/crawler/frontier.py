@@ -69,6 +69,31 @@ TRAP_TEMPLATES_SCHEMA = (
 )
 
 
+_unpersist_warn_quieted = False
+
+
+def _quiet_unpersist_warning(spark: SparkSession) -> None:
+    """Unpersisting a locally-checkpointed RDD logs a WARN per call
+    ("lineage has been truncated and cannot be recomputed") — correct
+    but intended for RDDs someone might still USE; the round loop
+    releases its leaf intermediates precisely because they are dead,
+    so 6 WARNs/round are pure log spam at a 10^4-round crawl. Raise the
+    RDD-class loggers to ERROR once per JVM (best-effort: a log4j2-core
+    binding is Spark's default; anything else keeps its logs)."""
+    global _unpersist_warn_quieted
+    if _unpersist_warn_quieted:
+        return
+    _unpersist_warn_quieted = True
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd.MapPartitionsRDD",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass
+
+
 def _seen_projection(df: DataFrame, round_no: int) -> DataFrame:
     return df.select(
         "url_hash", "canon_url", "scheme", "host", "parent_dir", "n_parts",
@@ -265,6 +290,46 @@ def _run_round_body(
             print(f"    [round {round_no}] {label}: {now - _t[0]:.2f}s")
             _t[0] = now
 
+    # hot-intermediate materialization seam (cfg.leaf_plans_in_round):
+    # lazy localCheckpoint truncates lineage so the ~100 downstream
+    # Dataset ops analyze a leaf instead of the whole round tree —
+    # the measured dominant driver-serial fixed cost. _round_caches
+    # carries (DataFrame, jvm-RDD-or-None) for explicit end-of-round
+    # block cleanup on both paths.
+    _round_caches: list = []
+    # worker pool shared by async prefetch and the staged delta writes
+    from concurrent.futures import ThreadPoolExecutor
+
+    _stage_pool = ThreadPoolExecutor(max_workers=6)
+    if cfg.leaf_plans_in_round:
+        _quiet_unpersist_warning(spark)
+
+    def _hot(df: DataFrame) -> DataFrame:
+        if not cfg.leaf_plans_in_round:
+            df = df.persist()
+            _round_caches.append((df, None))
+            return df
+        out = df.localCheckpoint(eager=False)
+        _round_caches.append(
+            (out, out._jdf.queryExecution().analyzed().rdd())
+        )
+        return out
+
+    def _warm(df: DataFrame) -> None:
+        # async prefetch (cfg.prefetch_in_round): executors materialize
+        # this intermediate while the driver keeps building plans; a
+        # failure here is ignored — the frontier write recomputes the
+        # same lineage and surfaces the real error
+        if cfg.prefetch_in_round:
+            _stage_pool.submit(df.count)
+
+    def _release_caches() -> None:
+        for df, jrdd in _round_caches:
+            if jrdd is None:
+                df.unpersist()
+            else:
+                jrdd.unpersist(False)
+
     # batch-proportional partition width for the round's light
     # (host,salt) stages — see CrawlConfig.rows_per_partition_target
     if cfg.rows_per_partition_target and prev_queued is not None:
@@ -343,7 +408,8 @@ def _run_round_body(
         pages_kv = pages.select("canon_url", "html")
     else:
         pages_kv = pages.select(F.col("url").alias("canon_url"), "html")
-    batch = batch.persist()  # small (≤ Σ quotas rows); reused 3×
+    batch = _hot(batch)  # small (≤ Σ quotas rows); reused 3×
+    _warm(batch)
     fetched = batch.join(pages_kv, "canon_url", "left")
     _mark("plan:fetch")
 
@@ -359,17 +425,21 @@ def _run_round_body(
             extract_text_udf("html").alias("text"),
             extract_canon_links_udf("html", "canon_url").alias("links"),
         )
-        .persist()
     )
+    page_stage = _hot(page_stage)
+    _warm(page_stage)
     fpdf = page_stage.select(
         "url_hash", "canon_url", "score",
         F.expr(
             gates.fingerprint_sql(tokens_sql("text"), cfg.ngram_n)
         ).alias("fp"),
-    ).persist()
+    )
+    fpdf = _hot(fpdf)
+    _warm(fpdf)
 
     # ---- 5. J7 content near-dup gate
-    flagged = gates.content_dup_flags(fpdf, fps, cfg.ngram_threshold).persist()
+    flagged = _hot(gates.content_dup_flags(fpdf, fps, cfg.ngram_threshold))
+    _warm(flagged)
     _mark("plan:j7")
     dup_keys = flagged.filter(F.col("is_dup")).select("url_hash")
 
@@ -428,7 +498,8 @@ def _run_round_body(
     new_urls = SEEN.filter_new(  # J5: filter fast path + exact backstop
         cands, url_seen, segments, cfg.n_bloom_segments,
         total_bloom_bytes=cfg.n_bloom_segments * SEEN.segment_bytes(cur_m),
-    ).persist()
+    )
+    new_urls = _hot(new_urls)
 
     # ---- 7. assemble + commit next snapshots
     new_score = frontier_score(round_no)
@@ -460,7 +531,8 @@ def _run_round_body(
         .select(*[c for c in frontier.columns])
         .unionByName(updated_batch.select(*frontier.columns))
         .unionByName(new_frontier_rows.select(*frontier.columns))
-    ).persist()
+    )
+    frontier_next = _hot(frontier_next)
 
     # append-mode snapshots: each round writes only its DELTA (Iceberg
     # append-files shape — a round is O(new rows), never O(table))
@@ -486,9 +558,6 @@ def _run_round_body(
     # before any delta ACTION runs (delta jobs re-read the caches this
     # write materializes; running them earlier would double-compute the
     # round lineage).
-    from concurrent.futures import ThreadPoolExecutor
-
-    _stage_pool = ThreadPoolExecutor(max_workers=6)
     fut_frontier = _stage_pool.submit(
         io.stage, "frontier", frontier_next, round_no,
         n_files=cfg.n_partitions,
@@ -677,8 +746,7 @@ def _run_round_body(
         )
         _commit_and_prune()
         _mark("metrics+commit")
-        for df in (batch, page_stage, fpdf, flagged, new_urls, frontier_next):
-            df.unpersist()
+        _release_caches()
         return queued_remaining
 
     # single-job metrics: one action over the persisted round DataFrames
@@ -719,8 +787,7 @@ def _run_round_body(
     _commit_and_prune()
     _mark("metrics+commit")
 
-    for df in (batch, page_stage, fpdf, flagged, new_urls, frontier_next):
-        df.unpersist()
+    _release_caches()
     return queued_remaining
 
 

@@ -40,6 +40,13 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Janino class cache (STATIC conf — must be set at session build):
+        # the default 100 entries thrashes under the crawler's round loop
+        # (~30 generated fragments/round, identical source round-over-round
+        # — e.g. the J7 gram pipeline carries no per-round literals), so
+        # every round recompiled ~0.8 s of driver-serial Janino. 4096
+        # entries lets steady-state rounds hit the cache instead.
+        .config("spark.sql.codegen.cache.maxEntries", "4096")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
