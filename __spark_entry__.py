@@ -1456,7 +1456,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return fingerprint_matches(_docs(spark, sf), k=4, w=5, min_shared=2)
 
+    def q_gopher_rules(spark, sf):
+        # published Gopher doc-quality rules; thresholds loosened to the
+        # sandbox corpus scale (short synthetic docs) so both keep
+        # outcomes appear in the graded result
+        return _r(
+            TS.gopher_rules(_docs(spark, sf), min_words=8, min_mean_len=2.0),
+            "mean_word_len", "symbol_ratio", "bullet_ratio",
+            "ellipsis_ratio", "alpha_ratio",
+        )
+
+    def q_c4_filters(spark, sf):
+        # published C4 line+page cleaning rules (span dedup is the
+        # separate span_dedup query)
+        return TS.c4_filters(_docs(spark, sf), min_line_words=3)
+
+    def q_semdedup(spark, sf):
+        # SemDedup: IVF-cluster the embedding space, prune within-cluster
+        # cosine near-dups to the lowest-id survivor
+        return DD.semdedup(
+            spark.read.parquet(os.path.join(sf, "embeddings.parquet")),
+            threshold=0.7,
+        )
+
     return _least_sampled_first({
+        "gopher_rules": q_gopher_rules,
+        "c4_filters": q_c4_filters,
+        "semdedup": q_semdedup,
         "tumbling_counts": q_tumbling,
         "tf": q_tf,
         "doc_freq": q_doc_freq,
@@ -2797,13 +2823,11 @@ _DUCK_IVF_D2 = (
 )
 
 
-def _duck_ivf_sql(
-    n_centroids: int = 8,
-    nprobe: int = 2,
-    iters: int = 2,
-    sample: int = 256,
-    k: int = 10,
-) -> str:
+def _duck_ivf_assign_ctes(
+    n_centroids: int = 8, iters: int = 2, sample: int = 256
+) -> list[str]:
+    """Shared CTE chain ending in af(vec_id, cid): the Lloyd-trained
+    coarse-quantizer assignment replay (ivf_topk and semdedup oracles)."""
     d2 = _DUCK_IVF_D2
     ctes = [
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
@@ -2842,14 +2866,29 @@ def _duck_ivf_sql(
             f"FROM c{t} c LEFT JOIN m{t} m USING (cid))"
         )
     cf = f"c{iters}"
-    ctes += [
+    ctes.append(
         f"""af AS (
   SELECT vec_id, cid FROM (
     SELECT x.vec_id, x.cid,
            row_number() OVER (PARTITION BY x.vec_id ORDER BY x.d2, x.cid) AS rn
     FROM (SELECT e.vec_id, c.cid, {d2.format(a="e.v", b="c.cv")} AS d2
           FROM e CROSS JOIN {cf} c) x
-  ) w WHERE rn = 1)""",
+  ) w WHERE rn = 1)"""
+    )
+    return ctes
+
+
+def _duck_ivf_sql(
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    iters: int = 2,
+    sample: int = 256,
+    k: int = 10,
+) -> str:
+    d2 = _DUCK_IVF_D2
+    cf = f"c{iters}"
+    ctes = _duck_ivf_assign_ctes(n_centroids, iters, sample)
+    ctes += [
         "q AS (SELECT v AS qv FROM e WHERE vec_id = 0)",
         f"qd AS (SELECT c.cid, {d2.format(a='c.cv', b='q.qv')} AS d2 "
         f"FROM {cf} c, q)",
@@ -2868,6 +2907,26 @@ def _duck_ivf_sql(
 
 
 _DUCK_IVF = _duck_ivf_sql()
+
+
+def _duck_semdedup_sql(threshold: float = 0.7) -> str:
+    """SemDedup oracle: replay the coarse-quantizer assignment (shared
+    CTEs), then prune b iff a lower-id cluster-mate has cosine >=
+    threshold (raw list_dot_product cosine — same parity basis as the
+    embed_pairs oracle; the corpus has no zero vectors)."""
+    ctes = _duck_ivf_assign_ctes()
+    body = f"""pr AS (
+  SELECT DISTINCT bf.vec_id AS vid
+  FROM af aaf JOIN af bf ON aaf.cid = bf.cid AND aaf.vec_id < bf.vec_id
+  JOIN embeddings a ON a.vec_id = aaf.vec_id
+  JOIN embeddings b ON b.vec_id = bf.vec_id
+  WHERE {_DUCK_COS} >= {threshold})"""
+    return (
+        "WITH " + ",\n".join(ctes + [body])
+        + "\nSELECT af.vec_id, af.cid, "
+        + "(af.vec_id IN (SELECT vid FROM pr)) AS pruned FROM af"
+    )
+
 
 # ---- media_features / frame_sample: the media fixture's payload is the
 # utf-8 bytes of `text`, and the testdata text is pure ASCII, so DuckDB
@@ -3569,6 +3628,77 @@ FROM a"""
 
 def oracle_sql() -> dict[str, str]:
     return {
+        # Gopher rules: words = whitespace runs over lower(text), lines =
+        # non-blank newline splits; thresholds mirror q_gopher_rules
+        # (min_words=8, min_mean_len=2.0, rest published defaults)
+        "gopher_rules": """
+WITH w AS (
+  SELECT doc_id,
+    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS ws,
+    list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS ls,
+    length(text) - length(replace(text, '#', '')) AS hashes,
+    (length(text) - length(replace(text, '...', ''))) / 3 AS ells
+  FROM documents
+),
+b AS (
+  SELECT doc_id, len(ws) AS n_words,
+    CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+      CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        list_transform(ws, x -> CAST(length(x) AS BIGINT))),
+        (a, x) -> a + x) AS DOUBLE) / len(ws) END AS mean_word_len,
+    CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+      CAST(hashes + ells AS DOUBLE) / len(ws) END AS symbol_ratio,
+    CASE WHEN len(ls) = 0 THEN 0.0 ELSE
+      CAST(len(list_filter(ls, l -> substring(ltrim(l), 1, 1) IN
+        ('-', '*', '•'))) AS DOUBLE) / len(ls) END AS bullet_ratio,
+    CASE WHEN len(ls) = 0 THEN 0.0 ELSE
+      CAST(len(list_filter(ls, l -> length(rtrim(l)) >= 3 AND
+        substring(rtrim(l), length(rtrim(l)) - 2, 3) = '...')) AS DOUBLE)
+        / len(ls) END AS ellipsis_ratio,
+    CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+      CAST(len(list_filter(ws, x -> regexp_matches(x, '[a-z]'))) AS DOUBLE)
+        / len(ws) END AS alpha_ratio,
+    len(list_filter(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'],
+      sw -> list_contains(ws, sw))) AS stop_hits
+  FROM w
+)
+SELECT doc_id, n_words, round(mean_word_len, 9) AS mean_word_len,
+  round(symbol_ratio, 9) AS symbol_ratio,
+  round(bullet_ratio, 9) AS bullet_ratio,
+  round(ellipsis_ratio, 9) AS ellipsis_ratio,
+  round(alpha_ratio, 9) AS alpha_ratio, stop_hits,
+  (n_words >= 8 AND n_words <= 100000
+   AND mean_word_len >= 2.0 AND mean_word_len <= 10.0
+   AND symbol_ratio <= 0.1 AND bullet_ratio <= 0.9
+   AND ellipsis_ratio <= 0.3 AND alpha_ratio >= 0.8
+   AND stop_hits >= 2) AS keep
+FROM b""",
+        # C4 line+page rules; min_line_words=3 mirrors q_c4_filters
+        "c4_filters": """
+WITH l AS (
+  SELECT doc_id, text,
+    list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS ls
+  FROM documents
+),
+b AS (
+  SELECT doc_id, len(ls) AS n_lines,
+    len(list_filter(ls, l ->
+      len(list_filter(regexp_split_to_array(lower(l), '\\s+'),
+          x -> x != '')) >= 3
+      AND substring(rtrim(l), length(rtrim(l)), 1) IN ('.', '!', '?', '"')
+      AND NOT contains(lower(l), 'javascript'))) AS kept_lines,
+    (length(text) - length(replace(text, '.', '')))
+      + (length(text) - length(replace(text, '!', '')))
+      + (length(text) - length(replace(text, '?', ''))) AS n_sentences,
+    contains(lower(text), 'lorem ipsum') AS has_lorem,
+    contains(text, '{') AS has_brace
+  FROM l
+)
+SELECT doc_id, n_lines, kept_lines, n_sentences, has_lorem, has_brace,
+  (n_sentences >= 3 AND NOT has_lorem AND NOT has_brace
+   AND kept_lines >= 1) AS keep
+FROM b""",
+        "semdedup": _duck_semdedup_sql(),
         "tf": f"WITH {_DUCK_TOKENS} SELECT doc_id, token, round(tf, 9) AS tf FROM tf",
         "doc_freq": f"WITH {_DUCK_TOKENS} SELECT token, df FROM dfreq",
         "idf": f"WITH {_DUCK_TOKENS} SELECT token, round(idf, 9) AS idf FROM idf",

@@ -304,24 +304,26 @@ def _run_round_body(
     if cfg.leaf_plans_in_round:
         _quiet_unpersist_warning(spark)
 
-    def _hot(df: DataFrame) -> DataFrame:
+    def _hot(df: DataFrame, warm: bool = False) -> DataFrame:
         if not cfg.leaf_plans_in_round:
             df = df.persist()
             _round_caches.append((df, None))
+            if warm and cfg.prefetch_in_round:
+                _stage_pool.submit(df.count)
             return df
         out = df.localCheckpoint(eager=False)
-        _round_caches.append(
-            (out, out._jdf.queryExecution().analyzed().rdd())
-        )
-        return out
-
-    def _warm(df: DataFrame) -> None:
+        jrdd = out._jdf.queryExecution().analyzed().rdd()
+        _round_caches.append((out, jrdd))
         # async prefetch (cfg.prefetch_in_round): executors materialize
         # this intermediate while the driver keeps building plans; a
         # failure here is ignored — the frontier write recomputes the
-        # same lineage and surfaces the real error
-        if cfg.prefetch_in_round:
-            _stage_pool.submit(df.count)
+        # same lineage and surfaces the real error. The action is a raw
+        # RDD count on the leaf (NOT Dataset.count): no throwaway SQL
+        # plan, one stage, and no orphaned SQLMetrics accumulators for
+        # late task-end events to trip over after the Dataset is GC'd.
+        if warm and cfg.prefetch_in_round:
+            _stage_pool.submit(jrdd.count)
+        return out
 
     def _release_caches() -> None:
         for df, jrdd in _round_caches:
@@ -408,8 +410,7 @@ def _run_round_body(
         pages_kv = pages.select("canon_url", "html")
     else:
         pages_kv = pages.select(F.col("url").alias("canon_url"), "html")
-    batch = _hot(batch)  # small (≤ Σ quotas rows); reused 3×
-    _warm(batch)
+    batch = _hot(batch, warm=True)  # small (≤ Σ quotas rows); reused 3×
     fetched = batch.join(pages_kv, "canon_url", "left")
     _mark("plan:fetch")
 
@@ -426,20 +427,19 @@ def _run_round_body(
             extract_canon_links_udf("html", "canon_url").alias("links"),
         )
     )
-    page_stage = _hot(page_stage)
-    _warm(page_stage)
+    page_stage = _hot(page_stage, warm=True)
     fpdf = page_stage.select(
         "url_hash", "canon_url", "score",
         F.expr(
             gates.fingerprint_sql(tokens_sql("text"), cfg.ngram_n)
         ).alias("fp"),
     )
-    fpdf = _hot(fpdf)
-    _warm(fpdf)
+    fpdf = _hot(fpdf, warm=True)
 
     # ---- 5. J7 content near-dup gate
-    flagged = _hot(gates.content_dup_flags(fpdf, fps, cfg.ngram_threshold))
-    _warm(flagged)
+    flagged = _hot(
+        gates.content_dup_flags(fpdf, fps, cfg.ngram_threshold), warm=True
+    )
     _mark("plan:j7")
     dup_keys = flagged.filter(F.col("is_dup")).select("url_hash")
 

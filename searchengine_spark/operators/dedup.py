@@ -616,3 +616,68 @@ def keep_best(
             F.col("w._q").alias("best_quality"),
         )
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 2,
+    train_sample: int = 256,
+) -> DataFrame:
+    """(vec_id, cid, pruned) — SemDedup (Abbas et al. 2023): cluster the
+    embedding space with the IVF coarse quantizer (simsearch.
+    ivf_assignments — Lloyd-trained, deterministic, broadcast-literal
+    centroids), then WITHIN each cluster prune any vector whose cosine
+    to a lower-id cluster-mate is ≥ threshold. Semantic near-dups
+    collapse to one representative per local neighborhood without any
+    global pair join.
+
+    Rule (deterministic, order-free): pruned(b) ⇔ ∃ a < b in the same
+    cluster with cos(a,b) ≥ threshold — the non-recursive "earlier
+    survivor wins" narrowing (same contract as the J7 batch rule). The
+    cosine is the shared sequential zip_with fold, so a SQL oracle
+    replays it bit-for-bit.
+
+    Scale shape: the only shuffle keys are cid (assignment output) and
+    the within-cluster self-join on cid — cost Σ|cluster|², bounded by
+    how the deployment sizes n_centroids (the paper uses cluster sizes
+    ≪ √N; at 10^10 embeddings that is n_centroids ~ 10^5-10^6, each
+    cluster a few thousand rows, so the quadratic term is per-task-local
+    and tiny). The global-LSH alternative for unclustered spaces is
+    embedding_dup_pairs."""
+    from searchengine_spark.operators.simsearch import ivf_assignments
+
+    assigned = ivf_assignments(
+        embeddings, n_centroids, id_col=id_col, vec_col=vec_col,
+        train_iters=train_iters, train_sample=train_sample,
+    )
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> CAST(x AS double))").alias("v"),
+    ).join(assigned, "vec_id")
+    pairs = (
+        vecs.select("cid", F.col("vec_id").alias("doc_a"), F.col("v").alias("va"))
+        .join(
+            vecs.select(
+                "cid", F.col("vec_id").alias("doc_b"), F.col("v").alias("vb")
+            ),
+            "cid",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    pruned_ids = (
+        _with_cosine(pairs)
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("doc_b").alias("vec_id"))
+        .distinct()
+        .withColumn("_pruned", F.lit(True))
+    )
+    return (
+        assigned.join(pruned_ids, "vec_id", "left")
+        .select(
+            "vec_id", "cid", F.coalesce("_pruned", F.lit(False)).alias("pruned")
+        )
+    )

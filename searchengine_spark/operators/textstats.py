@@ -420,3 +420,121 @@ def freq_spectrum(
         f"explode({tokens_sql(text_col)}) AS token"
     ).groupBy("token").agg(F.count("*").alias("freq"))
     return tok_freq.groupBy("freq").agg(F.count("*").alias("n_types"))
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_ratio: float = 0.9,
+    max_ellipsis_ratio: float = 0.3,
+    min_alpha_ratio: float = 0.8,
+    min_stop_hits: int = 2,
+) -> DataFrame:
+    """(doc_id, n_words, mean_word_len, symbol_ratio, bullet_ratio,
+    ellipsis_ratio, alpha_ratio, stop_hits, keep) — the published Gopher
+    document-quality rules (Rae et al. 2021 §A1.1) as one pure-Column
+    projection: word-count bounds, mean-word-length bounds, symbol
+    (#/ellipsis)-to-word ratio, bullet-started and ellipsis-ended line
+    ratios, alphabetic-word ratio, and the ≥2-of-8 stopword requirement.
+    A doc keeps iff every rule passes.
+
+    Words are whitespace runs over lower(text) (the paper's tokenizer-
+    free definition — NOT the index tokenizer F2: quality gating must
+    see punctuation and casing artifacts the index normalizes away);
+    lines split on newline. Everything is substring/ratio arithmetic of
+    ints so the DuckDB oracle reproduces each double exactly. Scale
+    shape: a single narrow map over the scan — no shuffle, no UDF."""
+    words = f"filter(split(lower({text_col}), '\\\\s+'), w -> w != '')"
+    lines = f"filter(split({text_col}, '\\n'), l -> trim(l) != '')"
+    hash_cnt = f"length({text_col}) - length(replace({text_col}, '#', ''))"
+    ell_cnt = (
+        f"(length({text_col}) - length(replace({text_col}, '...', ''))) / 3"
+    )
+    base = documents.selectExpr(
+        f"{id_col} AS doc_id",
+        f"size({words}) AS n_words",
+        f"CASE WHEN size({words}) = 0 THEN 0.0D ELSE "
+        f"CAST(aggregate({words}, 0L, (a, w) -> a + length(w)) AS DOUBLE)"
+        f" / size({words}) END AS mean_word_len",
+        f"CASE WHEN size({words}) = 0 THEN 0.0D ELSE "
+        f"CAST({hash_cnt} + {ell_cnt} AS DOUBLE) / size({words}) END"
+        " AS symbol_ratio",
+        f"CASE WHEN size({lines}) = 0 THEN 0.0D ELSE "
+        f"CAST(size(filter({lines}, l -> substring(ltrim(l), 1, 1) IN "
+        f"('-', '*', '•'))) AS DOUBLE) / size({lines}) END AS bullet_ratio",
+        f"CASE WHEN size({lines}) = 0 THEN 0.0D ELSE "
+        f"CAST(size(filter({lines}, l -> length(rtrim(l)) >= 3 AND "
+        f"substring(rtrim(l), length(rtrim(l)) - 2, 3) = '...')) AS DOUBLE)"
+        f" / size({lines}) END AS ellipsis_ratio",
+        f"CASE WHEN size({words}) = 0 THEN 0.0D ELSE "
+        f"CAST(size(filter({words}, w -> w rlike '[a-z]')) AS DOUBLE)"
+        f" / size({words}) END AS alpha_ratio",
+        f"size(filter(array({', '.join(repr(w) for w in GOPHER_STOPWORDS)}), "
+        f"sw -> array_contains({words}, sw))) AS stop_hits",
+    )
+    return base.selectExpr(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio", "bullet_ratio",
+        "ellipsis_ratio", "alpha_ratio", "stop_hits",
+        f"n_words >= {min_words} AND n_words <= {max_words} "
+        f"AND mean_word_len >= {min_mean_len}D "
+        f"AND mean_word_len <= {max_mean_len}D "
+        f"AND symbol_ratio <= {max_symbol_ratio}D "
+        f"AND bullet_ratio <= {max_bullet_ratio}D "
+        f"AND ellipsis_ratio <= {max_ellipsis_ratio}D "
+        f"AND alpha_ratio >= {min_alpha_ratio}D "
+        f"AND stop_hits >= {min_stop_hits} AS keep",
+    )
+
+
+def c4_filters(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_words: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """(doc_id, n_lines, kept_lines, n_sentences, has_lorem, has_brace,
+    keep) — the published C4 cleaning rules (Raffel et al. 2020 §2.2)
+    as one pure-Column projection. Line rule: a line survives iff it
+    has ≥ min_line_words whitespace words, ends in terminal punctuation
+    (. ! ? "), and does not contain 'javascript'. Page rules: ≥
+    min_sentences sentences (terminal-punctuation count), no
+    'lorem ipsum', no '{'. keep ⇔ every page rule passes and ≥ 1 line
+    survives. (The C4 three-sentence-span dedup is the separate
+    span_dedup operator.) One narrow map over the scan — no shuffle."""
+    lines = f"filter(split({text_col}, '\\n'), l -> trim(l) != '')"
+    lw = "filter(split(lower(l), '\\\\s+'), w -> w != '')"
+    kept = (
+        f"filter({lines}, l -> size({lw}) >= {min_line_words} "
+        "AND substring(rtrim(l), length(rtrim(l)), 1) IN ('.', '!', '?', '\"') "
+        "AND NOT contains(lower(l), 'javascript'))"
+    )
+    # terminal-punctuation count via length diffs (portable: char-split
+    # semantics differ across engines, replace() does not)
+    sent = " + ".join(
+        f"(length({text_col}) - length(replace({text_col}, '{c}', '')))"
+        for c in ".!?"
+    )
+    base = documents.selectExpr(
+        f"{id_col} AS doc_id",
+        f"size({lines}) AS n_lines",
+        f"size({kept}) AS kept_lines",
+        f"{sent} AS n_sentences",
+        f"contains(lower({text_col}), 'lorem ipsum') AS has_lorem",
+        f"contains({text_col}, '{{') AS has_brace",
+    )
+    return base.selectExpr(
+        "doc_id", "n_lines", "kept_lines", "n_sentences", "has_lorem",
+        "has_brace",
+        f"n_sentences >= {min_sentences} AND NOT has_lorem AND NOT has_brace "
+        "AND kept_lines >= 1 AS keep",
+    )

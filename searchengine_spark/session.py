@@ -47,6 +47,14 @@ def get_spark(
         # every round recompiled ~0.8 s of driver-serial Janino. 4096
         # entries lets steady-state rounds hit the cache instead.
         .config("spark.sql.codegen.cache.maxEntries", "4096")
+        # Batch-engine broadcast timeout: a BroadcastExchange starts its
+        # 300 s default clock at plan-execute time, but in a saturated
+        # batch cluster (or a 2-core sandbox leg running multi-minute
+        # extract tasks) the tiny broadcast job can QUEUE behind running
+        # tasks longer than that — a scheduling artifact, not a hang.
+        # One hour is the standard batch setting; streaming/serving
+        # deployments that want fail-fast can override per session.
+        .config("spark.sql.broadcastTimeout", "3600")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
