@@ -1479,7 +1479,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold=0.7,
         )
 
+    def q_lpa(spark, sf):
+        # synchronous min-tie label propagation over the synthetic
+        # expander link graph (same edge rules as link_rank/triangles);
+        # 3 fixed iterations, oracle-unrolled
+        from searchengine_spark.operators import graphstats as GS
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        return GS.lpa_communities(edges, n_iters=3)
+
+    def q_fetch_schedule(spark, sf):
+        # ST2 politeness virtual clock as a schedule export: per-host
+        # crawl_delay = 0.5 * (1 + doc-count-derived host index % 4)
+        from searchengine_spark.operators import urlmining as UM
+        from searchengine_spark.operators.windows import fetch_schedule
+
+        urls = UM.url_fixture(_docs(spark, sf)).select(
+            "url",
+            F.expr("lower(parse_url(url, 'HOST'))").alias("host"),
+        )
+        urls = urls.withColumn(
+            "crawl_delay",
+            (
+                F.lit(0.5)
+                * (1 + F.length("host").cast("bigint") % 4).cast("double")
+            ),
+        )
+        return _r(fetch_schedule(urls), "sched_time")
+
     return _least_sampled_first({
+        "lpa_communities": q_lpa,
+        "fetch_schedule": q_fetch_schedule,
         "gopher_rules": q_gopher_rules,
         "c4_filters": q_c4_filters,
         "semdedup": q_semdedup,
@@ -3504,6 +3543,65 @@ assert _DUCK_URL_FIXTURE_ID != _DUCK_URL_FIXTURE, (
     "_DUCK_URL_FIXTURE changed; update the doc_id-projection surgery"
 )
 
+def _duck_lpa_sql(n_iters: int = 3) -> str:
+    """Unrolled synchronous min-tie label propagation over the expander
+    edge fixture (same edge rules as the triangles/link_rank oracles)."""
+    ctes = [
+        "nn AS (SELECT count(*) AS c FROM documents)",
+        """e0 AS (
+  SELECT doc_id AS src, (doc_id*2+1) % (SELECT c FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*3+7) % (SELECT c FROM nn) FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*5+11) % (SELECT c FROM nn) FROM documents
+)""",
+        (
+            "e AS (SELECT DISTINCT least(src, dst) AS a, "
+            "greatest(src, dst) AS b FROM e0 WHERE src <> dst)"
+        ),
+        "und AS (SELECT a AS v, b AS n FROM e UNION ALL SELECT b, a FROM e)",
+        "l0 AS (SELECT DISTINCT v AS node, v AS label FROM und)",
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(
+            f"""c{i} AS (
+  SELECT und.v, l.label, count(*) AS cnt
+  FROM und JOIN l{i - 1} l ON l.node = und.n GROUP BY und.v, l.label)"""
+        )
+        ctes.append(
+            f"""b{i} AS (
+  SELECT v AS node, label FROM (
+    SELECT v, label,
+           row_number() OVER (PARTITION BY v ORDER BY cnt DESC, label ASC) AS rn
+    FROM c{i}) x WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"l{i} AS (SELECT l.node, coalesce(b.label, l.label) AS label "
+            f"FROM l{i - 1} l LEFT JOIN b{i} b USING (node))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes) + f"\nSELECT node, label FROM l{n_iters}"
+    )
+
+
+_DUCK_FETCH_SCHEDULE = f"""
+WITH u AS ({_DUCK_URL_FIXTURE}),
+h AS (
+  SELECT url, lower(split_part(split_part(url, '://', 2), '/', 1)) AS host
+  FROM u
+),
+d AS (
+  SELECT url, host,
+         0.5 * CAST(1 + length(host) % 4 AS DOUBLE) AS crawl_delay
+  FROM h
+)
+SELECT url, host,
+  row_number() OVER (PARTITION BY host ORDER BY url ASC) AS rk,
+  round((row_number() OVER (PARTITION BY host ORDER BY url ASC) - 1)
+        * crawl_delay, 9) AS sched_time
+FROM d"""
+
+
 _DUCK_HRW_W = _duck_h60("url || '#' || CAST(s AS VARCHAR)")
 
 
@@ -3699,6 +3797,8 @@ SELECT doc_id, n_lines, kept_lines, n_sentences, has_lorem, has_brace,
    AND kept_lines >= 1) AS keep
 FROM b""",
         "semdedup": _duck_semdedup_sql(),
+        "lpa_communities": _duck_lpa_sql(3),
+        "fetch_schedule": _DUCK_FETCH_SCHEDULE,
         "tf": f"WITH {_DUCK_TOKENS} SELECT doc_id, token, round(tf, 9) AS tf FROM tf",
         "doc_freq": f"WITH {_DUCK_TOKENS} SELECT token, df FROM dfreq",
         "idf": f"WITH {_DUCK_TOKENS} SELECT token, round(idf, 9) AS idf FROM idf",

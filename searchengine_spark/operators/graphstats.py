@@ -244,3 +244,61 @@ def k_core(
     raise RuntimeError(
         f"k_core: peeling did not stabilize in {max_iters} iterations"
     )
+
+
+def lpa_communities(
+    edges: DataFrame,
+    n_iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(node, label) — community detection by synchronous label
+    propagation (Raghavan et al. 2007), made deterministic: every node
+    starts with label = its own id; each iteration EVERY node
+    simultaneously adopts the most frequent label among its undirected
+    neighbors, ties to the smallest label; isolated nodes keep theirs.
+    A fixed iteration count (not convergence polling) keeps the result
+    an exact replayable function of the edge set — the DuckDB oracle
+    unrolls the identical chain.
+
+    Scale shape per iteration: one join of the (deduped, undirected)
+    edge list onto the ≤|V|-row label table on the neighbor key, one
+    map-side-combinable groupBy (node, label) count, one partial-
+    aggregable argmax via max(struct(cnt, -label)) — no windows, no
+    all-pairs. Generations hand off via eager localCheckpoint (the
+    k_core/dup_clusters loop discipline) so lineage never chains
+    across iterations."""
+    e = _canonical_edges(edges, src, dst)
+    und = (
+        e.select(F.col("a").alias("v"), F.col("b").alias("n"))
+        .unionAll(e.select(F.col("b").alias("v"), F.col("a").alias("n")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("v").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(n_iters):
+        counted = (
+            und.join(
+                labels.select(F.col("node").alias("n"), "label"), "n"
+            )
+            .groupBy("v", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = (
+            counted.groupBy("v")
+            .agg(F.max(F.struct("cnt", (-F.col("label")).alias("nl"))).alias("m"))
+            .select(F.col("v").alias("node"), (-F.col("m.nl")).alias("new_label"))
+        )
+        labels = (
+            labels.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels

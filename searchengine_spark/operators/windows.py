@@ -8,7 +8,7 @@ buckets, so DuckDB's time_bucket reproduces the boundaries exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -89,4 +89,33 @@ def session_aggregate(
             "n_events",
             "sum_value",
         )
+    )
+
+
+def fetch_schedule(
+    urls: DataFrame,
+    url_col: str = "url",
+    host_col: str = "host",
+    delay_col: str = "crawl_delay",
+    default_delay: float = 0.5,
+) -> DataFrame:
+    """(url, host, rk, sched_time) — the ST2 politeness virtual clock
+    materialized as a schedule: within each host, urls fetch in priority
+    order (url asc here — callers with a score column pre-sort/alias)
+    one ``crawl_delay`` apart, so url #k of host h is dispatched at
+    (k−1)·delay_h virtual seconds. The export view a fetch fleet
+    consumes; the round loop's quota slice (window_quota / frontier
+    batch) is this same clock truncated at the round horizon.
+
+    One per-host window — at 10^10-frontier scale the input is the
+    ALREADY-QUOTA-SLICED batch (≤ quota rows per host by construction),
+    so the window never sees a hot host's full backlog (the two-phase
+    salted quota upstream guarantees that)."""
+    w = Window.partitionBy(host_col).orderBy(F.col(url_col).asc())
+    delay = F.coalesce(F.col(delay_col), F.lit(default_delay))
+    return urls.select(
+        F.col(url_col).alias("url"),
+        F.col(host_col).alias("host"),
+        F.row_number().over(w).alias("rk"),
+        ((F.row_number().over(w) - F.lit(1)) * delay).alias("sched_time"),
     )
