@@ -257,9 +257,27 @@ def run_round(
                 )
             ),
         )
+    # hot-intermediate cache registry + worker pool are OWNED here so a
+    # mid-round failure still releases checkpoint/cache blocks and the
+    # stage threads (the body registers into both)
+    from concurrent.futures import ThreadPoolExecutor
+
+    caches: list = []
+    pool = ThreadPoolExecutor(max_workers=6)
     try:
-        return _run_round_body(spark, io, cfg, pages, round_no, prev_queued)
+        return _run_round_body(
+            spark, io, cfg, pages, round_no, prev_queued, caches, pool
+        )
     finally:
+        pool.shutdown(wait=True, cancel_futures=True)
+        for df, jrdd in caches:
+            try:
+                if jrdd is None:
+                    df.unpersist()
+                else:
+                    jrdd.unpersist(False)
+            except Exception:
+                pass  # best-effort release on an already-failing round
         spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
         spark.conf.set("spark.sql.shuffle.partitions", shp_prev)
         spark.conf.set("spark.sql.constraintPropagation.enabled", cp_prev)
@@ -273,7 +291,9 @@ def _run_round_body(
     cfg: CrawlConfig,
     pages: DataFrame,
     round_no: int,
-    prev_queued: int | None = None,
+    prev_queued: int | None,
+    _round_caches: list,
+    _stage_pool,
 ) -> int:
     """prev_queued (when the caller carries it between rounds) lets the
     light-metrics path derive the new QUEUED count arithmetically —
@@ -290,17 +310,12 @@ def _run_round_body(
             print(f"    [round {round_no}] {label}: {now - _t[0]:.2f}s")
             _t[0] = now
 
-    # hot-intermediate materialization seam (cfg.leaf_plans_in_round):
-    # lazy localCheckpoint truncates lineage so the ~100 downstream
-    # Dataset ops analyze a leaf instead of the whole round tree —
-    # the measured dominant driver-serial fixed cost. _round_caches
-    # carries (DataFrame, jvm-RDD-or-None) for explicit end-of-round
-    # block cleanup on both paths.
-    _round_caches: list = []
-    # worker pool shared by async prefetch and the staged delta writes
-    from concurrent.futures import ThreadPoolExecutor
-
-    _stage_pool = ThreadPoolExecutor(max_workers=6)
+    # _round_caches / _stage_pool are owned by run_round (released in
+    # its finally even on a failing round); the body only registers the
+    # hot intermediates (cfg.leaf_plans_in_round lazy localCheckpoint
+    # truncates lineage so the ~100 downstream Dataset ops analyze a
+    # leaf instead of the whole round tree — the measured dominant
+    # driver-serial fixed cost) and submits prefetch/stage jobs.
     if cfg.leaf_plans_in_round:
         _quiet_unpersist_warning(spark)
 
@@ -324,13 +339,6 @@ def _run_round_body(
         if warm and cfg.prefetch_in_round:
             _stage_pool.submit(jrdd.count)
         return out
-
-    def _release_caches() -> None:
-        for df, jrdd in _round_caches:
-            if jrdd is None:
-                df.unpersist()
-            else:
-                jrdd.unpersist(False)
 
     # batch-proportional partition width for the round's light
     # (host,salt) stages — see CrawlConfig.rows_per_partition_target
@@ -686,7 +694,7 @@ def _run_round_body(
     ]
     for f in futs:
         f.result()
-    _stage_pool.shutdown()
+    # pool shutdown + cache release are owned by run_round's finally
     _mark("stage:url_seen+fps+extracted+bloom" + (":compact" if do_compact else ""))
 
     # ---- template-census refresh (cfg.template_gate_every): re-mine
@@ -746,7 +754,6 @@ def _run_round_body(
         )
         _commit_and_prune()
         _mark("metrics+commit")
-        _release_caches()
         return queued_remaining
 
     # single-job metrics: one action over the persisted round DataFrames
@@ -786,8 +793,6 @@ def _run_round_body(
     )
     _commit_and_prune()
     _mark("metrics+commit")
-
-    _release_caches()
     return queued_remaining
 
 
