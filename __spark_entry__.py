@@ -129,6 +129,9 @@ _DNF = [["spark", "dup"], ["fast", "the"]]
 _BM25_TERMS = ["spark", "window", "dup"]
 _PHRASE = ["table", "value"]
 _SPELL_TERM = "quary"
+# batch spell-correction fixture: misspellings at distance 1-2 of
+# corpus vocabulary plus one no-match control
+_SPELL_BATCH = ["quary", "streem", "filtr", "windoe", "jion", "tabel", "zzzz"]
 # mojibake fixture for text_clean: decomposed e+acute, zero-width
 # space, tab, BEL, double spaces — every class the normalizer handles
 _NORM_SUFFIX = "  cafe\u0301 \u200bmenu\tA\u0007B  "
@@ -918,6 +921,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return PX.suggest(vocab, _SPELL_TERM, max_dist=2, k=5)
 
+    def q_spell_batch(spark, sf):
+        # SymSpell-style batch correction: every fixture term corrected
+        # in ONE delete-variant equi-join against the vocabulary (no
+        # per-term scan, no cross join), exact levenshtein post-filter,
+        # per-term top-3 (dist ASC, df DESC, token ASC)
+        vocab = TF.doc_frequencies(
+            TF.term_frequencies(TF.doc_tokens(_docs(spark, sf)))
+        )
+        terms = spark.createDataFrame(
+            [(t,) for t in _SPELL_BATCH], "term string"
+        )
+        return PX.spell_correct_batch(
+            vocab, terms, max_dist=2, k=3, max_len=24
+        )
+
     def q_boilerplate(spark, sf):
         # host-level boilerplate strip (CCNet-style): hosts from
         # doc_id % 20, every page suffixed with two host-frequent
@@ -1582,6 +1600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_query": q_phrase,
         "colloc_pmi": q_colloc,
         "spell_suggest": q_spell,
+        "spell_batch": q_spell_batch,
         "champions": q_champions,
         "snippets": q_snippets,
         "rank_eval": q_rank_eval,
@@ -2288,6 +2307,32 @@ cand AS (
 )
 SELECT token, df, dist FROM cand WHERE dist <= {max_dist}
 ORDER BY dist ASC, df DESC, token ASC LIMIT {k}"""
+
+
+def _duck_spell_batch(
+    terms: list[str], max_dist: int, k: int, max_len: int
+) -> str:
+    """Brute oracle for spell_correct_batch: per fixture term, full
+    levenshtein scan of the capped vocabulary (the Spark side's delete-
+    variant join is a candidate superset of exactly this set)."""
+    vals = ", ".join(f"('{t.lower()}')" for t in terms)
+    return f"""
+WITH {_DUCK_TOKENS},
+q(term) AS (VALUES {vals}),
+cand AS (
+  SELECT q.term, d.token, d.df,
+         CAST(levenshtein(d.token, q.term) AS BIGINT) AS dist
+  FROM q CROSS JOIN dfreq d
+  WHERE length(d.token) <= {max_len} AND d.token <> q.term
+),
+ranked AS (
+  SELECT term, token, df, dist,
+         row_number() OVER (
+           PARTITION BY term ORDER BY dist ASC, df DESC, token ASC
+         ) AS rnk
+  FROM cand WHERE dist <= {max_dist}
+)
+SELECT term, token, df, dist FROM ranked WHERE rnk <= {k}"""
 
 # distinct word-3-gram strings (stride 3, ragged tail kept) — the string
 # form of the fingerprint (hash-free: Jaccard over gram strings equals
@@ -4107,6 +4152,9 @@ FROM eb LEFT JOIN per_doc USING (doc_id)""",
         "phrase_query": _duck_phrase(_PHRASE),
         "colloc_pmi": _DUCK_COLLOC,
         "spell_suggest": _duck_spell(_SPELL_TERM, max_dist=2, k=5),
+        "spell_batch": _duck_spell_batch(
+            _SPELL_BATCH, max_dist=2, k=3, max_len=24
+        ),
         "champions": _duck_champions(k=3),
         "snippets": _duck_snippets(_SNIPPET_TERMS, window=5),
         "rank_eval": _duck_rank_eval(_BM25_TERMS, k=10),

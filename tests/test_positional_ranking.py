@@ -388,3 +388,51 @@ def test_best_passage_tie_earliest(spark):
     )
     r = best_passage(positional_postings(df), ["cat", "dog"], window=4).collect()[0]
     assert (r.start_pos, r.n_terms) == (0, 2)
+
+
+def _brute_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_spell_correct_batch_equals_brute_scan(spark):
+    """The SymSpell delete-variant join must return exactly what a
+    brute per-term levenshtein scan of the capped vocabulary returns —
+    same candidates, same (dist ASC, df DESC, token ASC) top-k — for a
+    vocab exercising 1-char tokens, ties, an over-max_len token, and a
+    term with zero matches."""
+    vocab_rows = [
+        ("query", 50), ("quarry", 20), ("quart", 8), ("qua", 3),
+        ("diary", 9), ("document", 30), ("documents", 25),
+        ("monument", 4), ("page", 99), ("pageant", 2), ("a", 7),
+        ("b", 7), ("ab", 5), ("x" * 30, 1),
+    ]
+    terms = ["quary", "documnet", "pag", "c", "zzzz", "QUARY"]
+    vocab = spark.createDataFrame(vocab_rows, "token string, df long")
+    tdf = spark.createDataFrame([(t,) for t in terms], "term string")
+    out = P.spell_correct_batch(vocab, tdf, max_dist=2, k=3, max_len=24)
+    got = sorted(tuple(r) for r in out.collect())
+
+    exp = []
+    for t in dict.fromkeys(t.lower() for t in terms):
+        cs = [
+            (tok, df, _brute_lev(tok, t))
+            for tok, df in vocab_rows
+            if len(tok) <= 24 and tok != t
+        ]
+        cs = [c for c in cs if c[2] <= 2]
+        cs.sort(key=lambda c: (c[2], -c[1], c[0]))
+        exp += [(t, tok, df, d) for tok, df, d in cs[:3]]
+    assert got == sorted(exp)
+
+    # scale guard: candidate generation is an equi-join, never a
+    # cartesian product
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
