@@ -436,3 +436,43 @@ def test_spell_correct_batch_equals_brute_scan(spark):
     # cartesian product
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan
+
+
+def test_delete_variants_match_python_reference(spark):
+    """Spark `_delete_variants` (higher-order Column fns) must produce
+    exactly the Python-reference ≤2-deletion variant set per word —
+    including 0/1/2-char words where the sequence() guards matter."""
+
+    def py_variants(s):
+        v1 = {s[:i] + s[i + 1:] for i in range(len(s))}
+        v2 = {t[:j] + t[j + 1:] for t in v1 for j in range(len(t))}
+        return {s} | v1 | v2
+
+    words = ["", "a", "ab", "abc", "query", "aaaa", "xyzzy", "a'1b0"]
+    df = spark.createDataFrame([(w,) for w in words], "w string").select(
+        "w", P._delete_variants(F.col("w"), 2).alias("v")
+    )
+    for r in df.collect():
+        assert set(r.v) == py_variants(r.w), r.w
+
+
+def test_symspell_shared_variant_is_superset_of_lev2():
+    """The premise of spell_correct_batch: any two strings within
+    Levenshtein distance 2 share a common ≤2-deletion variant (pure
+    property of the algorithm, exhaustively checked over a small
+    alphabet)."""
+    import itertools
+
+    def py_variants(s):
+        v1 = {s[:i] + s[i + 1:] for i in range(len(s))}
+        v2 = {t[:j] + t[j + 1:] for t in v1 for j in range(len(t))}
+        return {s} | v1 | v2
+
+    words = [
+        "".join(w)
+        for n in range(5)
+        for w in itertools.product("ab", repeat=n)
+    ]
+    for a, b in itertools.combinations(words, 2):
+        if _brute_lev(a, b) <= 2:
+            assert py_variants(a) & py_variants(b), (a, b)
