@@ -125,6 +125,8 @@ postings AS (
 """
 
 _AND_TERMS = ["spark", "window", "dup"]
+_NOT_TERMS = ["spark", "window"]
+_NOT_EXCLUDE = ["dup", "slow"]
 _DNF = [["spark", "dup"], ["fast", "the"]]
 _BM25_TERMS = ["spark", "window", "dup"]
 _PHRASE = ["table", "value"]
@@ -244,6 +246,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_and(spark, sf):
         return _r(Q.and_query(_postings(spark, sf), _AND_TERMS), "tf_idf")
+
+    def q_not(spark, sf):
+        # boolean AND-NOT: all of _NOT_TERMS, none of _NOT_EXCLUDE
+        return _r(
+            Q.not_query(_postings(spark, sf), _NOT_TERMS, _NOT_EXCLUDE),
+            "tf_idf",
+        )
 
     def q_dnf(spark, sf):
         return _r(Q.dnf_query(_postings(spark, sf), _DNF), "tf_idf")
@@ -1547,6 +1556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "postings": q_postings,
         "index_update": q_index_update,
         "and_query": q_and,
+        "not_query": q_not,
         "dnf_query": q_dnf,
         "topk": q_topk,
         "index_analytics": q_analytics,
@@ -3860,6 +3870,13 @@ FROM b""",
         "and_query": (
             f"WITH {_DUCK_TOKENS}, {_duck_and(_AND_TERMS)} "
             "SELECT doc_id, round(tf_idf,9) AS tf_idf FROM andq"
+        ),
+        "not_query": (
+            f"WITH {_DUCK_TOKENS}, {_duck_and(_NOT_TERMS)} "
+            "SELECT doc_id, round(tf_idf,9) AS tf_idf FROM andq "
+            "WHERE doc_id NOT IN (SELECT doc_id FROM postings WHERE token IN ("
+            + ", ".join(f"'{t}'" for t in _NOT_EXCLUDE)
+            + "))"
         ),
         "dnf_query": (
             _DUCK_DNF_PREFIX

@@ -84,6 +84,26 @@ def dnf_query(postings: DataFrame, conjuncts: list[list[str]]) -> DataFrame:
     )
 
 
+def not_query(
+    postings: DataFrame, terms: list[str], exclude: list[str]
+) -> DataFrame:
+    """Boolean AND-NOT (IIR ch. 1 `x AND NOT y`, absent from the
+    reference's OR-of-ANDs grammar — rebuild-only): docs containing ALL
+    `terms` and NONE of `exclude`; score = first term's tf_idf
+    (and_query J1 semantics).
+
+    Scale: both sides are token-IN-pruned index scans (pushed to the
+    token-sorted postings sink, S4/T4) — the exclusion side is a
+    doc_id anti-join, never a corpus scan; no new shuffle class beyond
+    and_query's groupBy."""
+    base = and_query(postings, terms)
+    ex = list(dict.fromkeys(t.lower() for t in exclude))
+    if not ex:
+        return base
+    exdocs = postings.filter(F.col("token").isin(ex)).select("doc_id")
+    return base.join(exdocs, "doc_id", "left_anti")
+
+
 def rank_topk(results: DataFrame, k: int = MAX_LINKS_SHOWN) -> DataFrame:
     """T2 — tf_idf ASC (faithful quirk), doc_id tie-break, top k."""
     return results.orderBy(F.col("tf_idf").asc(), F.col("doc_id").asc()).limit(k)

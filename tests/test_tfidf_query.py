@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from searchengine_spark.operators.query import (
     and_query,
     dnf_query,
+    not_query,
     parse_query,
     rank_topk,
     search,
@@ -197,3 +198,17 @@ def test_facet_counts_golden(spark):
         ("source", "web"): 2,
         ("source", "news"): 1,
     }
+
+
+def test_not_query_excludes_and_keeps_score(postings):
+    # 'cat' matches docs 0,2; excluding 'dog' removes doc 2 only
+    got = {r["doc_id"]: r["tf_idf"] for r in not_query(postings, ["cat"], ["dog"]).collect()}
+    assert set(got) == {0}
+    import math
+    assert abs(got[0] - (1 / 6) * math.log(3 / 2)) < 1e-12
+    # empty exclusion list degrades to plain AND
+    base = {r["doc_id"] for r in and_query(postings, ["cat"]).collect()}
+    same = {r["doc_id"] for r in not_query(postings, ["cat"], []).collect()}
+    assert same == base == {0, 2}
+    # excluding a term present in every match -> empty result
+    assert not_query(postings, ["cat"], ["cat"]).count() == 0
