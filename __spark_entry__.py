@@ -760,6 +760,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w = RK.bm25_table(_docs(spark, sf))
         return _r(RK.bm25_search(w, _BM25_TERMS, k=10), "score")
 
+    def q_rrf(spark, sf):
+        # Reciprocal Rank Fusion of the BM25 + QLM rankings (Cormack
+        # et al. 2009): rank-based, calibration-free fusion; the fused
+        # frame is bounded by n_cand so the rank windows never see
+        # corpus-sized partitions
+        return _r(
+            RK.rrf_fuse(_docs(spark, sf), _BM25_TERMS, k=10, n_cand=50),
+            "score",
+        )
+
     def q_phrase(spark, sf):
         # positional index + adjusted-offset phrase match: k pruned
         # scans + ONE groupBy(doc_id, start) — no k-way self-join
@@ -1607,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
         "bm25": q_bm25,
+        "rrf_topk": q_rrf,
         "phrase_query": q_phrase,
         "colloc_pmi": q_colloc,
         "spell_suggest": q_spell,
@@ -1823,6 +1834,68 @@ qsc AS (
   FROM qpiv JOIN qdl USING (doc_id)
 )
 SELECT doc_id, round(sc, 9) AS score FROM qsc
+ORDER BY sc DESC, doc_id ASC LIMIT {k}"""
+
+
+def _duck_rrf(
+    terms: list[str], k: int, k_rrf: int = 60, n_cand: int = 50,
+    mu: float = 2000.0,
+) -> str:
+    """Reciprocal-rank-fusion oracle — mirrors rrf_fuse: the bm25 and
+    qlm top-n_cand lists ranked by (score DESC, doc_id ASC) row_number,
+    full-outer-joined, fused with the fixed two-term double sum
+    1/(k_rrf+rb) + 1/(k_rrf+rq). Ranks are exact ints, so the only
+    float math is the per-row fusion expression (bit-equal engines)."""
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    inlist = ", ".join(f"'{t}'" for t in uniq)
+    bm_case = " + ".join(
+        f"coalesce(max(CASE WHEN token = '{t}' THEN w END), 0.0e0)"
+        for t in uniq
+    )
+    pivs = ", ".join(
+        f"sum(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS f{i}"
+        for i, t in enumerate(uniq)
+    )
+    qscore = " + ".join(
+        f"ln((CAST(f{i} AS DOUBLE) + {mu!r} * "
+        f"coalesce((SELECT c FROM qcf WHERE token = '{t}'), 0) "
+        f"/ (SELECT t FROM qtot)) / (CAST(dl AS DOUBLE) + {mu!r}))"
+        for i, t in enumerate(uniq)
+    )
+    kd = float(k_rrf)
+    return f"""
+WITH {_DUCK_BM25_WTS},
+bsc AS (
+  SELECT doc_id, {bm_case} AS sc
+  FROM wts WHERE token IN ({inlist}) GROUP BY doc_id
+),
+brk AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS rb
+  FROM bsc ORDER BY sc DESC, doc_id ASC LIMIT {n_cand}
+),
+qtot AS (SELECT count(*) AS t FROM tok2),
+qcf AS (SELECT token, count(*) AS c FROM tok2
+        WHERE token IN ({inlist}) GROUP BY token),
+qdl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+qpiv AS (
+  SELECT doc_id, {pivs}
+  FROM tok2 WHERE token IN ({inlist}) GROUP BY doc_id
+),
+qsc AS (
+  SELECT qpiv.doc_id, {qscore} AS sc
+  FROM qpiv JOIN qdl USING (doc_id)
+),
+qrk AS (
+  SELECT doc_id, row_number() OVER (ORDER BY sc DESC, doc_id ASC) AS rq
+  FROM qsc ORDER BY sc DESC, doc_id ASC LIMIT {n_cand}
+),
+fused AS (
+  SELECT doc_id,
+         coalesce(1.0e0 / ({kd!r} + rb), 0.0e0)
+           + coalesce(1.0e0 / ({kd!r} + rq), 0.0e0) AS sc
+  FROM brk FULL OUTER JOIN qrk USING (doc_id)
+)
+SELECT doc_id, round(sc, 9) AS score FROM fused
 ORDER BY sc DESC, doc_id ASC LIMIT {k}"""
 
 
@@ -4166,6 +4239,7 @@ FROM eb LEFT JOIN per_doc USING (doc_id)""",
         "pii_scrub": _DUCK_PII_SCRUB,
         "pack_sequences": _DUCK_PACK_SEQUENCES,
         "bm25": _duck_bm25(_BM25_TERMS, k=10),
+        "rrf_topk": _duck_rrf(_BM25_TERMS, k=10, k_rrf=60, n_cand=50),
         "phrase_query": _duck_phrase(_PHRASE),
         "colloc_pmi": _DUCK_COLLOC,
         "spell_suggest": _duck_spell(_SPELL_TERM, max_dist=2, k=5),

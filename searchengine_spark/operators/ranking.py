@@ -645,3 +645,63 @@ def bm25f_search(
     """Top-k docs by Σ of per-term BM25F weights — same fixed-order
     pivot plan as bm25_search (deterministic float-sum order)."""
     return bm25_search(bm25f_table(documents, id_col, text_col), terms, k)
+
+
+# ---- Reciprocal Rank Fusion -------------------------------------------
+
+
+def rrf_fuse(
+    documents: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k_rrf: int = 60,
+    n_cand: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs by Reciprocal Rank Fusion (Cormack, Clarke &
+    Buettcher, SIGIR 2009) of the BM25 and query-likelihood rankings:
+
+      rrf(d) = Σ_{r ∈ {bm25, qlm}} 1 / (k_rrf + rank_r(d))
+
+    with rank_r the 1-based position of d in ranking r's top-n_cand
+    (docs outside a ranking contribute 0 for it). The reference serves
+    one fixed tf·idf ranking (retrieve_query.py:142); RRF is the
+    standard public recipe for combining heterogeneous rankings
+    without score calibration — ranks, not scores, fuse.
+
+    Determinism: both input rankings order by (score DESC, doc_id ASC)
+    with bit-reproducible scores (see bm25_search / qlm_search), so the
+    ranks are exact ints; the fused score is a fixed-order sum of two
+    per-row doubles — no shuffle-order float dependence.
+
+    Scale shape (100 TB): the expensive work is the two candidate
+    searches, each a token-IN pruned scan + ONE groupBy pivot. The
+    fusion itself touches ≤ 2·n_cand rows — the row_number windows and
+    the outer join run on frames bounded by n_cand (a query-time
+    constant), so the single-partition window is bounded by
+    construction, never corpus-sized.
+    """
+    w = bm25_table(documents, id_col, text_col)
+    bm = bm25_search(w, terms, k=n_cand).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("rb"),
+    )
+    ql = qlm_search(documents, terms, k=n_cand, id_col=id_col,
+                    text_col=text_col).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("rq"),
+    )
+    kd = float(k_rrf)
+    fused = bm.join(ql, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(kd) + F.col("rb")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(kd) + F.col("rq")), F.lit(0.0))
+        ).alias("score"),
+    )
+    return fused.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)

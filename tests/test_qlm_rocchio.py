@@ -82,3 +82,61 @@ def test_bm25f_empty_corpus(spark):
 
     empty = spark.createDataFrame([], "doc_id long, text string")
     assert bm25f_search(empty, ["a"], k=5).count() == 0
+
+
+def test_rrf_fuses_both_rankings(spark):
+    from searchengine_spark.operators.ranking import (
+        bm25_search, bm25_table, rrf_fuse,
+    )
+
+    rows = [
+        (0, "cat dog cat dog cat"),
+        (1, "cat fish fish fish fish fish"),
+        (2, "dog dog dog bird"),
+        (3, "bird bird bird"),  # matches nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["cat", "dog"]
+    out = rrf_fuse(df, terms, k=10, k_rrf=60, n_cand=10).collect()
+    got = {r.doc_id: r.score for r in out}
+    # doc 3 matches neither ranking's candidate set
+    assert set(got) == {0, 1, 2}
+    # recompute expected RRF from the two component rankings
+    bm = bm25_search(bm25_table(df), terms, k=10).collect()
+    ql = qlm_search(df, terms, k=10, mu=2000.0).collect()
+    exp: dict[int, float] = {}
+    for ranking in (bm, ql):
+        for rank, r in enumerate(ranking, start=1):
+            exp[r.doc_id] = exp.get(r.doc_id, 0.0) + 1.0 / (60.0 + rank)
+    for d, s in got.items():
+        assert abs(s - exp[d]) < 1e-12
+    # output is sorted by fused score desc
+    scores = [r.score for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_rrf_single_list_membership(spark):
+    # a doc present in only one ranking still gets that ranking's
+    # contribution (outer-join semantics, coalesce 0 for the other)
+    from searchengine_spark.operators.ranking import rrf_fuse
+
+    from searchengine_spark.operators.ranking import bm25_search, bm25_table
+
+    rows = [(0, "cat cat cat"), (1, "dog dog dog")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    terms = ["cat", "dog"]
+    # n_cand=1 truncates each ranking to its single top doc; the fused
+    # set is the union of the two singletons and each fused score is
+    # exactly the sum of that doc's per-list 1/(60+rank) contributions
+    out = {r.doc_id: r.score for r in rrf_fuse(df, terms, k=10,
+                                               n_cand=1).collect()}
+    tops = [
+        bm25_search(bm25_table(df), terms, k=1).collect()[0].doc_id,
+        qlm_search(df, terms, k=1, mu=2000.0).collect()[0].doc_id,
+    ]
+    exp: dict[int, float] = {}
+    for d in tops:
+        exp[d] = exp.get(d, 0.0) + 1.0 / 61.0
+    assert set(out) == set(exp)
+    for d, s in out.items():
+        assert abs(s - exp[d]) < 1e-12
