@@ -1157,6 +1157,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return UM.url_templates(UM.url_fixture(_docs(spark, sf)))
 
+    def _cdx_fixture(spark, sf):
+        # the shared URL fixture, augmented to exercise the two SURT
+        # canonicalization rules: a www. host prefix on every third row
+        # (must strip back to the bare-host key) and a second query arg
+        # on the product family (args must sort). Same transforms, same
+        # order, in the DuckDB fixture CTE.
+        from searchengine_spark.operators import urlmining as UM
+
+        d = F.col("doc_id")
+        u = UM.url_fixture(_docs(spark, sf))
+        u = u.withColumn(
+            "url",
+            F.when(
+                d % 3 == 0,
+                F.concat(F.lit("https://www."), F.expr("substring(url, 9)")),
+            ).otherwise(F.col("url")),
+        )
+        return u.withColumn(
+            "url",
+            F.when(
+                d % 5 == 1,
+                F.concat(F.col("url"), F.lit("&a="), (d % 3).cast("string")),
+            ).otherwise(F.col("url")),
+        )
+
+    def q_surt_keys(spark, sf):
+        # SURT capture keys (IA/Heritrix canonical form): reversed
+        # comma-joined host, www-stripped, sorted query args — pure
+        # Column exprs (parse_url/regexp/array), zero UDF, zero shuffle
+        from searchengine_spark.operators import cdx as CX
+
+        return CX.cdx_index(_cdx_fixture(spark, sf)).select("doc_id", "surt")
+
+    def q_cdx_range(spark, sf):
+        # CDX subtree lookup: all captures under host h3's URL space as
+        # ONE half-open lexicographic range [p, p̄) on the surt key —
+        # pushdown-able comparisons, never a LIKE/startswith scan
+        from searchengine_spark.operators import cdx as CX
+
+        return CX.cdx_range(CX.cdx_index(_cdx_fixture(spark, sf)), "test,h3)/")
+
     def q_chunk_text(spark, sf):
         # overlapping 64-token windows at stride 48 (RAG/pretraining
         # chunking with an exact tail window): pure projection+explode,
@@ -1618,6 +1659,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "bm25": q_bm25,
         "rrf_topk": q_rrf,
+        "surt_keys": q_surt_keys,
+        "cdx_range": q_cdx_range,
         "phrase_query": q_phrase,
         "colloc_pmi": q_colloc,
         "spell_suggest": q_spell,
@@ -3671,6 +3714,57 @@ assert _DUCK_URL_FIXTURE_ID != _DUCK_URL_FIXTURE, (
     "_DUCK_URL_FIXTURE changed; update the doc_id-projection surgery"
 )
 
+from searchengine_spark.operators.query import _prefix_upper as _q_prefix_upper
+
+# cdx_range's half-open upper bound, computed by the SAME helper the
+# Spark operator uses (operators/query.py:_prefix_upper) so the two
+# engines can never disagree on the bound.
+_cdx_upper = _q_prefix_upper("test,h3)/")
+
+
+# ---- SURT/CDX oracle: the url fixture augmented exactly like
+# q_surt_keys/_cdx_fixture (www. prefix on doc_id%3==0 FIRST, then the
+# second query arg on doc_id%5==1), then the SURT built from string
+# ops — reversed comma-joined www-stripped host, ')' separator,
+# lowercase path, sorted query args (functions/urls.py:surt_col).
+_DUCK_SURT = f"""
+u AS ({_DUCK_URL_FIXTURE_ID}),
+aug1 AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN 'https://www.' || substr(url, 9) ELSE url END AS url
+  FROM u),
+aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 1
+              THEN url || '&a=' || CAST(doc_id % 3 AS VARCHAR)
+              ELSE url END AS url
+  FROM aug1),
+parts AS (
+  SELECT doc_id, url,
+         split_part(substr(url, 9), '/', 1) AS hostp,
+         substr(substr(url, 9),
+                length(split_part(substr(url, 9), '/', 1)) + 1) AS rest
+  FROM aug),
+parts2 AS (
+  SELECT doc_id, url, hostp,
+         split_part(rest, '?', 1) AS pathp,
+         CASE WHEN contains(rest, '?')
+              THEN substr(rest, length(split_part(rest, '?', 1)) + 2)
+              ELSE '' END AS q
+  FROM parts),
+surts AS (
+  SELECT doc_id, url,
+         array_to_string(list_reverse(string_split(
+           regexp_replace(lower(hostp), '^www\\d*\\.', ''), '.')), ',')
+         || ')' || lower(pathp)
+         || CASE WHEN q = '' THEN ''
+                 ELSE '?' || array_to_string(list_sort(string_split(q, '&')), '&')
+            END AS surt
+  FROM parts2)
+"""
+
+
 def _duck_lpa_sql(n_iters: int = 3) -> str:
     """Unrolled synchronous min-tie label propagation over the expander
     edge fixture (same edge rules as the triangles/link_rank oracles)."""
@@ -4240,6 +4334,11 @@ FROM eb LEFT JOIN per_doc USING (doc_id)""",
         "pack_sequences": _DUCK_PACK_SEQUENCES,
         "bm25": _duck_bm25(_BM25_TERMS, k=10),
         "rrf_topk": _duck_rrf(_BM25_TERMS, k=10, k_rrf=60, n_cand=50),
+        "surt_keys": f"WITH {_DUCK_SURT} SELECT doc_id, surt FROM surts",
+        "cdx_range": (
+            f"WITH {_DUCK_SURT} SELECT doc_id, url, surt FROM surts "
+            f"WHERE surt >= 'test,h3)/' AND surt < '{_cdx_upper}'"
+        ),
         "phrase_query": _duck_phrase(_PHRASE),
         "colloc_pmi": _DUCK_COLLOC,
         "spell_suggest": _duck_spell(_SPELL_TERM, max_dist=2, k=5),

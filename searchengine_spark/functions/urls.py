@@ -133,3 +133,42 @@ def is_valid_sql(url_expr: str, allowed_host_re: str | None = None) -> str:
         sql_re = allowed_host_re.replace("\\", "\\\\")
         cond += f" AND {host} RLIKE '{sql_re}'"
     return cond
+
+
+# ---- SURT (Sort-friendly URI Reordering Transform) ---------------------
+# The public web-archive key format (Internet Archive / Heritrix; CDX
+# files are sorted by it): host labels reversed and comma-joined so a
+# lexicographic RANGE scan answers "everything under this registrable
+# domain / path subtree" — the scan primitive behind CDX lookups and
+# per-site crawl audits at Common-Crawl scale.
+
+
+def surt_col(url: Column) -> Column:
+    """SURT key of a URL as a pure Column expression (no UDF):
+
+      scheme://user@Host.Tld/Path?b=2&a=1
+        -> tld,host)/path?a=1&b=2
+
+    - host lowercased, a leading `www<digits>.` label stripped (the
+      Heritrix canonicalizer rule), labels reversed + comma-joined;
+    - `)` separates authority from path (sorts before any path char
+      so a host prefix range never bleeds into longer hosts);
+    - path lowercased verbatim; query args sorted (IA canonicalization)
+      and re-joined with '&', prefixed '?' only when non-empty.
+
+    Everything is parse_url/regexp/array built-ins -> whole-stage
+    codegen; the key is precomputable at ingest and is the natural
+    sort/partition column for a CDX-style capture index (see
+    operators/cdx.py)."""
+    host = F.lower(F.coalesce(F.parse_url(url, F.lit("HOST")), F.lit("")))
+    host = F.regexp_replace(host, r"^www\d*\.", "")
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    path = F.lower(F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")))
+    query = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit(""))
+    sortedq = F.array_join(F.sort_array(F.split(query, "&")), "&")
+    return F.concat(
+        rev,
+        F.lit(")"),
+        path,
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sortedq)),
+    )
