@@ -760,6 +760,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w = RK.bm25_table(_docs(spark, sf))
         return _r(RK.bm25_search(w, _BM25_TERMS, k=10), "score")
 
+    def q_eliasfano(spark, sf):
+        # exact Elias-Fano encoded size of every token's sorted doc-id
+        # posting list (Vigna quasi-succinct) — pure 64-bit arithmetic
+        # per token (floor(log2) boundary-repaired), no float tolerance
+        from searchengine_spark.operators import postcompress as PZ
+
+        return PZ.eliasfano_sizes(_postings(spark, sf))
+
+    def q_clarity(spark, sf):
+        # Cronen-Townsend query clarity (QPP): KL(feedback LM ||
+        # collection LM) in bits over the QLM top-10; doc_id/token
+        # ordered folds keep the score bit-reproducible
+        return _r(
+            RK.clarity_score(_docs(spark, sf), _BM25_TERMS, k_fb=10),
+            "clarity",
+        )
+
     def q_rrf(spark, sf):
         # Reciprocal Rank Fusion of the BM25 + QLM rankings (Cormack
         # et al. 2009): rank-based, calibration-free fusion; the fused
@@ -1661,6 +1678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_topk": q_rrf,
         "surt_keys": q_surt_keys,
         "cdx_range": q_cdx_range,
+        "eliasfano_size": q_eliasfano,
+        "clarity": q_clarity,
         "phrase_query": q_phrase,
         "colloc_pmi": q_colloc,
         "spell_suggest": q_spell,
@@ -1940,6 +1959,101 @@ fused AS (
 )
 SELECT doc_id, round(sc, 9) AS score FROM fused
 ORDER BY sc DESC, doc_id ASC LIMIT {k}"""
+
+
+def _duck_eliasfano() -> str:
+    """Elias-Fano size oracle — mirrors postcompress.eliasfano_sizes:
+    exact 64-bit arithmetic throughout; the floor(log2) seed is
+    boundary-repaired by the same ±1 CASE both engines apply, so libm
+    log2 ULP differences cannot leak into the integer result."""
+    return f"""
+WITH {_DUCK_TOKENS},
+uni AS (SELECT max(doc_id) + 1 AS u FROM postings),
+dfp AS (SELECT token, count(*) AS n_postings FROM postings GROUP BY token),
+mm AS (
+  SELECT token, n_postings, (SELECT u FROM uni) AS u,
+         CAST(floor(CAST((SELECT u FROM uni) AS DOUBLE) / n_postings)
+              AS BIGINT) AS m
+  FROM dfp),
+cc AS (
+  SELECT *, CAST(floor(log2(CAST(m AS DOUBLE))) AS BIGINT) AS c FROM mm),
+ll AS (
+  SELECT token, n_postings, u,
+    CASE WHEN m <= 1 THEN 0
+         WHEN CAST(power(2.0, CAST(c + 1 AS DOUBLE)) AS BIGINT) <= m THEN c + 1
+         WHEN CAST(power(2.0, CAST(c AS DOUBLE)) AS BIGINT) > m THEN c - 1
+         ELSE c END AS l
+  FROM cc),
+bb AS (
+  SELECT token, n_postings,
+    n_postings * l + n_postings
+      + CAST(floor(CAST(u AS DOUBLE)
+                   / CAST(power(2.0, CAST(l AS DOUBLE)) AS BIGINT))
+             AS BIGINT) AS ef_bits
+  FROM ll)
+SELECT token, n_postings, ef_bits,
+       CAST(floor((ef_bits + 7) / 8) AS BIGINT) AS ef_bytes
+FROM bb"""
+
+
+def _duck_clarity(terms: list[str], k_fb: int, mu: float) -> str:
+    """Query-clarity oracle — mirrors ranking.clarity_score: QLM
+    top-k_fb feedback set (same qsc CTEs as _duck_qlm), uniform-prior
+    relevance model folded in doc_id order, KL sum folded in token
+    order, log2 spelled ln(x)/ln(2) (ln is the parity-proven log)."""
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    inlist = ", ".join(f"'{t}'" for t in uniq)
+    pivs = ", ".join(
+        f"sum(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS f{i}"
+        for i, t in enumerate(uniq)
+    )
+    qscore = " + ".join(
+        f"ln((CAST(f{i} AS DOUBLE) + {mu!r} * "
+        f"coalesce((SELECT c FROM qcf WHERE token = '{t}'), 0) "
+        f"/ (SELECT t FROM qtot)) / (CAST(dl AS DOUBLE) + {mu!r}))"
+        for i, t in enumerate(uniq)
+    )
+    return f"""
+WITH {_DUCK_TOKENS},
+qtot AS (SELECT count(*) AS t FROM tok2),
+qcf AS (SELECT token, count(*) AS c FROM tok2
+        WHERE token IN ({inlist}) GROUP BY token),
+qdl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+qpiv AS (
+  SELECT doc_id, {pivs}
+  FROM tok2 WHERE token IN ({inlist}) GROUP BY doc_id
+),
+qsc AS (
+  SELECT qpiv.doc_id, {qscore} AS sc
+  FROM qpiv JOIN qdl USING (doc_id)
+),
+fb AS (SELECT doc_id FROM qsc ORDER BY sc DESC, doc_id ASC LIMIT {k_fb}),
+nfb AS (SELECT count(*) AS k FROM fb),
+cfall AS (SELECT token, count(*) AS cf FROM tok2 GROUP BY token),
+fr AS (
+  SELECT tok2.doc_id, token, count(*) AS f
+  FROM tok2 JOIN fb USING (doc_id)
+  GROUP BY tok2.doc_id, token
+),
+num AS (
+  SELECT token,
+    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list(CAST(f AS DOUBLE) / CAST(dl AS DOUBLE) ORDER BY fr.doc_id)),
+      (a, b) -> a + b) AS num
+  FROM fr JOIN qdl USING (doc_id)
+  GROUP BY token
+),
+terms_t AS (
+  SELECT token,
+    (num / CAST((SELECT k FROM nfb) AS DOUBLE))
+      * (ln((num / CAST((SELECT k FROM nfb) AS DOUBLE))
+             / (CAST(cf AS DOUBLE) / CAST((SELECT t FROM qtot) AS DOUBLE)))
+         / ln(2.0)) AS term
+  FROM num JOIN cfall USING (token)
+)
+SELECT round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+  list(term ORDER BY token)), (a, b) -> a + b), 9) AS clarity
+FROM terms_t"""
 
 
 def _duck_rocchio(terms: list[str], k_fb: int, m: int) -> str:
@@ -4334,6 +4448,8 @@ FROM eb LEFT JOIN per_doc USING (doc_id)""",
         "pack_sequences": _DUCK_PACK_SEQUENCES,
         "bm25": _duck_bm25(_BM25_TERMS, k=10),
         "rrf_topk": _duck_rrf(_BM25_TERMS, k=10, k_rrf=60, n_cand=50),
+        "eliasfano_size": _duck_eliasfano(),
+        "clarity": _duck_clarity(_BM25_TERMS, k_fb=10, mu=2000.0),
         "surt_keys": f"WITH {_DUCK_SURT} SELECT doc_id, surt FROM surts",
         "cdx_range": (
             f"WITH {_DUCK_SURT} SELECT doc_id, url, surt FROM surts "

@@ -113,3 +113,69 @@ def compression_stats(compressed: DataFrame) -> DataFrame:
         F.sum("n_bytes").alias("encoded_bytes"),
         (F.sum("n_docs") * F.lit(8)).alias("raw_bytes"),
     )
+
+
+# ---- Elias-Fano posting-list sizing ------------------------------------
+
+
+def _floor_log2(m: F.Column) -> F.Column:
+    """Exact floor(log2(m)) for a BIGINT column m >= 1, engine-portable.
+
+    floor(log2(double)) alone can be off by one at power-of-two
+    boundaries (log rounding); the integer verification step repairs
+    it, so the result is exact in Spark AND in the DuckDB oracle
+    regardless of each engine's libm. power(2, c) is a dyadic double —
+    exact for every c <= 52, far above any posting-universe width."""
+    c = F.floor(F.log2(m.cast("double"))).cast("long")
+    p = F.pow(F.lit(2.0), c.cast("double")).cast("long")
+    return (
+        F.when(p * 2 <= m, c + 1).when(p > m, c - 1).otherwise(c)
+    )
+
+
+def eliasfano_sizes(
+    postings: DataFrame,
+    token_col: str = "token",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(token, n_postings, ef_bits, ef_bytes) — the exact Elias-Fano
+    encoded size of each token's sorted doc-id list (Vigna, WSDM 2013
+    "quasi-succinct indices"; the posting format of modern engines —
+    public Lucene/Trino use it for id lists).
+
+    For n strictly increasing ids in universe U = max(doc_id) + 1:
+
+      l        = max(0, floor(log2(U / n)))   (low-bit width)
+      ef_bits  = n*l  +  n + (U >> l)         (low halves + upper unary)
+      ef_bytes = ceil(ef_bits / 8)
+
+    floor(log2(U/n)) == floor(log2(U div n)) for integers U >= n >= 1,
+    so the whole computation is exact 64-bit arithmetic — the DuckDB
+    oracle reproduces every value bit-for-bit, no float tolerance.
+
+    Scale shape (100 TB): ONE count per token (the df aggregate the
+    dictionary already pays) + a 1-row universe aggregate broadcast
+    back; the size formula is a pure per-token projection — no joins
+    against bit tables, no UDF, no extra shuffle. Pair with
+    compression_stats to choose varint vs EF per index segment from
+    real numbers instead of folklore.
+    """
+    df_tab = (
+        postings.select(F.col(token_col).alias("token"), F.col(id_col))
+        .distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("n_postings"))
+    )
+    urow = postings.agg((F.max(id_col) + 1).alias("u"))
+    j = df_tab.crossJoin(F.broadcast(urow))  # 1-row dim: broadcast, not shuffle
+    n = F.col("n_postings")
+    m = F.floor(F.col("u") / n).cast("long")  # U div n, exact (< 2^53)
+    l = F.when(m <= F.lit(1), F.lit(0)).otherwise(_floor_log2(m))
+    v = F.pow(F.lit(2.0), l.cast("double")).cast("long")  # 2^l, exact
+    bits = n * l + n + F.floor(F.col("u") / v).cast("long")
+    return j.select(
+        "token",
+        "n_postings",
+        bits.alias("ef_bits"),
+        F.floor((bits + 7) / 8).cast("long").alias("ef_bytes"),
+    )

@@ -705,3 +705,82 @@ def rrf_fuse(
         ).alias("score"),
     )
     return fused.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+# ---- Query clarity (query-performance prediction) ----------------------
+
+
+def clarity_score(
+    documents: DataFrame,
+    terms: list[str],
+    k_fb: int = 10,
+    mu: float = MU,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """1-row (clarity,) — the Cronen-Townsend/Zhou/Croft (SIGIR 2002)
+    query-clarity score, the classic pre-retrieval-quality predictor:
+    the KL divergence (in bits) between the query's feedback language
+    model and the collection model,
+
+      clarity = Σ_w P(w|q) · log2( P(w|q) / P(w|C) )
+
+    over the top-k_fb QLM feedback docs R, with the uniform-prior
+    relevance model P(w|q) = (1/|R|) Σ_{d∈R} f_{w,d}/dl_d and
+    P(w|C) = cf_w/|C|. Uniform feedback weights (Lavrenko RM1 with a
+    uniform query-likelihood prior over R) are used DELIBERATELY: the
+    weighted variant needs exp(score), and exp() is not bit-identical
+    between the JVM and DuckDB libm (measured), which would break the
+    oracle's 1e-9 float hash; ln() is parity-proven, so log2 is
+    computed as ln(x)/ln(2) in both engines.
+
+    Determinism: per-token numerators fold in doc_id order, the final
+    KL sum folds in token order, |R| and all counts are exact ints —
+    the score is reproducible across partitionings bit-for-bit.
+
+    Scale shape (100 TB): the feedback set is ≤ k_fb rows (broadcast);
+    only R's tokens shuffle (one groupBy(doc_id, token) over k_fb docs,
+    then one groupBy(token) fold); the collection model reuses the
+    dictionary's cf aggregate. A high-clarity query is specific
+    (focused feedback vocabulary), a low-clarity one is ambiguous —
+    the standard signal for selective query expansion (only expand
+    when clarity is low).
+    """
+    top = qlm_search(documents, terms, k=k_fb, mu=mu,
+                     id_col=id_col, text_col=text_col)
+    fb = top.select("doc_id")
+    n_fb = fb.count()
+    if n_fb == 0:
+        return documents.sparkSession.createDataFrame([], "clarity double")
+    toks = doc_tokens(documents, id_col, text_col).filter(F.col("n_terms") > 0)
+    ex = toks.select(
+        "doc_id", "n_terms", F.explode("tokens").alias("token")
+    )
+    stats = ex.agg(F.count("*").alias("total")).collect()[0]
+    total = int(stats["total"])
+    cf = ex.groupBy("token").agg(F.count("*").alias("cf"))
+    fr = (
+        ex.join(F.broadcast(fb), "doc_id")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("f"), F.first("n_terms").alias("dl"))
+    )
+    num = fr.groupBy("token").agg(
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(doc_id, "
+            "CAST(f AS DOUBLE) / CAST(dl AS DOUBLE) AS v))), 0.0D, "
+            "(acc, s) -> acc + s.v)"
+        ).alias("num")
+    )
+    pwq = F.col("num") / F.lit(float(n_fb))
+    pwc = F.col("cf").cast("double") / F.lit(float(total))
+    contrib = pwq * (F.log(pwq / pwc) / F.log(F.lit(2.0)))
+    return (
+        num.join(cf, "token")
+        .select("token", contrib.alias("term"))
+        .agg(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(token, term AS v))), "
+                "0.0D, (acc, s) -> acc + s.v)"
+            ).alias("clarity")
+        )
+    )

@@ -97,3 +97,54 @@ def test_no_extra_shuffle(spark, corpus):
     tf = TF.term_frequencies(TF.doc_tokens(corpus))
     plan = PZ.compress_postings(tf)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 3  # tf build's own exchanges + token agg
+
+
+def test_eliasfano_sizes_match_reference_formula(spark):
+    from searchengine_spark.operators.postcompress import eliasfano_sizes
+
+    import random
+
+    random.seed(11)
+    rows = []
+    for t in range(12):
+        n = random.randint(1, 180)
+        ids = random.sample(range(200), n)
+        rows += [(d, f"t{t}") for d in ids]
+    df = spark.createDataFrame(rows, "doc_id long, token string")
+    got = {
+        r.token: (r.n_postings, r.ef_bits, r.ef_bytes)
+        for r in eliasfano_sizes(df).collect()
+    }
+    u = max(d for d, _ in rows) + 1
+    from collections import defaultdict
+
+    per = defaultdict(set)
+    for d, t in rows:
+        per[t].add(d)
+    for t, ids in per.items():
+        n = len(ids)
+        m = u // n
+        l = m.bit_length() - 1 if m >= 1 else 0
+        bits = n * l + n + (u >> l)
+        assert got[t] == (n, bits, (bits + 7) // 8), t
+
+
+def test_eliasfano_power_of_two_boundaries(spark):
+    # u/n landing exactly on powers of two is where a naive
+    # floor(log2(double)) goes wrong — assert the repaired expression
+    from searchengine_spark.operators.postcompress import eliasfano_sizes
+
+    rows = []
+    # token 'a': n=2 postings, universe forced to 256 by token 'pad'
+    rows += [(0, "a"), (127, "a")]
+    rows += [(255, "pad"), (1, "pad")]
+    # token 'b': n=4 -> u/n = 64 = 2^6 exactly
+    rows += [(i, "b") for i in (0, 10, 20, 30)]
+    df = spark.createDataFrame(rows, "doc_id long, token string")
+    got = {r.token: (r.n_postings, r.ef_bits) for r in
+           eliasfano_sizes(df).collect()}
+    u = 256
+    for tok, n in (("a", 2), ("pad", 2), ("b", 4)):
+        m = u // n
+        l = m.bit_length() - 1
+        assert got[tok] == (n, n * l + n + (u >> l)), tok

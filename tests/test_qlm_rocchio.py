@@ -140,3 +140,50 @@ def test_rrf_single_list_membership(spark):
     assert set(out) == set(exp)
     for d, s in out.items():
         assert abs(s - exp[d]) < 1e-12
+
+
+def test_clarity_specific_beats_ambiguous(spark):
+    from searchengine_spark.operators.ranking import clarity_score
+
+    # 'quark' only ever appears with a tight vocabulary; 'the' is
+    # everywhere -> the quark query's feedback model diverges more
+    # from the collection model
+    rows = [
+        (0, "quark gluon plasma quark lattice"),
+        (1, "quark gluon confinement lattice"),
+        (2, "the cat sat on the mat the"),
+        (3, "the dog ran in the park the"),
+        (4, "the fish swam under the bridge"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hi = clarity_score(df, ["quark"], k_fb=2).collect()[0].clarity
+    lo = clarity_score(df, ["the"], k_fb=3).collect()[0].clarity
+    assert hi > lo > 0.0
+
+
+def test_clarity_empty_candidates(spark):
+    from searchengine_spark.operators.ranking import clarity_score
+
+    df = spark.createDataFrame([(0, "alpha beta")], "doc_id long, text string")
+    assert clarity_score(df, ["zzz"], k_fb=5).count() == 0
+
+
+def test_clarity_matches_hand_computation(spark):
+    import math
+
+    from searchengine_spark.operators.ranking import clarity_score
+
+    rows = [(0, "a a b"), (1, "a c c c")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = clarity_score(df, ["a"], k_fb=2).collect()[0].clarity
+    # both docs are feedback docs (both contain 'a'); |R| = 2, |C| = 7
+    pwq = {
+        "a": (2 / 3 + 1 / 4) / 2,
+        "b": (1 / 3) / 2,
+        "c": (3 / 4) / 2,
+    }
+    pwc = {"a": 3 / 7, "b": 1 / 7, "c": 3 / 7}
+    exp = sum(
+        pwq[w] * math.log(pwq[w] / pwc[w]) / math.log(2.0) for w in sorted(pwq)
+    )
+    assert abs(got - exp) < 1e-12
