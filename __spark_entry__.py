@@ -760,6 +760,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w = RK.bm25_table(_docs(spark, sf))
         return _r(RK.bm25_search(w, _BM25_TERMS, k=10), "score")
 
+    def q_lm_trigram(spark, sf):
+        # Jelinek-Mercer interpolated trigram LM score (lm_score one
+        # order up): three map-side-combined count tables join back to
+        # the trigram stream on their own agg keys; position-ordered
+        # fold keeps avg_logprob bit-stable
+        return TS.lm_score_trigram(_docs(spark, sf))
+
+    def q_cosine_pairs(spark, sf):
+        # sparse tf-idf cosine near-dup pairs: ONE token equi-join with
+        # a df-cut on hot tokens (norms stay exact, so the capped
+        # cosine only under-reports — never invents a pair)
+        return _r(
+            DD.tfidf_cosine_pairs(_docs(spark, sf), threshold=0.5, max_df=50),
+            "cos",
+        )
+
     def q_eliasfano(spark, sf):
         # exact Elias-Fano encoded size of every token's sorted doc-id
         # posting list (Vigna quasi-succinct) — pure 64-bit arithmetic
@@ -1680,6 +1696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_range": q_cdx_range,
         "eliasfano_size": q_eliasfano,
         "clarity": q_clarity,
+        "lm_trigram": q_lm_trigram,
+        "cosine_pairs": q_cosine_pairs,
         "phrase_query": q_phrase,
         "colloc_pmi": q_colloc,
         "spell_suggest": q_spell,
@@ -4450,6 +4468,87 @@ FROM eb LEFT JOIN per_doc USING (doc_id)""",
         "rrf_topk": _duck_rrf(_BM25_TERMS, k=10, k_rrf=60, n_cand=50),
         "eliasfano_size": _duck_eliasfano(),
         "clarity": _duck_clarity(_BM25_TERMS, k_fb=10, mu=2000.0),
+        # trigram JM-interpolated LM — lm_score's oracle one order up:
+        # continuation-context denominators, fixed-order lambda mixture,
+        # position-ordered list_reduce fold
+        "lm_trigram": f"""
+WITH toks AS MATERIALIZED (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+tri AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(range(len(tl) - 2),
+                i -> struct_pack(pos := i, w1 := tl[i + 1],
+                                 w2 := tl[i + 2], w3 := tl[i + 3])),
+                recursive := true)
+  FROM toks WHERE len(tl) >= 3
+),
+bi AS MATERIALIZED (
+  SELECT unnest(list_transform(range(len(tl) - 1),
+                i -> struct_pack(w1 := tl[i + 1], w2 := tl[i + 2])),
+                recursive := true)
+  FROM toks WHERE len(tl) >= 2
+),
+uni AS (SELECT w, count(*) AS cuni
+        FROM (SELECT unnest(tl) AS w FROM toks) GROUP BY w),
+vt AS (SELECT CAST(count(*) AS DOUBLE) AS vv,
+              CAST(sum(cuni) AS DOUBLE) AS tt FROM uni),
+ct3 AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS c3 FROM tri GROUP BY w1, w2, w3),
+ctx2 AS MATERIALIZED (SELECT w1, w2, count(*) AS x2 FROM tri GROUP BY w1, w2),
+cbb AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY w1, w2),
+ctx1 AS MATERIALIZED (SELECT w1, count(*) AS x1 FROM bi GROUP BY w1),
+sc AS (
+  SELECT tri.doc_id, tri.pos,
+    ln(0.6e0 * (CAST(c3 AS DOUBLE) / CAST(x2 AS DOUBLE))
+       + 0.3e0 * (CAST(cbb.c2 AS DOUBLE) / CAST(ctx1.x1 AS DOUBLE))
+       + 0.1e0 * ((CAST(uni.cuni AS DOUBLE) + 1.0e0)
+                  / ((SELECT tt FROM vt) + (SELECT vv FROM vt)))) AS logp
+  FROM tri
+  JOIN ct3 USING (w1, w2, w3)
+  JOIN ctx2 USING (w1, w2)
+  JOIN cbb ON cbb.w1 = tri.w2 AND cbb.w2 = tri.w3
+  JOIN ctx1 ON ctx1.w1 = tri.w2
+  JOIN uni ON uni.w = tri.w3
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_trigrams,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(logp ORDER BY pos)),
+                     (a, b) -> a + b) AS s
+  FROM sc GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(agg.n_trigrams, 0) AS n_trigrams,
+       round(coalesce(agg.s / agg.n_trigrams, 0.0e0), 9) AS avg_logprob
+FROM toks t LEFT JOIN agg USING (doc_id)""",
+        # sparse tf-idf cosine pairs — token equi-join with the df<=50
+        # cut on the DOT only (norms exact/full-vector); token-ordered
+        # folds for dot and norms (the more_like_this float discipline)
+        "cosine_pairs": f"""
+WITH {_DUCK_TOKENS},
+nrm AS (
+  SELECT doc_id,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(tf_idf * tf_idf ORDER BY token)), (a, b) -> a + b)) AS nrm
+  FROM postings GROUP BY doc_id
+),
+scoring AS (
+  SELECT p.doc_id, p.token, p.tf_idf
+  FROM postings p JOIN dfreq USING (token) WHERE df <= 50
+),
+dots AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+              list(a.tf_idf * b.tf_idf ORDER BY a.token)),
+              (x, y) -> x + y) AS dot
+  FROM scoring a JOIN scoring b
+    ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+cosd AS (
+  SELECT src, dst, dot / (na.nrm * nb.nrm) AS cos
+  FROM dots
+  JOIN nrm na ON na.doc_id = src
+  JOIN nrm nb ON nb.doc_id = dst
+)
+SELECT src, dst, round(cos, 9) AS cos FROM cosd WHERE cos >= 0.5e0""",
         "surt_keys": f"WITH {_DUCK_SURT} SELECT doc_id, surt FROM surts",
         "cdx_range": (
             f"WITH {_DUCK_SURT} SELECT doc_id, url, surt FROM surts "

@@ -681,3 +681,82 @@ def semdedup(
             "vec_id", "cid", F.coalesce("_pruned", F.lit(False)).alias("pruned")
         )
     )
+
+
+# ---- sparse tf-idf cosine pairs ----------------------------------------
+
+
+def tfidf_cosine_pairs(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(src, dst, cos) — every doc pair with sparse tf-idf cosine ≥
+    threshold: the token-level semantic near-dup baseline next to the
+    lexical families (Jaccard/MinHash/SimHash) and the dense
+    embedding pairs. src < dst.
+
+    Candidates come from ONE token equi-join (docs sharing ≥ 1 scoring
+    token — never a cross join); the dot product folds in token order
+    and the norms in token order per doc, so the cosine is
+    bit-reproducible across partitionings (the more_like_this float
+    discipline, corpus-pairs edition).
+
+    Scale shape (100 TB): the self-join's fan-out lives entirely on
+    hot tokens — `max_df` drops tokens appearing in more than max_df
+    docs from the DOT (the mirrors.py df-cut): a df-10^7 stopword
+    contributes ~zero to a tf-idf dot yet would generate 10^14 join
+    rows. Norms stay EXACT (full vector), so the df-capped cosine is a
+    strict lower bound of the true cosine — the cut can only lose
+    borderline pairs, never invent them. With the cut the join is
+    bounded by Σ_token df² over rare tokens — the Bayardo-style
+    candidate budget every sparse-similarity system runs on.
+    """
+    from searchengine_spark.operators.tfidf import build_postings
+
+    p = build_postings(documents, id_col=id_col, text_col=text_col).select(
+        "doc_id", "token", "tf_idf"
+    )
+    norms = p.groupBy("doc_id").agg(
+        F.expr(
+            "sqrt(aggregate(sort_array(collect_list(struct(token, "
+            "tf_idf * tf_idf AS v))), 0.0D, (acc, s) -> acc + s.v))"
+        ).alias("nrm")
+    )
+    scoring = p
+    if max_df is not None:
+        dfs = p.groupBy("token").agg(F.count("*").alias("df"))
+        scoring = p.join(
+            dfs.filter(F.col("df") <= max_df).select("token"), "token"
+        )
+    a = scoring.select(
+        F.col("doc_id").alias("src"), "token", F.col("tf_idf").alias("wa")
+    )
+    b = scoring.select(
+        F.col("doc_id").alias("dst"), "token", F.col("tf_idf").alias("wb")
+    )
+    dots = (
+        a.join(b, "token")
+        .filter(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(token, "
+                "wa * wb AS v))), 0.0D, (acc, s) -> acc + s.v)"
+            ).alias("dot")
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("src"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("doc_id").alias("dst"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(na, "src")
+        .join(nb, "dst")
+        .select(
+            "src",
+            "dst",
+            (F.col("dot") / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -538,3 +538,112 @@ def c4_filters(
         f"n_sentences >= {min_sentences} AND NOT has_lorem AND NOT has_brace "
         "AND kept_lines >= 1 AS keep",
     )
+
+
+def lm_score_trigram(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    l3: float = 0.6,
+    l2: float = 0.3,
+    l1: float = 0.1,
+) -> DataFrame:
+    """(doc_id, n_trigrams, avg_logprob) — Jelinek-Mercer interpolated
+    trigram LM score, the higher-order sibling of lm_score's bigram
+    filter (CCNet thresholds a 5-gram KenLM; interpolation is the
+    public Jelinek & Mercer 1980 smoothing):
+
+      P(w3|w1w2) = λ3·c(w1w2w3)/ctx(w1w2) + λ2·c(w2w3)/ctx(w2)
+                   + λ1·(c(w3)+1)/(T+V)
+
+    ctx(·) are continuation-context counts (the marginal of the next-
+    order table, so every ratio is a true conditional ≤ 1 and the
+    mixture is always > 0 via the add-one unigram floor). Docs with
+    < 3 tokens report (0, 0.0).
+
+    Scale shape: identical to lm_score one order up — three count
+    tables (trigram/bigram/unigram + their context marginals) are
+    map-side-combined groupBy aggregations; each joins back to the
+    exploded trigram stream on exactly its own aggregation key, so the
+    exchanges reuse; the per-doc sum folds in position order
+    (deterministic IEEE order, mirrored by the oracle's list_reduce).
+    The λ-mixture is ONE fixed-order expression — λ3·x + λ2·y + λ1·z
+    left-associated identically in both engines.
+    """
+    toks = tokens_sql(text_col)
+    base = documents.selectExpr(f"{id_col} AS doc_id", f"{toks} AS tl")
+    tri = (
+        base.where("size(tl) >= 3")
+        .selectExpr(
+            "doc_id",
+            "transform(sequence(0, size(tl) - 3), i -> struct(i AS pos, "
+            "get(tl, i) AS w1, get(tl, i + 1) AS w2, get(tl, i + 2) AS w3))"
+            " AS ts",
+        )
+        .select("doc_id", F.explode("ts").alias("t"))
+        .select("doc_id", "t.pos", "t.w1", "t.w2", "t.w3")
+    )
+    bi = (
+        base.where("size(tl) >= 2")
+        .selectExpr(
+            "doc_id",
+            "transform(sequence(0, size(tl) - 2), i -> "
+            "struct(get(tl, i) AS w1, get(tl, i + 1) AS w2)) AS bs",
+        )
+        .select(F.explode("bs").alias("b"))
+        .select("b.w1", "b.w2")
+    )
+    uni = (
+        base.select(F.explode("tl").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cuni"))
+    )
+    stats = uni.agg(
+        F.count("*").alias("v"), F.sum("cuni").alias("t")
+    ).collect()[0]
+    vocab, total = int(stats["v"]), int(stats["t"] or 0)
+    if total == 0:
+        return documents.sparkSession.createDataFrame(
+            [], "doc_id long, n_trigrams long, avg_logprob double"
+        )
+    ct3 = tri.groupBy("w1", "w2", "w3").agg(F.count("*").alias("c3"))
+    ctx2 = tri.groupBy("w1", "w2").agg(F.count("*").alias("x2"))
+    cb = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    ctx1 = bi.groupBy("w1").agg(F.count("*").alias("x1"))
+    scored = (
+        tri.join(ct3, ["w1", "w2", "w3"])
+        .join(ctx2, ["w1", "w2"])
+        .join(
+            cb.select(
+                F.col("w1").alias("w2"), F.col("w2").alias("w3"), "c2"
+            ),
+            ["w2", "w3"],
+        )
+        .join(ctx1.select(F.col("w1").alias("w2"), "x1"), "w2")
+        .join(uni.select(F.col("w").alias("w3"), "cuni"), "w3")
+        .selectExpr(
+            "doc_id",
+            "pos",
+            f"ln({l3!r}D * (CAST(c3 AS DOUBLE) / CAST(x2 AS DOUBLE))"
+            f" + {l2!r}D * (CAST(c2 AS DOUBLE) / CAST(x1 AS DOUBLE))"
+            f" + {l1!r}D * ((CAST(cuni AS DOUBLE) + 1.0D)"
+            f" / ({float(total)!r}D + {float(vocab)!r}D))) AS logp",
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_trigrams"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(pos, logp))), "
+            "CAST(0.0 AS DOUBLE), (a, s) -> a + s.logp)"
+        ).alias("s"),
+    )
+    return (
+        base.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "coalesce(n_trigrams, 0L) AS n_trigrams",
+            "round(coalesce(s / n_trigrams, CAST(0.0 AS DOUBLE)), 9) "
+            "AS avg_logprob",
+        )
+    )

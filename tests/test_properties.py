@@ -129,3 +129,54 @@ def test_resolve_redirects_matches_walk(spark, mapping):
             assert got[f"u{k}"] == (None, None, True), (k, mapping)
         else:
             assert got[f"u{k}"] == (f"u{final}", hops, False), (k, mapping)
+
+
+def test_lm_trigram_hand_computed(spark):
+    import math
+
+    from searchengine_spark.operators.textstats import lm_score_trigram
+
+    rows = [(0, "a b c a b c"), (1, "a b"), (2, "x")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_trigrams, r.avg_logprob)
+           for r in lm_score_trigram(df).collect()}
+    # short docs: no trigram -> (0, 0.0)
+    assert got[1] == (0, 0.0) and got[2] == (0, 0.0)
+    # doc 0 trigrams: abc, bca, cab, abc; bigram stream (docs >= 2 toks):
+    # doc0: ab bc ca ab bc; doc1: ab
+    c3 = {("a","b","c"): 2, ("b","c","a"): 1, ("c","a","b"): 1}
+    x2 = {("a","b"): 2, ("b","c"): 1, ("c","a"): 1}
+    c2 = {("a","b"): 3, ("b","c"): 2, ("c","a"): 1}
+    x1 = {"a": 3, "b": 2, "c": 1}
+    cuni = {"a": 3, "b": 3, "c": 2, "x": 1}
+    T, V = 9, 4
+    def p(w1, w2, w3):
+        return (0.6 * (c3[(w1,w2,w3)] / x2[(w1,w2)])
+                + 0.3 * (c2[(w2,w3)] / x1[w2])
+                + 0.1 * ((cuni[w3] + 1) / (T + V)))
+    seq = [("a","b","c"), ("b","c","a"), ("c","a","b"), ("a","b","c")]
+    exp = sum(math.log(p(*t)) for t in seq) / 4
+    n, s = got[0]
+    assert n == 4
+    assert abs(s - exp) < 1e-9
+
+
+def test_tfidf_cosine_pairs_exact_and_dfcut(spark):
+    from searchengine_spark.operators.dedup import tfidf_cosine_pairs
+
+    rows = [
+        (0, "apple banana cherry"),
+        (1, "apple banana cherry"),   # exact dup of 0 -> cos 1
+        (2, "apple zebra yak"),
+        (3, "walrus otter seal"),     # shares nothing
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.src, r.dst): r.cos
+           for r in tfidf_cosine_pairs(df, threshold=0.99).collect()}
+    assert set(got) == {(0, 1)}
+    assert abs(got[(0, 1)] - 1.0) < 1e-12
+    # ordering invariant
+    assert all(s < d for s, d in got)
+    # df-cut: with max_df=1 every shared token is dropped from the dot
+    # -> no candidate pairs at all
+    assert tfidf_cosine_pairs(df, threshold=0.0, max_df=1).count() == 0
