@@ -760,6 +760,85 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w = RK.bm25_table(_docs(spark, sf))
         return _r(RK.bm25_search(w, _BM25_TERMS, k=10), "score")
 
+    def q_salsa(spark, sf):
+        # SALSA (degree-normalized HITS — the TKC fix; Twitter-WTF
+        # power-iterated form) over the same deterministic graph as
+        # hits_rank; unrolled-CTE oracle
+        from searchengine_spark.operators import linkrank as LR
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        sr = LR.salsa(
+            edges, docs.select(F.col("doc_id").alias("id")), n_iters=5
+        )
+        return _r(
+            sr.select(F.col("id").alias("doc_id"), "authority", "hub"),
+            "authority",
+            "hub",
+        )
+
+    def q_degree_tail(spark, sf):
+        # in/out degree tail + Hill MLE power-law exponent over the
+        # synthetic graph: folded by DEGREE VALUE (bounded distinct
+        # degrees), never per node — no corpus-sized collect_list
+        from searchengine_spark.operators import graphstats as GS
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        return _r(GS.degree_tail_stats(edges, d_min=2), "alpha")
+
+    def q_cohort(spark, sf):
+        # weekly cohort retention triangle over events — exact-integer
+        # analytics (distinct user-week grid + per-user min), no
+        # windows, no float tolerance
+        from searchengine_spark.operators.windows import cohort_retention
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return cohort_retention(ev)
+
+    def q_crawl_delta(spark, sf):
+        # two-generation crawl diff per host: full-outer join on url,
+        # fingerprint compare -> added/removed/changed/same census
+        # (deterministic old/new derived from the URL fixture; the
+        # /static/about family is excluded — it collapses to one url
+        # per host and would multi-match the join)
+        from searchengine_spark.operators import recrawl as RC
+        from searchengine_spark.operators import urlmining as UM
+
+        docs = _docs(spark, sf)
+        d = F.col("doc_id")
+        base = (
+            UM.url_fixture(docs)
+            .join(docs.select("doc_id", "text"), "doc_id")
+            .filter(d % 5 != 4)
+        )
+        old = base.filter(d % 13 != 0).select(
+            "url", F.md5("text").alias("fp")
+        )
+        new = base.filter(d % 11 != 0).select(
+            "url",
+            F.when(d % 7 == 0, F.md5(F.concat(F.col("text"), F.lit("v2"))))
+            .otherwise(F.md5("text"))
+            .alias("fp"),
+        )
+        return RC.delta_census(old, new)
+
     def q_lm_trigram(spark, sf):
         # Jelinek-Mercer interpolated trigram LM score (lm_score one
         # order up): three map-side-combined count tables join back to
@@ -1698,6 +1777,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clarity": q_clarity,
         "lm_trigram": q_lm_trigram,
         "cosine_pairs": q_cosine_pairs,
+        "salsa_rank": q_salsa,
+        "degree_tail": q_degree_tail,
+        "cohort_retention": q_cohort,
+        "crawl_delta": q_crawl_delta,
         "phrase_query": q_phrase,
         "colloc_pmi": q_colloc,
         "spell_suggest": q_spell,
@@ -2897,6 +2980,58 @@ def _hits_sql(n_iters: int = 5) -> str:
   FROM documents docs LEFT JOIN (
     SELECT e.src AS id, sum(a{k}.a) AS v FROM e
     JOIN a{k} ON a{k}.id = e.dst GROUP BY e.src
+  ) s ON s.id = docs.doc_id
+)"""
+        )
+    k = n_iters
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT a{k}.id AS doc_id,
+       round(a{k}.a * (CAST(1.0 AS DOUBLE)/(SELECT sum(a) FROM a{k})), 9) AS authority,
+       round(h{k}.h * (CAST(1.0 AS DOUBLE)/(SELECT sum(h) FROM h{k})), 9) AS hub
+FROM a{k} JOIN h{k} ON a{k}.id = h{k}.id"""
+    )
+
+
+def _salsa_sql(n_iters: int = 5) -> str:
+    """Unrolled SALSA over the q_salsa graph (same edge CTE as
+    _hits_sql): h_k(u)=Σ a_{k-1}(v)/ind(v), a_k(v)=Σ h_k(u)/od(u),
+    init a=1, single final L1 scaling as ×(1/sum)."""
+    ctes = [
+        "nn AS (SELECT count(*) AS c FROM documents)",
+        """e AS (
+  SELECT doc_id AS src, (doc_id*2+1) % (SELECT c FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*3+7) % (SELECT c FROM nn) FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*5+11) % (SELECT c FROM nn) FROM documents
+)""",
+        "od AS (SELECT src AS id, count(*) AS od FROM e GROUP BY src)",
+        "ind AS (SELECT dst AS id, count(*) AS ind FROM e GROUP BY dst)",
+        "a0 AS (SELECT doc_id AS id, CAST(1.0 AS DOUBLE) AS a FROM documents)",
+    ]
+    for k in range(1, n_iters + 1):
+        ctes.append(
+            f"""h{k} AS (
+  SELECT docs.doc_id AS id, COALESCE(s.v, CAST(0 AS DOUBLE)) AS h
+  FROM documents docs LEFT JOIN (
+    SELECT e.src AS id, sum(a{k-1}.a / ind.ind) AS v FROM e
+    JOIN a{k-1} ON a{k-1}.id = e.dst
+    JOIN ind ON ind.id = e.dst
+    GROUP BY e.src
+  ) s ON s.id = docs.doc_id
+)"""
+        )
+        ctes.append(
+            f"""a{k} AS (
+  SELECT docs.doc_id AS id, COALESCE(s.v, CAST(0 AS DOUBLE)) AS a
+  FROM documents docs LEFT JOIN (
+    SELECT e.dst AS id, sum(h{k}.h / od.od) AS v FROM e
+    JOIN h{k} ON h{k}.id = e.src
+    JOIN od ON od.id = e.src
+    GROUP BY e.dst
   ) s ON s.id = docs.doc_id
 )"""
         )
@@ -4206,6 +4341,86 @@ FROM b""",
         "link_rank": _pagerank_sql(),
         "link_rank_weighted": _pagerank_sql(weighted=True),
         "hits_rank": _hits_sql(),
+        "salsa_rank": _salsa_sql(),
+        # degree tail + Hill alpha — regrouped by degree VALUE then a
+        # degree-ordered fold: sum(cnt*ln(d/d_min)), exactly the Spark
+        # expression; alpha = 1 + n/s guarded s > 0
+        "degree_tail": """
+WITH nn AS (SELECT count(*) AS c FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id*2+1) % (SELECT c FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*3+7) % (SELECT c FROM nn) FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*5+11) % (SELECT c FROM nn) FROM documents
+),
+indeg AS (SELECT dst AS id, count(*) AS d FROM e GROUP BY dst),
+outdeg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY src),
+ih AS (SELECT d, count(*) AS cnt FROM indeg WHERE d >= 2 GROUP BY d),
+oh AS (SELECT d, count(*) AS cnt FROM outdeg WHERE d >= 2 GROUP BY d),
+ia AS (
+  SELECT coalesce(sum(cnt), 0) AS n_tail,
+         coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(CAST(cnt AS DOUBLE) * ln(CAST(d AS DOUBLE) / 2.0e0)
+                ORDER BY d)), (a, b) -> a + b), 0.0e0) AS s
+  FROM ih),
+oa AS (
+  SELECT coalesce(sum(cnt), 0) AS n_tail,
+         coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(CAST(cnt AS DOUBLE) * ln(CAST(d AS DOUBLE) / 2.0e0)
+                ORDER BY d)), (a, b) -> a + b), 0.0e0) AS s
+  FROM oh)
+SELECT 'in' AS side, n_tail,
+       round(CASE WHEN s > 0.0e0
+                  THEN 1.0e0 + CAST(n_tail AS DOUBLE) / s
+                  ELSE 0.0e0 END, 9) AS alpha
+FROM ia
+UNION ALL
+SELECT 'out', n_tail,
+       round(CASE WHEN s > 0.0e0
+                  THEN 1.0e0 + CAST(n_tail AS DOUBLE) / s
+                  ELSE 0.0e0 END, 9)
+FROM oa""",
+        # weekly cohort retention — exact ints: distinct user-week
+        # grid, per-user min week, day-diff/7 offset
+        "cohort_retention": """
+WITH act AS (
+  SELECT DISTINCT user_id AS u, CAST(date_trunc('week', ts) AS TIMESTAMP) AS w FROM events
+),
+frst AS (SELECT u, min(w) AS cw FROM act GROUP BY u)
+SELECT cw AS cohort_week,
+       CAST(floor(date_diff('day', cw, w) / 7) AS INT) AS week_offset,
+       count(DISTINCT u) AS n_users
+FROM act JOIN frst USING (u)
+GROUP BY 1, 2""",
+        # two-generation crawl diff census (fixture: %13 added later,
+        # %11 removed, %7 changed; /static/about family excluded — it
+        # collapses to one url per host)
+        "crawl_delta": f"""
+WITH u AS ({_DUCK_URL_FIXTURE_ID}),
+j AS (
+  SELECT u.doc_id, u.url, d.text
+  FROM u JOIN documents d USING (doc_id)
+  WHERE u.doc_id % 5 <> 4
+),
+old AS (SELECT url, md5(text) AS fp FROM j WHERE doc_id % 13 <> 0),
+new AS (
+  SELECT url,
+         CASE WHEN doc_id % 7 = 0 THEN md5(text || 'v2')
+              ELSE md5(text) END AS fp
+  FROM j WHERE doc_id % 11 <> 0
+),
+delta AS (
+  SELECT coalesce(o.url, n.url) AS url,
+         CASE WHEN o.fp IS NULL THEN 'added'
+              WHEN n.fp IS NULL THEN 'removed'
+              WHEN o.fp <> n.fp THEN 'changed'
+              ELSE 'same' END AS status
+  FROM old o FULL OUTER JOIN new n ON o.url = n.url
+)
+SELECT lower(split_part(substr(url, 9), '/', 1)) AS host, status,
+       count(*) AS n_urls
+FROM delta GROUP BY host, status""",
         "anchor_text": _DUCK_ANCHOR_TEXT,
         "ivf_topk": _DUCK_IVF,
         "bpe_count": (

@@ -119,3 +119,56 @@ def change_rate(
         f" greatest({MIN_DAYS_EXPR}, 1.0e0 / lambda_day))"
         " END AS recrawl_days",
     )
+
+
+def crawl_delta(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """(url, status) — crawl-over-crawl diff of two capture sets by
+    content fingerprint: 'added' (new only), 'removed' (old only),
+    'changed' (both, fingerprint differs), 'same'. The generation
+    comparison every production recrawl loop reports before deciding
+    budgets (pairs with change_rate, which estimates the per-URL rate
+    from many generations; this is the two-generation census).
+
+    ONE full-outer join on the url key — both sides shuffle on url
+    (the key the snapshot store already partitions by), statuses are
+    pure projections."""
+    o = old.select(
+        F.col(url_col).alias("url"), F.col(fp_col).alias("fp_old")
+    )
+    n = new.select(
+        F.col(url_col).alias("url"), F.col(fp_col).alias("fp_new")
+    )
+    return o.join(n, "url", "full_outer").select(
+        "url",
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+        .alias("status"),
+    )
+
+
+def delta_census(
+    old: DataFrame,
+    new: DataFrame,
+    url_col: str = "url",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """(host, status, n_urls) — crawl_delta rolled up per host: the
+    operational dashboard row ('host X churned 40% this generation').
+    Host extraction is a JVM parse_url projection; one groupBy over
+    the delta frame."""
+    d = crawl_delta(old, new, url_col, fp_col)
+    return (
+        d.select(
+            F.lower(F.parse_url(F.col("url"), F.lit("HOST"))).alias("host"),
+            "status",
+        )
+        .groupBy("host", "status")
+        .agg(F.count("*").alias("n_urls"))
+    )

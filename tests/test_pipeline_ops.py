@@ -463,3 +463,28 @@ def test_freq_spectrum_golden(spark):
     got = {r.freq: r.n_types for r in freq_spectrum(df).collect()}
     # a:3, b:2, c:2, d:1  ->  spectrum {1:1, 2:2, 3:1}
     assert got == {1: 1, 2: 2, 3: 1}
+
+
+def test_cohort_retention_hand_built(spark):
+    from searchengine_spark.operators.windows import cohort_retention
+
+    rows = [
+        # user 1: first week W0 (Mon 2024-01-01), returns W1 and W3
+        (1, "2024-01-02 10:00:00"), (1, "2024-01-09 09:00:00"),
+        (1, "2024-01-24 09:00:00"),
+        # user 2: first week W1, never returns
+        (2, "2024-01-10 00:00:00"),
+        # user 3: first week W0, two events same week (dedup to one)
+        (3, "2024-01-03 05:00:00"), (3, "2024-01-04 06:00:00"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP) AS ts"
+    )
+    got = {(str(r.cohort_week.date()), r.week_offset): r.n_users
+           for r in cohort_retention(ev).collect()}
+    assert got == {
+        ("2024-01-01", 0): 2,   # users 1 and 3 in the W0 cohort
+        ("2024-01-01", 1): 1,   # user 1 returns in W1
+        ("2024-01-01", 3): 1,   # user 1 returns in W3
+        ("2024-01-08", 0): 1,   # user 2's own cohort week
+    }

@@ -139,3 +139,30 @@ def test_prune_requires_cuckoo(spark, tmp_path):
         assert FR.recrawl_frontier(spark, io, cfg, max_age_rounds=99) == r
     finally:
         shutil.rmtree(str(tmp_path / "wh"), ignore_errors=True)
+
+
+def test_crawl_delta_statuses(spark):
+    from searchengine_spark.operators.recrawl import crawl_delta, delta_census
+
+    old = spark.createDataFrame(
+        [("https://a.test/1", "f1"), ("https://a.test/2", "f2"),
+         ("https://b.test/1", "f3")],
+        "url string, fp string",
+    )
+    new = spark.createDataFrame(
+        [("https://a.test/1", "f1"),        # same
+         ("https://a.test/2", "CHANGED"),   # changed
+         ("https://b.test/9", "f9")],       # added; b.test/1 removed
+        "url string, fp string",
+    )
+    got = {r.url: r.status for r in crawl_delta(old, new).collect()}
+    assert got == {
+        "https://a.test/1": "same",
+        "https://a.test/2": "changed",
+        "https://b.test/1": "removed",
+        "https://b.test/9": "added",
+    }
+    cen = {(r.host, r.status): r.n_urls
+           for r in delta_census(old, new).collect()}
+    assert cen == {("a.test", "same"): 1, ("a.test", "changed"): 1,
+                   ("b.test", "removed"): 1, ("b.test", "added"): 1}
