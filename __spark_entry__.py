@@ -760,6 +760,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w = RK.bm25_table(_docs(spark, sf))
         return _r(RK.bm25_search(w, _BM25_TERMS, k=10), "score")
 
+    def q_soft404(spark, sf):
+        # content-signal soft-404 gate over a deterministically injected
+        # fixture: %29 docs become short cue-phrase error pages (flag),
+        # %31 docs get a cue appended to long text (no flag — length
+        # guard), everything else clean
+        d = F.col("doc_id")
+        docs = _docs(spark, sf).select(
+            "doc_id",
+            F.when(
+                d % 29 == 0,
+                F.lit(
+                    "Error 404 Not Found. The page you requested "
+                    "does not exist."
+                ),
+            )
+            .when(d % 31 == 0, F.concat(F.col("text"), F.lit(" page not found")))
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        return TS.soft404_scores(docs)
+
+    def q_rake(spark, sf):
+        # RAKE keyword phrases: stopword-delimited runs, degree/freq
+        # word scores, position-ordered phrase-score folds, per-doc
+        # top-3 window — every key doc_id-prefixed, no global ordering
+        return _r(PX.rake_keywords(_docs(spark, sf), k=3), "score")
+
     def q_salsa(spark, sf):
         # SALSA (degree-normalized HITS — the TKC fix; Twitter-WTF
         # power-iterated form) over the same deterministic graph as
@@ -1779,6 +1806,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_pairs": q_cosine_pairs,
         "salsa_rank": q_salsa,
         "degree_tail": q_degree_tail,
+        "soft404": q_soft404,
+        "rake_keywords": q_rake,
         "cohort_retention": q_cohort,
         "crawl_delta": q_crawl_delta,
         "phrase_query": q_phrase,
@@ -2993,6 +3022,93 @@ SELECT a{k}.id AS doc_id,
        round(h{k}.h * (CAST(1.0 AS DOUBLE)/(SELECT sum(h) FROM h{k})), 9) AS hub
 FROM a{k} JOIN h{k} ON a{k}.id = h{k}.id"""
     )
+
+
+def _duck_soft404() -> str:
+    """Soft-404 oracle — the q_soft404 fixture CASE, then the same cue
+    contains() sum + token-count gate as textstats.soft404_scores
+    (phrases/min imported, single-sourced)."""
+    from searchengine_spark.operators.textstats import (
+        SOFT404_MIN_TOKENS,
+        SOFT404_PHRASES,
+    )
+
+    cues = " + ".join(
+        f"CASE WHEN contains(lower(text), '{p}') THEN 1 ELSE 0 END"
+        for p in SOFT404_PHRASES
+    )
+    return f"""
+WITH fx AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 29 = 0
+              THEN 'Error 404 Not Found. The page you requested does not exist.'
+              WHEN doc_id % 31 = 0 THEN text || ' page not found'
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len({_duck_tl("text")}) AS BIGINT) AS n_tokens,
+       CAST({cues} AS BIGINT) AS n_cues,
+       ({cues}) > 0 AND len({_duck_tl("text")}) < {SOFT404_MIN_TOKENS}
+         AS is_soft404
+FROM fx"""
+
+
+def _duck_rake(k: int, max_phrase: int) -> str:
+    """RAKE oracle — mirrors positional.rake_keywords: running-stopword
+    window segmentation, exact-int degree/freq, position-ordered
+    phrase-score folds, (score DESC, phrase ASC) top-k. MATERIALIZED
+    CTEs (the lm_trigram lesson: DuckDB inlines unnest CTEs into
+    multi-join plans and blows up)."""
+    from searchengine_spark.operators.textstats import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return f"""
+WITH toks AS MATERIALIZED (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+tp AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(range(len(tl)),
+                i -> struct_pack(pos := i, token := tl[i + 1])),
+                recursive := true)
+  FROM toks WHERE len(tl) >= 1
+),
+seg AS MATERIALIZED (
+  SELECT doc_id, pos, token, grp FROM (
+    SELECT doc_id, pos, token, token IN ({stops}) AS is_stop,
+           sum(CASE WHEN token IN ({stops}) THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+    FROM tp
+  ) WHERE NOT is_stop
+),
+plen AS (SELECT doc_id, grp, count(*) AS plen FROM seg GROUP BY doc_id, grp),
+member AS MATERIALIZED (
+  SELECT seg.doc_id, seg.grp, seg.pos, seg.token, plen.plen
+  FROM seg JOIN plen USING (doc_id, grp) WHERE plen <= {max_phrase}
+),
+wstat AS (
+  SELECT doc_id, token, count(*) AS freq, sum(plen) AS degree
+  FROM member GROUP BY doc_id, token
+),
+scored AS (
+  SELECT m.doc_id, m.grp, m.pos,
+         CAST(degree AS DOUBLE) / freq AS ratio, m.token
+  FROM member m JOIN wstat USING (doc_id, token)
+),
+ph AS (
+  SELECT doc_id, grp,
+         string_agg(token, ' ' ORDER BY pos) AS phrase,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                     list(ratio ORDER BY pos)), (a, b) -> a + b) AS score
+  FROM scored GROUP BY doc_id, grp
+),
+uq AS (SELECT DISTINCT doc_id, phrase, score FROM ph),
+rk AS (
+  SELECT doc_id, phrase, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, phrase ASC) AS r
+  FROM uq
+)
+SELECT doc_id, phrase, round(score, 9) AS score FROM rk WHERE r <= {k}"""
 
 
 def _salsa_sql(n_iters: int = 5) -> str:
@@ -4342,6 +4458,14 @@ FROM b""",
         "link_rank_weighted": _pagerank_sql(weighted=True),
         "hits_rank": _hits_sql(),
         "salsa_rank": _salsa_sql(),
+        # soft-404 content gate over the injected fixture — one
+        # contains() per cue phrase, token count from the normative
+        # tokenizer, flag = cues AND short
+        "soft404": _duck_soft404(),
+        # RAKE top-3 phrases per doc — stopword-boundary segmentation
+        # via a per-doc running-sum window, exact-int word stats,
+        # position-ordered phrase folds
+        "rake_keywords": _duck_rake(k=3, max_phrase=4),
         # degree tail + Hill alpha — regrouped by degree VALUE then a
         # degree-ordered fold: sum(cnt*ln(d/d_min)), exactly the Spark
         # expression; alpha = 1 + n/s guarded s > 0

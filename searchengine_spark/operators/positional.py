@@ -448,3 +448,83 @@ def best_passage(
         "w -> w.start)) AS INT) AS start_pos",
         "CAST(best_n AS INT) AS n_terms",
     )
+
+
+# ---- RAKE keyword phrases ----------------------------------------------
+
+
+def rake_keywords(
+    documents: DataFrame,
+    k: int = 3,
+    max_phrase: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, phrase, score) — top-k RAKE keyword phrases per doc
+    (Rose, Engel, Cramer & Cowley 2010 "Rapid Automatic Keyword
+    Extraction"): candidate phrases are maximal stopword-delimited
+    token runs (≤ max_phrase words), word score = degree/frequency
+    over phrase co-occurrence, phrase score = Σ member word scores.
+    The phrase-level sibling of textrank (graph walk) — RAKE is the
+    degenerate one-pass statistic every tag-generation pipeline starts
+    from.
+
+    Stopword boundaries come from textstats.STOPWORDS['en'] (the
+    repo's fixed heuristic list; the tokenizer already removed
+    punctuation boundaries).
+
+    Determinism: freq/degree are exact ints; word score is one
+    division; the phrase score folds member ratios in position order —
+    bit-reproducible, hash-oracled.
+
+    Scale shape (100 TB): phrase segmentation is ONE per-doc window
+    (running stopword count, partitioned by doc_id — bounded by doc
+    length, never corpus-wide); both stats aggregates and the top-k
+    window key on doc_id-prefixed keys, so no hot keys and no global
+    ordering anywhere.
+    """
+    from searchengine_spark.operators.textstats import STOPWORDS
+    from pyspark.sql import Window
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    toks = doc_tokens(documents, id_col, text_col).filter(F.col("n_terms") > 0)
+    tp = toks.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "token")
+    ).withColumn("is_stop", F.expr(f"token IN ({stops})"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    seg = (
+        tp.withColumn("grp", F.sum(F.col("is_stop").cast("int")).over(w))
+        .filter(~F.col("is_stop"))
+        .select("doc_id", "grp", "pos", "token")
+    )
+    plen = seg.groupBy("doc_id", "grp").agg(F.count("*").alias("plen"))
+    member = seg.join(plen, ["doc_id", "grp"]).filter(
+        F.col("plen") <= max_phrase
+    )
+    wstat = member.groupBy("doc_id", "token").agg(
+        F.count("*").alias("freq"), F.sum("plen").alias("degree")
+    )
+    scored = member.join(wstat, ["doc_id", "token"]).select(
+        "doc_id",
+        "grp",
+        "pos",
+        "token",
+        (F.col("degree").cast("double") / F.col("freq")).alias("ratio"),
+    )
+    phrases = scored.groupBy("doc_id", "grp").agg(
+        F.expr("array_join(transform(sort_array(collect_list("
+               "struct(pos, token))), s -> s.token), ' ')").alias("phrase"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(pos, ratio AS v))), "
+            "0.0D, (a, s) -> a + s.v)"
+        ).alias("score"),
+    )
+    uniq = phrases.select("doc_id", "phrase", "score").distinct()
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("phrase").asc()
+    )
+    return (
+        uniq.withColumn("_r", F.row_number().over(rk))
+        .filter(F.col("_r") <= k)
+        .drop("_r")
+    )

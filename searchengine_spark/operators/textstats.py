@@ -647,3 +647,57 @@ def lm_score_trigram(
             "AS avg_logprob",
         )
     )
+
+
+# Soft-404 phrase cues — the published heuristic vocabulary (Bar-Yossef
+# et al. WWW 2004 "Sic transit gloria telae" classify soft 404s by
+# content signals; these cue phrases are the standard feature set).
+SOFT404_PHRASES: tuple[str, ...] = (
+    "page not found",
+    "404 not found",
+    "404 error",
+    "no longer available",
+    "does not exist",
+    "page cannot be found",
+    "page you requested",
+    "moved permanently",
+)
+SOFT404_MIN_TOKENS = 20
+
+
+def soft404_scores(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = SOFT404_MIN_TOKENS,
+) -> DataFrame:
+    """(doc_id, n_tokens, n_cues, is_soft404) — content-signal soft-404
+    detection: pages that answer HTTP 200 but are really error pages
+    (Bar-Yossef et al. WWW 2004 measured ~25% of dead links hide
+    behind them; every production crawler gates on this or pollutes
+    its index with 'Page Not Found' documents).
+
+    A page is flagged when it carries ≥ 1 cue phrase AND is short
+    (< min_tokens tokens) — the two signals the paper found dominant;
+    either alone over-fires (news articles ABOUT 404s; legitimately
+    short pages).
+
+    Pure per-row Column expressions: ONE lowercased contains() per cue
+    (codegen'd, no regex backtracking, no UDF) + the tokenizer's
+    size() — zero shuffles; the gate composes into the fetch loop the
+    same way the status-code gate (P5) does, but on content.
+    """
+    low = F.lower(F.col(text_col))
+    n_cues = None
+    for p in SOFT404_PHRASES:
+        c = F.when(F.contains(low, F.lit(p)), F.lit(1)).otherwise(F.lit(0))
+        n_cues = c if n_cues is None else n_cues + c
+    n_tokens = F.size(F.expr(tokens_sql(text_col)))
+    return documents.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.cast("long").alias("n_tokens"),
+        n_cues.cast("long").alias("n_cues"),
+        (
+            (n_cues > 0) & (n_tokens < min_tokens)
+        ).alias("is_soft404"),
+    )

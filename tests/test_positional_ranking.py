@@ -476,3 +476,43 @@ def test_symspell_shared_variant_is_superset_of_lev2():
     for a, b in itertools.combinations(words, 2):
         if _brute_lev(a, b) <= 2:
             assert py_variants(a) & py_variants(b), (a, b)
+
+
+def test_rake_hand_computed(spark):
+    from searchengine_spark.operators.positional import rake_keywords
+
+    # stopwords from STOPWORDS['en'] include: the, and, of, is, it
+    text = "deep learning is the neural network model and deep model"
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    out = {r.phrase: r.score for r in
+           rake_keywords(df, k=10).collect()}
+    # phrases: "deep learning", "neural network model", "deep model"
+    # freq: deep 2, learning 1, neural 1, network 1, model 2
+    # degree: deep 2+2=4, learning 2, neural 3, network 3, model 3+2=5
+    r = {"deep": 4 / 2, "learning": 2 / 1, "neural": 3 / 1,
+         "network": 3 / 1, "model": 5 / 2}
+    exp = {
+        "deep learning": r["deep"] + r["learning"],
+        "neural network model": r["neural"] + r["network"] + r["model"],
+        "deep model": r["deep"] + r["model"],
+    }
+    assert set(out) == set(exp)
+    for p, s in exp.items():
+        assert abs(out[p] - s) < 1e-12
+
+
+def test_rake_max_phrase_and_topk(spark):
+    from searchengine_spark.operators.positional import rake_keywords
+
+    # a 5-word run exceeds max_phrase=4 and must be dropped entirely
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon and zeta")],
+        "doc_id long, text string",
+    )
+    out = [r.phrase for r in rake_keywords(df, k=10, max_phrase=4).collect()]
+    assert out == ["zeta"]
+    # k truncation: craft 3 phrases, ask for 2
+    df2 = spark.createDataFrame(
+        [(1, "aa bb and cc dd and ee")], "doc_id long, text string"
+    )
+    assert rake_keywords(df2, k=2).count() == 2

@@ -96,3 +96,22 @@ def test_semdedup_matches_bruteforce(spark):
         assert pruned_b == expect, (b, pruned_b, expect)
     # tight groups must actually collapse: ≥1 pruned vector exists
     assert any(p for _, p in got.values())
+
+
+def test_soft404_gate(spark):
+    from searchengine_spark.operators.textstats import soft404_scores
+
+    rows = [
+        (0, "404 Not Found - the page you requested does not exist"),
+        (1, "long article about error handling " * 10
+            + " it mentions page not found once"),   # cue but long
+        (2, "tiny page"),                            # short but no cue
+        (3, "an ordinary document with plenty of words " * 5),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_cues, r.is_soft404)
+           for r in soft404_scores(df).collect()}
+    assert got[0][0] >= 2 and got[0][1] is True
+    assert got[1][0] == 1 and got[1][1] is False   # length guard holds
+    assert got[2] == (0, False)
+    assert got[3] == (0, False)
