@@ -760,6 +760,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w = RK.bm25_table(_docs(spark, sf))
         return _r(RK.bm25_search(w, _BM25_TERMS, k=10), "score")
 
+    def q_harmonic(spark, sf):
+        # seed-set harmonic centrality (Boldi-Vigna): frontier-only
+        # per-seed BFS (levels join only the previous frontier), 1/d
+        # folded in seed order; recursive-CTE oracle
+        from searchengine_spark.operators import linkrank as LR
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        seeds = docs.filter(F.col("doc_id") % 97 == 0).select(
+            F.col("doc_id").alias("id")
+        )
+        hc = LR.harmonic_centrality(edges, seeds, max_depth=6)
+        return _r(
+            hc.select(F.col("id").alias("doc_id"), "harmonic"), "harmonic"
+        )
+
+    def q_cdc_chunks(spark, sf):
+        # token-level content-defined chunking (Rabin/FastCDC boundary
+        # rule on the md5-60bit rolling window): per-row array exprs
+        # only — zero shuffle; chunk identity re-syncs after edits
+        return TD.cdc_chunks(_docs(spark, sf), w=4, divisor=16)
+
     def q_soft404(spark, sf):
         # content-signal soft-404 gate over a deterministically injected
         # fixture: %29 docs become short cue-phrase error pages (flag),
@@ -1808,6 +1838,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_tail": q_degree_tail,
         "soft404": q_soft404,
         "rake_keywords": q_rake,
+        "harmonic": q_harmonic,
+        "cdc_chunks": q_cdc_chunks,
         "cohort_retention": q_cohort,
         "crawl_delta": q_crawl_delta,
         "phrase_query": q_phrase,
@@ -4466,6 +4498,61 @@ FROM b""",
         # via a per-doc running-sum window, exact-int word stats,
         # position-ordered phrase folds
         "rake_keywords": _duck_rake(k=3, max_phrase=4),
+        # seed-set harmonic centrality — recursive CTE min-distance
+        # (the crawl_depth oracle generalized to carry the seed), 1/d
+        # folded in seed order
+        "harmonic": """
+WITH RECURSIVE nn AS (SELECT count(*) AS c FROM documents),
+e AS (
+  SELECT doc_id AS src, (doc_id*2+1) % (SELECT c FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*3+7) % (SELECT c FROM nn) FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*5+11) % (SELECT c FROM nn) FROM documents
+),
+r AS (
+  SELECT doc_id AS seed, doc_id AS id, CAST(0 AS BIGINT) AS d
+  FROM documents WHERE doc_id % 97 = 0
+  UNION
+  SELECT r.seed, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.id
+  WHERE r.d < 6
+),
+dist AS (SELECT seed, id, min(d) AS d FROM r GROUP BY seed, id),
+h AS (
+  SELECT id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(CAST(1.0 AS DOUBLE) / CAST(d AS DOUBLE) ORDER BY seed)),
+           (a, b) -> a + b) AS harmonic
+  FROM dist WHERE d > 0 GROUP BY id
+)
+SELECT id AS doc_id, round(harmonic, 9) AS harmonic FROM h""",
+        # CDC chunking — identical per-row list logic: md5-60bit rolling
+        # window boundary rule, prepend-0 starts, slice + md5 per chunk
+        "cdc_chunks": f"""
+WITH toks0 AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+toks AS MATERIALIZED (SELECT doc_id, tl FROM toks0 WHERE len(tl) > 0),
+bsx AS MATERIALIZED (
+  SELECT doc_id, tl,
+    list_transform(range(len(tl)), p ->
+      CASE WHEN p >= 3 AND p < len(tl) - 1
+           AND {_duck_h60("array_to_string(list_slice(tl, p - 2, p + 1), ' ')")} % 16 = 0
+           THEN 1 ELSE 0 END) AS bs
+  FROM toks
+),
+st AS MATERIALIZED (
+  SELECT doc_id, tl,
+    list_prepend(0, list_transform(
+      list_filter(range(len(tl)), i -> bs[i + 1] = 1), i -> i + 1)) AS ss
+  FROM bsx
+)
+SELECT doc_id,
+  unnest(list_transform(range(len(ss)), c -> struct_pack(
+    chunk_ix := CAST(c AS BIGINT),
+    n_tokens := CAST(coalesce(ss[c + 2], len(tl)) - ss[c + 1] AS BIGINT),
+    chunk_md5 := md5(array_to_string(
+      list_slice(tl, ss[c + 1] + 1, coalesce(ss[c + 2], len(tl))), ' ')))),
+    recursive := true)
+FROM st""",
         # degree tail + Hill alpha — regrouped by degree VALUE then a
         # degree-ordered fold: sum(cnt*ln(d/d_min)), exactly the Spark
         # expression; alpha = 1 + n/s guarded s > 0

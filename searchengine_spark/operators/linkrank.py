@@ -511,3 +511,57 @@ def salsa(
     e.unpersist()
     vertices.unpersist()
     return out
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_depth: int = 6,
+) -> DataFrame:
+    """(id, harmonic) — seed-set harmonic centrality: for every node
+    reachable from the seed set, Σ_{s ∈ seeds, d(s,v) > 0} 1/d(s,v)
+    (Boldi & Vigna "Axioms for centrality" — harmonic is the closeness
+    variant that stays meaningful on disconnected web graphs, where
+    unreachable pairs contribute 0 instead of poisoning the mean).
+    Exact closeness over the full vertex set is O(n·m); seeding from a
+    small trusted set is the practical web form (the TrustRank-style
+    seed discipline applied to distance centrality).
+
+    seeds: a frame with column `id`. Distances come from a per-seed
+    frontier BFS — level k joins ONLY the previous level's frontier
+    against the edge list (never the whole visited set), anti-joins
+    the (seed, node) pairs already seen, and hands generations off via
+    eager localCheckpoint (the pagerank/crawl_depth discipline).
+    Driver traffic: one bounded count per level.
+
+    Determinism: distances are exact ints; the per-node sum folds
+    1/d in seed order — bit-reproducible."""
+    frontier = seeds.select(
+        F.col("id").alias("seed"), F.col("id").alias("node")
+    ).withColumn("d", F.lit(0).cast("long")).localCheckpoint(eager=True)
+    best = frontier
+    for depth in range(1, max_depth + 1):
+        frontier = (
+            frontier.join(
+                edges.select(F.col("src").alias("node"), "dst"), "node"
+            )
+            .select("seed", F.col("dst").alias("node"))
+            .distinct()
+            .join(best.select("seed", "node"), ["seed", "node"], "left_anti")
+            .withColumn("d", F.lit(depth).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if frontier.count() == 0:
+            break
+        best = best.unionByName(frontier).localCheckpoint(eager=True)
+    return (
+        best.filter(F.col("d") > 0)
+        .groupBy(F.col("node").alias("id"))
+        .agg(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(seed, "
+                "CAST(1.0 AS DOUBLE) / CAST(d AS DOUBLE) AS v))), 0.0D, "
+                "(a, s) -> a + s.v)"
+            ).alias("harmonic")
+        )
+    )

@@ -536,3 +536,81 @@ def curate(
             "q AS quality",
         )
     )
+
+
+# ---- content-defined chunking ------------------------------------------
+
+
+def cdc_chunks(
+    documents: DataFrame,
+    w: int = 4,
+    divisor: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, chunk_ix, n_tokens, chunk_md5) — token-level
+    content-defined chunking: a chunk boundary falls AFTER token i
+    whenever the rolling w-token window hash satisfies
+    h(t_{i-w+1..i}) % divisor == 0 (the Rabin/FastCDC boundary rule,
+    public spec, applied at token granularity). Expected chunk length
+    ≈ divisor tokens.
+
+    This is the storage-dedup primitive fixed-size blocks can't give:
+    inserting a token early in a page shifts every downstream
+    fixed-size block, but CDC boundaries depend only on LOCAL window
+    content, so chunk identity re-synchronizes within ~w tokens and a
+    recrawl's unchanged tail deduplicates against the previous
+    generation (tested: a head-insert changes O(1) chunks). Pair the
+    chunk_md5 census with exact_dedup for generation-spanning storage
+    dedup of WARC text.
+
+    Scale shape (100 TB): boundary detection, chunk assignment and
+    chunk hashing are ALL per-row array expressions (transform /
+    filter / slice over the token list) — zero shuffle, codegen'd,
+    embarrassingly parallel; only the per-chunk output rows (corpus
+    tokens / divisor) ever leave the row. The rolling hash reuses the
+    repo's md5-60bit idiom (winnow.py), so the DuckDB oracle is
+    bit-exact."""
+    toks = tokens_sql(text_col)
+    # boundary flags: b[i] = 1 if a boundary falls after token i
+    # (positions 0-based; windows need i >= w-1; the last position is
+    # never a boundary — the final chunk always closes at doc end)
+    h = (
+        f"CAST(conv(substring(md5(array_join(slice(ts, i - {w} + 2, {w}), "
+        f"' ')), 1, 15), 16, 10) AS BIGINT)"
+    )
+    return (
+        documents.selectExpr(f"{id_col} AS doc_id", f"{toks} AS ts")
+        .where("size(ts) > 0")
+        .selectExpr(
+            "doc_id",
+            "ts",
+            f"transform(sequence(0, size(ts) - 1), i -> "
+            f"CASE WHEN i >= {w} - 1 AND i < size(ts) - 1 "
+            f"AND {h} % {divisor} = 0 THEN 1 ELSE 0 END) AS bs",
+        )
+        .selectExpr(
+            "doc_id",
+            "ts",
+            "bs",
+            # starts[c] = 0-based start of chunk c; boundary after i
+            # opens a chunk at i+1
+            "array_union(array(0), transform(filter(sequence(0, "
+            "size(ts) - 1), i -> get(bs, i) = 1), i -> i + 1)) AS starts",
+        )
+        .selectExpr(
+            "doc_id",
+            "posexplode(transform(starts, (s, c) -> struct("
+            "CAST(coalesce(get(starts, c + 1), size(ts)) - s AS BIGINT)"
+            " AS n_tokens, "
+            "md5(array_join(slice(ts, s + 1, "
+            "coalesce(get(starts, c + 1), size(ts)) - s), ' '))"
+            " AS chunk_md5))) AS (chunk_ix, ch)",
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(chunk_ix AS BIGINT) AS chunk_ix",
+            "ch.n_tokens AS n_tokens",
+            "ch.chunk_md5 AS chunk_md5",
+        )
+    )

@@ -249,3 +249,32 @@ def test_salsa_empty_and_isolated(spark):
     got = {r.id: (r.authority, r.hub) for r in salsa(edges, verts, 3).collect()}
     assert got[2] == (0.0, 0.0)  # isolated vertex holds zero on both sides
     assert got[1][0] == 1.0 and got[0][1] == 1.0
+
+
+def test_harmonic_centrality_path_graph(spark):
+    from searchengine_spark.operators.linkrank import harmonic_centrality
+
+    # path 0 -> 1 -> 2 -> 3, seeds {0, 2}
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (2,)], "id long")
+    got = {r.id: r.harmonic for r in
+           harmonic_centrality(edges, seeds, max_depth=5).collect()}
+    # d(0,1)=1; d(0,2)=2; d(0,3)=3; d(2,3)=1; seeds at d=0 excluded
+    assert abs(got[1] - 1.0) < 1e-12
+    assert abs(got[2] - 1 / 2) < 1e-12
+    assert abs(got[3] - (1 / 3 + 1.0)) < 1e-12
+    assert 0 not in got  # no seed reaches node 0
+
+
+def test_harmonic_centrality_depth_cap(spark):
+    from searchengine_spark.operators.linkrank import harmonic_centrality
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,)], "id long")
+    got = {r.id: r.harmonic for r in
+           harmonic_centrality(edges, seeds, max_depth=2).collect()}
+    assert set(got) == {1, 2}  # nodes past depth 2 are not explored

@@ -284,3 +284,46 @@ def test_dict_size_window_is_partitioned(spark, sf_dir):
         .toString()
     )
     assert "SinglePartition" not in plan  # block-partitioned lag only
+
+
+def test_cdc_chunks_partition_and_resync(spark):
+    from searchengine_spark.operators.traindata import cdc_chunks
+
+    base = " ".join(f"w{i % 53}q{i % 7}" for i in range(200))
+    ins = "inserted0 " + base  # head-insert
+    df = spark.createDataFrame(
+        [(0, base), (1, ins), (2, "tiny doc")], "doc_id long, text string"
+    )
+    rows = cdc_chunks(df, w=4, divisor=16).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_ix)
+        # chunks tile the doc: indices dense from 0, token counts
+        # conserved
+        assert [r.chunk_ix for r in rs] == list(range(len(rs)))
+        assert all(r.n_tokens > 0 for r in rs)
+    n0 = sum(r.n_tokens for r in by_doc[0])
+    n1 = sum(r.n_tokens for r in by_doc[1])
+    assert n1 == n0 + 1 and n0 == 200
+    assert len(by_doc[2]) == 1  # short doc = one chunk
+    # CDC resync: the head edit perturbs only a bounded prefix — the
+    # overwhelming majority of chunk hashes are shared
+    a = {r.chunk_md5 for r in by_doc[0]}
+    b = {r.chunk_md5 for r in by_doc[1]}
+    assert len(a & b) >= len(a) - 2
+
+
+def test_cdc_chunks_deterministic_boundaries(spark):
+    from searchengine_spark.operators.traindata import cdc_chunks
+
+    text = " ".join(f"t{i % 31}" for i in range(100))
+    df = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    a = sorted(map(tuple, cdc_chunks(df).collect()))
+    b = sorted(map(tuple, cdc_chunks(df).collect()))
+    assert a == b
+    # same content under a different doc_id gives identical chunk hashes
+    df2 = spark.createDataFrame([(9, text)], "doc_id long, text string")
+    c = [t[1:] for t in sorted(map(tuple, cdc_chunks(df2).collect()))]
+    assert c == [t[1:] for t in a]
