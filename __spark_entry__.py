@@ -760,6 +760,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w = RK.bm25_table(_docs(spark, sf))
         return _r(RK.bm25_search(w, _BM25_TERMS, k=10), "score")
 
+    def _directive_pages(spark, sf):
+        # deterministic html fixture exercising every directive branch:
+        # %7==0 noindex+nofollow, %7==3 noindex only, %5==0 canonical
+        # (rel-first attr order), %5==2 canonical (href-first order)
+        d = F.col("doc_id")
+        docs = _docs(spark, sf)
+        ch = F.concat(
+            F.lit("https://h"), (d % 16).cast("string"),
+            F.lit(".test/canon/"), (d % 50).cast("string"),
+        )
+        meta = (
+            F.when(
+                d % 7 == 0,
+                F.lit('<meta name="robots" content="noindex,nofollow">'),
+            )
+            .when(d % 7 == 3, F.lit('<meta name="robots" content="noindex">'))
+            .otherwise(F.lit(""))
+        )
+        link = (
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit('<link rel="canonical" href="'), ch,
+                         F.lit('">')),
+            )
+            .when(
+                d % 5 == 2,
+                F.concat(F.lit('<link href="'), ch,
+                         F.lit('" rel="canonical">')),
+            )
+            .otherwise(F.lit(""))
+        )
+        return docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("<html><head>"), meta, link,
+                F.lit("<title>T"), d.cast("string"),
+                F.lit("</title></head><body>"),
+                F.substring(F.col("text"), 1, 200),
+                F.lit("</body></html>"),
+            ).alias("html"),
+        )
+
+    def q_directives(spark, sf):
+        # page-level REP: meta-robots noindex/nofollow flags +
+        # rel=canonical extraction (both attribute orders) — one
+        # case-insensitive RE2-safe regexp projection per signal
+        from searchengine_spark.operators import directives as DV
+
+        return DV.page_directives(_directive_pages(spark, sf))
+
+    def q_canonical_census(spark, sf):
+        # canonical consolidation census: pages grouped by their
+        # rel=canonical target (own url when none) — the pre-dedup
+        # parameter-family collapse
+        from searchengine_spark.operators import directives as DV
+        from searchengine_spark.operators import urlmining as UM
+
+        pages = _directive_pages(spark, sf).join(
+            UM.url_fixture(_docs(spark, sf)), "doc_id"
+        )
+        return DV.canonical_census(pages)
+
+    def q_stopwords(spark, sf):
+        # corpus-statistical stopword induction (Luhn upper cut):
+        # top-20 by collection frequency with df + token-mass coverage
+        return _r(TS.stopword_census(_docs(spark, sf), k=20), "coverage")
+
     def q_harmonic(spark, sf):
         # seed-set harmonic centrality (Boldi-Vigna): frontier-only
         # per-seed BFS (levels join only the previous frontier), 1/d
@@ -1840,6 +1907,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rake_keywords": q_rake,
         "harmonic": q_harmonic,
         "cdc_chunks": q_cdc_chunks,
+        "page_directives": q_directives,
+        "canonical_census": q_canonical_census,
+        "stopword_census": q_stopwords,
         "cohort_retention": q_cohort,
         "crawl_delta": q_crawl_delta,
         "phrase_query": q_phrase,
@@ -3141,6 +3211,69 @@ rk AS (
   FROM uq
 )
 SELECT doc_id, phrase, round(score, 9) AS score FROM rk WHERE r <= {k}"""
+
+
+_DUCK_DIRECTIVE_FX = """
+dfx AS (
+  SELECT doc_id,
+    '<html><head>' ||
+    CASE WHEN doc_id % 7 = 0
+         THEN '<meta name="robots" content="noindex,nofollow">'
+         WHEN doc_id % 7 = 3
+         THEN '<meta name="robots" content="noindex">'
+         ELSE '' END ||
+    CASE WHEN doc_id % 5 = 0
+         THEN '<link rel="canonical" href="' || ch || '">'
+         WHEN doc_id % 5 = 2
+         THEN '<link href="' || ch || '" rel="canonical">'
+         ELSE '' END ||
+    '<title>T' || CAST(doc_id AS VARCHAR) || '</title></head><body>' ||
+    substring(text, 1, 200) || '</body></html>' AS html
+  FROM (
+    SELECT doc_id, text,
+           'https://h' || CAST(doc_id % 16 AS VARCHAR) || '.test/canon/'
+             || CAST(doc_id % 50 AS VARCHAR) AS ch
+    FROM documents
+  )
+)"""
+
+
+def _duck_directives() -> str:
+    from searchengine_spark.operators.directives import (
+        _CANON_HR,
+        _CANON_RL,
+        _NOFOLLOW,
+        _NOINDEX,
+    )
+
+    return f"""
+WITH {_DUCK_DIRECTIVE_FX}
+SELECT doc_id,
+       regexp_matches(html, '{_NOINDEX}') AS noindex,
+       regexp_matches(html, '{_NOFOLLOW}') AS nofollow,
+       coalesce(nullif(regexp_extract(html, '{_CANON_RL}', 1), ''),
+                nullif(regexp_extract(html, '{_CANON_HR}', 1), ''))
+         AS canonical_url
+FROM dfx"""
+
+
+def _duck_canonical_census() -> str:
+    from searchengine_spark.operators.directives import _CANON_HR, _CANON_RL
+
+    return f"""
+WITH {_DUCK_DIRECTIVE_FX},
+u AS ({_DUCK_URL_FIXTURE_ID}),
+dd AS (
+  SELECT doc_id,
+         coalesce(nullif(regexp_extract(html, '{_CANON_RL}', 1), ''),
+                  nullif(regexp_extract(html, '{_CANON_HR}', 1), ''))
+           AS canonical_url
+  FROM dfx
+)
+SELECT coalesce(dd.canonical_url, u.url) AS target_url,
+       count(*) AS n_pages
+FROM dd JOIN u USING (doc_id)
+GROUP BY 1"""
 
 
 def _salsa_sql(n_iters: int = 5) -> str:
@@ -4498,6 +4631,24 @@ FROM b""",
         # via a per-doc running-sum window, exact-int word stats,
         # position-ordered phrase folds
         "rake_keywords": _duck_rake(k=3, max_phrase=4),
+        # page-level REP directives over the q_directives html fixture —
+        # identical RE2 regexes (patterns single-sourced from the
+        # operator module), nullif('') both engines
+        "page_directives": _duck_directives(),
+        "canonical_census": _duck_canonical_census(),
+        # stopword induction — dictionary cf/df + coverage ratio,
+        # (cf DESC, token ASC) top-20
+        "stopword_census": f"""
+WITH {_DUCK_TOKENS},
+st AS (
+  SELECT token, count(*) AS cf, count(DISTINCT doc_id) AS df
+  FROM tok2 GROUP BY token
+),
+tt AS (SELECT count(*) AS t FROM tok2)
+SELECT token, cf, df,
+       round(CAST(cf AS DOUBLE) / CAST((SELECT t FROM tt) AS DOUBLE), 9)
+         AS coverage
+FROM st ORDER BY cf DESC, token ASC LIMIT 20""",
         # seed-set harmonic centrality — recursive CTE min-distance
         # (the crawl_depth oracle generalized to carry the seed), 1/d
         # folded in seed order

@@ -701,3 +701,47 @@ def soft404_scores(
             (n_cues > 0) & (n_tokens < min_tokens)
         ).alias("is_soft404"),
     )
+
+
+def stopword_census(
+    documents: DataFrame,
+    k: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, cf, df, coverage) — corpus-statistical stopword
+    induction: the top-k tokens by collection frequency with their
+    document frequency and token-mass coverage cf/|C| (Luhn's classic
+    upper-cut; IIR ch.2 builds stop lists exactly this way instead of
+    shipping a fixed one — essential for non-English / domain corpora
+    where a canned list misses everything).
+
+    The ranking an engine uses to pick its MaxScore stopword tier and
+    its df-cut thresholds from data. Exact ints + one ratio; ONE
+    (token) aggregate the dictionary already pays + a top-k TakeOrdered
+    — no global sort."""
+    toks = tokens_sql(text_col)
+    ex = documents.selectExpr(
+        f"{id_col} AS doc_id", f"explode({toks}) AS token"
+    )
+    stats = ex.groupBy("token").agg(
+        F.count("*").alias("cf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    total = ex.count()
+    if total == 0:
+        return documents.sparkSession.createDataFrame(
+            [], "token string, cf long, df long, coverage double"
+        )
+    return (
+        stats.select(
+            "token",
+            "cf",
+            "df",
+            (F.col("cf").cast("double") / F.lit(float(total))).alias(
+                "coverage"
+            ),
+        )
+        .orderBy(F.col("cf").desc(), F.col("token").asc())
+        .limit(k)
+    )
