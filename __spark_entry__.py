@@ -760,6 +760,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w = RK.bm25_table(_docs(spark, sf))
         return _r(RK.bm25_search(w, _BM25_TERMS, k=10), "score")
 
+    def q_anf(spark, sf):
+        # HyperANF: per-node |ball(v, 3)| estimate via iterated HLL
+        # register max-merges (order-free exact ints; the one float is
+        # the shared hll_estimate_registers arithmetic)
+        from searchengine_spark.operators import graphstats as GS
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        out = GS.anf(
+            edges, docs.select(F.col("doc_id").alias("id")), radius=3, p=4
+        )
+        return _r(
+            out.select(
+                F.col("id").alias("doc_id"), "n_registers", "est_reach"
+            ),
+            "est_reach",
+        )
+
+    def q_burst(spark, sf):
+        # per-type hourly burst detection: z-score against the type's
+        # own windows, mean/sigma from exact integer sums
+        from searchengine_spark.operators.windows import burst_windows
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return _r(burst_windows(ev), "z")
+
     def _directive_pages(spark, sf):
         # deterministic html fixture exercising every directive branch:
         # %7==0 noindex+nofollow, %7==3 noindex only, %5==0 canonical
@@ -1910,6 +1944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_directives": q_directives,
         "canonical_census": q_canonical_census,
         "stopword_census": q_stopwords,
+        "anf_reach": q_anf,
+        "burst_windows": q_burst,
         "cohort_retention": q_cohort,
         "crawl_delta": q_crawl_delta,
         "phrase_query": q_phrase,
@@ -3236,6 +3272,72 @@ dfx AS (
     FROM documents
   )
 )"""
+
+
+def _duck_anf(radius: int = 3, p: int = 4) -> str:
+    """HyperANF oracle — unrolled register max-merges over the DISTINCT
+    synthetic edge set, then the _duck_hll estimate arithmetic applied
+    to the final register table (same constants, same exact-int
+    harmonic sum)."""
+    m = 1 << p
+    rem = 60 - p
+    mask = (1 << rem) - 1
+    num = (0.7213 / (1.0 + 1.079 / m)) * m * m * float(1 << 53)
+    e_raw = (
+        f"{num!r} / CAST(raw_present + "
+        f"({m} - n_registers) * {1 << 53} AS DOUBLE)"
+    )
+    ctes = [
+        "nn AS (SELECT count(*) AS c FROM documents)",
+        """e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id*2+1) % (SELECT c FROM nn) AS dst FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id*3+7) % (SELECT c FROM nn) FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id*5+11) % (SELECT c FROM nn) FROM documents
+  )
+)""",
+        f"""h0 AS (
+  SELECT doc_id AS node,
+         {_duck_h60("CAST(doc_id AS VARCHAR)")} AS hv
+  FROM documents
+)""",
+        f"""r0 AS (
+  SELECT node, hv >> {rem} AS idx,
+         CASE WHEN (hv & {mask}) > 0
+              THEN {rem} - (length(bin(hv & {mask})) - 1)
+              ELSE {rem + 1} END AS r
+  FROM h0
+)""",
+    ]
+    for k in range(1, radius + 1):
+        ctes.append(
+            f"""r{k} AS (
+  SELECT node, idx, max(r) AS r FROM (
+    SELECT node, idx, r FROM r{k-1}
+    UNION ALL
+    SELECT e.src AS node, q.idx, q.r
+    FROM e JOIN r{k-1} q ON q.node = e.dst
+  ) GROUP BY node, idx
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f""",
+a AS (SELECT node,
+             CAST(sum(CAST(1 AS BIGINT) << CAST(53 - r AS INTEGER))
+               AS BIGINT) AS raw_present,
+             CAST(count(*) AS BIGINT) AS n_registers
+      FROM r{radius} GROUP BY node)
+SELECT node AS doc_id, n_registers,
+  round(CASE WHEN {e_raw} <= {2.5 * m!r} AND n_registers < {m}
+        THEN {float(m)!r}
+             * ln({float(m)!r} / CAST({m} - n_registers AS DOUBLE))
+        ELSE {e_raw} END, 9) AS est_reach
+FROM a"""
+    )
 
 
 def _duck_directives() -> str:
@@ -4636,6 +4738,37 @@ FROM b""",
         # operator module), nullif('') both engines
         "page_directives": _duck_directives(),
         "canonical_census": _duck_canonical_census(),
+        # HyperANF — unrolled register max-merges + the shared HLL
+        # estimate arithmetic
+        "anf_reach": _duck_anf(radius=3, p=4),
+        # hourly burst z-scores — exact-int Σn/Σn², textbook population
+        # variance in one fixed expression; sqrt is IEEE-exact
+        "burst_windows": """
+WITH c AS (
+  SELECT event_type, date_trunc('hour', ts) AS w, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, count(*) AS wn, sum(n_events) AS s1,
+         sum(n_events * n_events) AS s2
+  FROM c GROUP BY 1
+),
+zc AS (
+  SELECT c.event_type, c.w, c.n_events,
+    CASE WHEN sqrt((CAST(wn AS DOUBLE) * CAST(s2 AS DOUBLE)
+                    - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   / (CAST(wn AS DOUBLE) * CAST(wn AS DOUBLE))) > 0.0e0
+         THEN (CAST(n_events AS DOUBLE)
+               - CAST(s1 AS DOUBLE) / CAST(wn AS DOUBLE))
+              / sqrt((CAST(wn AS DOUBLE) * CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                     / (CAST(wn AS DOUBLE) * CAST(wn AS DOUBLE)))
+         ELSE 0.0e0 END AS z
+  FROM c JOIN s USING (event_type)
+)
+SELECT event_type, strftime(w, '%Y-%m-%d %H:%M:%S') AS ws, n_events,
+       round(z, 9) AS z, z > 3.0e0 AS is_burst
+FROM zc""",
         # stopword induction — dictionary cf/df + coverage ratio,
         # (cf DESC, token ASC) top-20
         "stopword_census": f"""

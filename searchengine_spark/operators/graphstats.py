@@ -356,3 +356,71 @@ def degree_tail_stats(edges: DataFrame, d_min: int = 2) -> DataFrame:
     for s in sides[1:]:
         out = out.unionByName(s)
     return out
+
+
+def anf(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    radius: int = 3,
+    p: int = 4,
+) -> DataFrame:
+    """(id, n_registers, est_reach) — HyperANF (Boldi, Rosa & Vigna,
+    WWW 2011): per-node estimate of |ball(v, radius)| — how many nodes
+    v reaches within `radius` hops — via iterated HLL register merges.
+    THE public algorithm for neighborhood functions / effective
+    diameter on web graphs (exact per-node reachability is O(n·m)).
+
+      B_0(v) = HLL({v});  B_k(v) = B_{k-1}(v) ∨ ⋁_{v→u} B_{k-1}(u)
+
+    where ∨ is the elementwise register max — associative, commutative
+    and idempotent, so the merge is shuffle-order-free and the
+    registers (exact small ints) have NO float tolerance; the single
+    float is the final estimate, the same exact-int arithmetic as
+    sketches.hll_distinct (shared via hll_estimate_registers — one
+    implementation, one oracle translation).
+
+    Relational register form: (node, idx, r) rows, merge = ONE
+    groupBy(node, idx).max per iteration over self ∪ successor rows
+    (production HyperANF packs registers into long arrays; the row
+    form is its relational equivalent — n·2^p rows, p=4 default keeps
+    the blow-up at 16× nodes). Generation handoff via eager
+    localCheckpoint, the pagerank discipline."""
+    from searchengine_spark.operators.sketches import (
+        hll_estimate_registers,
+        hll_registers,
+    )
+
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    e = edges.select("src", "dst").distinct().persist()
+    regs = (
+        hll_registers(
+            vertices.select(F.col("id")),
+            "CAST(id AS STRING)",
+            group_cols=["id"],
+            p=p,
+        )
+        .withColumnRenamed("id", "node")
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(radius):
+        succ = (
+            e.join(regs.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "idx", "r")
+        )
+        regs = (
+            regs.unionByName(succ)
+            .groupBy("node", "idx")
+            .agg(F.max("r").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    out = hll_estimate_registers(regs, ["node"], p)
+    return out.select(
+        F.col("node").alias("id"), "n_registers",
+        F.col("est_distinct").alias("est_reach"),
+    )

@@ -155,9 +155,23 @@ def hll_distinct(
     m*ln(m/zeros)); the 60-bit hash space makes the large-range
     correction irrelevant. See module docstring for why the register
     sum stays in exact int64."""
+    regs = hll_registers(df, expr, group_cols, p)
+    return hll_estimate_registers(regs, group_cols, p)
+
+
+def hll_estimate_registers(
+    regs: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """(group_cols..., n_registers, est_distinct) from an EXISTING
+    register table (group_cols..., idx, r) — the estimate half of
+    hll_distinct, factored out so register tables that were built by
+    other means (shard merges, the ANF ball iteration in
+    graphstats.anf) share the exact same arithmetic, and therefore the
+    same oracle translation."""
     m = 1 << p
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    regs = hll_registers(df, expr, group_cols, p)
     gcols = list(group_cols or [])
     agg = regs.groupBy(*gcols).agg(
         F.sum(

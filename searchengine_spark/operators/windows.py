@@ -159,3 +159,58 @@ def cohort_retention(
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("u").alias("n_users"))
     )
+
+
+def burst_windows(
+    events: DataFrame,
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """(event_type, ws, n_events, z, is_burst) — per-type hourly rate
+    anomaly detection: z-score of each tumbling window's event count
+    against that type's own mean/σ over its observed windows, flagged
+    at z > threshold. The ops-dashboard burst detector a crawl/serving
+    pipeline alarms on (hot-host storms, scraper bursts, breaking-news
+    query spikes).
+
+    Determinism without a float-sum tolerance: mean and variance come
+    from EXACT integer sums (Σn, Σn², W per type) via the textbook
+    population form σ² = (W·Σn² − (Σn)²)/W², evaluated in one fixed
+    expression both engines share; per-row z is one subtraction and
+    divide. σ = 0 types (constant rate) report z = 0 and never flag.
+
+    Scale: one (type, window) count agg (map-side combined), one tiny
+    per-type stats agg broadcast back — no windows over event rows,
+    no global sort. ws is formatted as a string, the tumbling_counts
+    timestamp discipline."""
+    w = F.date_trunc("hour", F.col(ts_col))
+    counts = (
+        events.select(F.col(type_col).alias("event_type"), w.alias("w"))
+        .groupBy("event_type", "w")
+        .agg(F.count("*").alias("n_events"))
+    )
+    stats = counts.groupBy("event_type").agg(
+        F.count("*").alias("wn"),
+        F.sum("n_events").alias("s1"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("s2"),
+    )
+    j = counts.join(F.broadcast(stats), "event_type")
+    wn = F.col("wn").cast("double")
+    mu = F.col("s1").cast("double") / wn
+    var = (
+        (wn * F.col("s2").cast("double")
+         - F.col("s1").cast("double") * F.col("s1").cast("double"))
+        / (wn * wn)
+    )
+    sigma = F.sqrt(var)
+    z = F.when(
+        sigma > 0.0, (F.col("n_events").cast("double") - mu) / sigma
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "event_type",
+        F.date_format("w", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        "n_events",
+        z.alias("z"),
+        (z > F.lit(z_threshold)).alias("is_burst"),
+    )

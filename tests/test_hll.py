@@ -87,3 +87,47 @@ def test_grouped(spark):
     assert set(rows) == {"0", "1"}
     for est in rows.values():
         assert abs(est - 1000) / 1000 < 0.2
+
+
+def test_anf_registers_equal_hll_of_exact_ball(spark):
+    """ANF's iterated max-merge must produce, for every node, EXACTLY
+    the HLL registers of its true ball — so the estimate equals
+    hll_distinct over the exact reachable set, element for element."""
+    from searchengine_spark.operators.graphstats import anf
+    from searchengine_spark.operators.sketches import hll_distinct
+
+    edges = [(0, 1), (1, 2), (2, 3), (3, 0), (1, 4), (4, 5), (7, 0)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(8)], "id long")
+    radius = 3
+    got = {r.id: r.est_reach for r in
+           anf(e, verts, radius=radius, p=4).collect()}
+
+    # exact balls by BFS
+    import collections
+
+    adj = collections.defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+    for v in range(8):
+        ball, frontier = {v}, {v}
+        for _ in range(radius):
+            frontier = {u for x in frontier for u in adj[x]} - ball
+            ball |= frontier
+        members = spark.createDataFrame([(m,) for m in sorted(ball)],
+                                        "id long")
+        est = hll_distinct(members, "CAST(id AS STRING)", p=4).collect()[0]
+        assert abs(got[v] - est.est_distinct) < 1e-9, (v, ball)
+
+
+def test_anf_radius_monotone(spark):
+    from searchengine_spark.operators.graphstats import anf
+
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    r1 = {r.id: r.est_reach for r in anf(e, verts, radius=1, p=4).collect()}
+    r3 = {r.id: r.est_reach for r in anf(e, verts, radius=3, p=4).collect()}
+    assert all(r3[v] >= r1[v] - 1e-12 for v in r1)
+    assert r3[0] > r1[0]  # the chain head's ball actually grows

@@ -488,3 +488,24 @@ def test_cohort_retention_hand_built(spark):
         ("2024-01-01", 3): 1,   # user 1 returns in W3
         ("2024-01-08", 0): 1,   # user 2's own cohort week
     }
+
+
+def test_burst_windows_flags_spike(spark):
+    from searchengine_spark.operators.windows import burst_windows
+
+    # type 'a': 2 events/hour for 30 hours, then one 60-event spike
+    rows = [("a", f"2024-01-0{1 + h // 24} {h % 24:02d}:{10 + i:02d}:00")
+            for h in range(30) for i in range(2)]
+    rows += [("a", f"2024-01-03 05:{i:02d}:30") for i in range(60)]
+    # type 'b': perfectly constant -> sigma 0, z 0, never flagged
+    rows += [("b", f"2024-01-01 {h:02d}:00:00") for h in range(10)]
+    ev = spark.createDataFrame(rows, "event_type string, ts string").selectExpr(
+        "event_type", "CAST(ts AS TIMESTAMP) AS ts"
+    )
+    out = burst_windows(ev).collect()
+    bursts = [(r.event_type, r.ws) for r in out if r.is_burst]
+    assert bursts == [("a", "2024-01-03 05:00:00")]
+    bz = {r.event_type: r.z for r in out if r.event_type == "b"}
+    assert bz == {"b": 0.0}
+    spike = [r for r in out if r.ws == "2024-01-03 05:00:00"][0]
+    assert spike.n_events == 60 and spike.z > 3.0
