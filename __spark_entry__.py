@@ -786,6 +786,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "est_reach",
         )
 
+    def q_neighborhood_fn(spark, sf):
+        # neighborhood function N(r) + effective diameter (90% rule)
+        # from the anf register iteration — per-radius scalars folded
+        # in node order, O(radius) bounded driver actions
+        from searchengine_spark.operators import graphstats as GS
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        return _r(
+            GS.neighborhood_function(
+                edges, docs.select(F.col("doc_id").alias("id")),
+                max_radius=3, p=4,
+            ),
+            "est_pairs",
+        )
+
+    def q_transitions(spark, sf):
+        # first-order Markov event-transition matrix: one lag window
+        # per user stream (event-id tie-break), exact-int row-normalized
+        from searchengine_spark.operators.windows import event_transitions
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return _r(event_transitions(ev), "p")
+
+    def q_doc_keywords(spark, sf):
+        # per-doc top-5 tf-idf keywords (related-tags surface): one
+        # doc-partitioned window over the posting table
+        return _r(TF.doc_keywords(_postings(spark, sf), k=5), "tf_idf")
+
     def q_burst(spark, sf):
         # per-type hourly burst detection: z-score against the type's
         # own windows, mean/sigma from exact integer sums
@@ -1946,6 +1983,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stopword_census": q_stopwords,
         "anf_reach": q_anf,
         "burst_windows": q_burst,
+        "neighborhood_fn": q_neighborhood_fn,
+        "event_transitions": q_transitions,
+        "doc_keywords": q_doc_keywords,
         "cohort_retention": q_cohort,
         "crawl_delta": q_crawl_delta,
         "phrase_query": q_phrase,
@@ -3337,6 +3377,95 @@ SELECT node AS doc_id, n_registers,
              * ln({float(m)!r} / CAST({m} - n_registers AS DOUBLE))
         ELSE {e_raw} END, 9) AS est_reach
 FROM a"""
+    )
+
+
+def _duck_nf(max_radius: int = 3, p: int = 4) -> str:
+    """Neighborhood-function oracle — the _duck_anf register chain
+    with a per-radius estimate table, each summed by a node-ordered
+    fold; effective diameter = min r with N(r) >= 0.9*N(max)."""
+    m = 1 << p
+    rem = 60 - p
+    mask = (1 << rem) - 1
+    num = (0.7213 / (1.0 + 1.079 / m)) * m * m * float(1 << 53)
+    e_raw = (
+        f"{num!r} / CAST(raw_present + "
+        f"({m} - n_registers) * {1 << 53} AS DOUBLE)"
+    )
+    est_case = (
+        f"CASE WHEN {e_raw} <= {2.5 * m!r} AND n_registers < {m} "
+        f"THEN {float(m)!r} * ln({float(m)!r} / "
+        f"CAST({m} - n_registers AS DOUBLE)) ELSE {e_raw} END"
+    )
+    ctes = [
+        "nn AS (SELECT count(*) AS c FROM documents)",
+        """e AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id AS src, (doc_id*2+1) % (SELECT c FROM nn) AS dst FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id*3+7) % (SELECT c FROM nn) FROM documents
+    UNION ALL
+    SELECT doc_id, (doc_id*5+11) % (SELECT c FROM nn) FROM documents
+  )
+)""",
+        f"""h0 AS (
+  SELECT doc_id AS node, {_duck_h60("CAST(doc_id AS VARCHAR)")} AS hv
+  FROM documents
+)""",
+        f"""r0 AS (
+  SELECT node, hv >> {rem} AS idx,
+         CASE WHEN (hv & {mask}) > 0
+              THEN {rem} - (length(bin(hv & {mask})) - 1)
+              ELSE {rem + 1} END AS r
+  FROM h0
+)""",
+    ]
+    for k in range(1, max_radius + 1):
+        ctes.append(
+            f"""r{k} AS (
+  SELECT node, idx, max(r) AS r FROM (
+    SELECT node, idx, r FROM r{k-1}
+    UNION ALL
+    SELECT e.src AS node, q.idx, q.r
+    FROM e JOIN r{k-1} q ON q.node = e.dst
+  ) GROUP BY node, idx
+)"""
+        )
+    for k in range(max_radius + 1):
+        ctes.append(
+            f"""s{k} AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+    list(est ORDER BY node)), (a, b) -> a + b) AS s
+  FROM (
+    SELECT node, {est_case} AS est FROM (
+      SELECT node,
+             CAST(sum(CAST(1 AS BIGINT) << CAST(53 - r AS INTEGER))
+               AS BIGINT) AS raw_present,
+             CAST(count(*) AS BIGINT) AS n_registers
+      FROM r{k} GROUP BY node
+    )
+  )
+)"""
+        )
+    sums = " UNION ALL ".join(
+        f"SELECT {k} AS r, (SELECT s FROM s{k}) AS est_pairs"
+        for k in range(max_radius + 1)
+    )
+    ctes.append(f"sums AS ({sums})")
+    ctes.append(
+        f"""eff AS (
+  SELECT min(r) AS er FROM sums
+  WHERE est_pairs >= 0.9e0 * (SELECT est_pairs FROM sums
+                              WHERE r = {max_radius})
+)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT r, round(est_pairs, 9) AS est_pairs,
+       r = (SELECT er FROM eff) AS is_effective_diameter
+FROM sums"""
     )
 
 
@@ -4741,6 +4870,35 @@ FROM b""",
         # HyperANF — unrolled register max-merges + the shared HLL
         # estimate arithmetic
         "anf_reach": _duck_anf(radius=3, p=4),
+        "neighborhood_fn": _duck_nf(max_radius=3, p=4),
+        # Markov transition matrix — lag window per user stream with
+        # event-id tie-break, exact-int row normalization
+        "event_transitions": """
+WITH seq AS (
+  SELECT user_id, event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+),
+pc AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
+),
+tt AS (SELECT prev_type, sum(n) AS tot FROM pc GROUP BY prev_type)
+SELECT prev_type, next_type, n,
+       round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 9) AS p
+FROM pc JOIN tt USING (prev_type)""",
+        # per-doc top-5 tf-idf keywords — doc-partitioned row_number
+        "doc_keywords": f"""
+WITH {_DUCK_TOKENS},
+rk AS (
+  SELECT doc_id, token, tf_idf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf_idf DESC, token ASC) AS rk
+  FROM postings
+)
+SELECT doc_id, token, round(tf_idf, 9) AS tf_idf, rk
+FROM rk WHERE rk <= 5""",
         # hourly burst z-scores — exact-int Σn/Σn², textbook population
         # variance in one fixed expression; sqrt is IEEE-exact
         "burst_windows": """

@@ -424,3 +424,74 @@ def anf(
         F.col("node").alias("id"), "n_registers",
         F.col("est_distinct").alias("est_reach"),
     )
+
+
+def neighborhood_function(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_radius: int = 3,
+    p: int = 4,
+) -> DataFrame:
+    """(r, est_pairs, is_effective_diameter) — the graph's
+    neighborhood function N(r) = Σ_v |ball(v, r)| estimated by the anf
+    register iteration, one row per radius 0..max_radius, with the
+    effective diameter flagged: the smallest r where N(r) ≥ 0.9 ·
+    N(max_radius) (the Boldi-Vigna 90% convention — "how many hops
+    cover the web graph", the number HyperANF was built to compute).
+
+    Per-radius cost is the same ONE register merge as anf; the
+    per-radius scalar N(r) folds the per-node estimates in node order
+    (bit-stable), collected as one bounded driver scalar per radius —
+    the pagerank O(iters)-scalars discipline."""
+    from searchengine_spark.operators.sketches import (
+        hll_estimate_registers,
+        hll_registers,
+    )
+
+    if vertices is None:
+        vertices = (
+            edges.select(F.col("src").alias("id"))
+            .unionByName(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    e = edges.select("src", "dst").distinct().persist()
+    regs = (
+        hll_registers(
+            vertices.select("id"), "CAST(id AS STRING)", ["id"], p
+        )
+        .withColumnRenamed("id", "node")
+        .localCheckpoint(eager=True)
+    )
+
+    def n_of(regs_df: DataFrame) -> float:
+        est = hll_estimate_registers(regs_df, ["node"], p)
+        return float(
+            est.agg(
+                F.expr(
+                    "aggregate(sort_array(collect_list(struct(node, "
+                    "est_distinct AS v))), 0.0D, (a, s) -> a + s.v)"
+                )
+            ).collect()[0][0]
+        )
+
+    series = [n_of(regs)]
+    for _ in range(max_radius):
+        succ = (
+            e.join(regs.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"), "idx", "r")
+        )
+        regs = (
+            regs.unionByName(succ)
+            .groupBy("node", "idx")
+            .agg(F.max("r").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        series.append(n_of(regs))
+    e.unpersist()
+    target = 0.9 * series[-1]
+    eff = next(r for r, v in enumerate(series) if v >= target)
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        [(r, v, r == eff) for r, v in enumerate(series)],
+        "r int, est_pairs double, is_effective_diameter boolean",
+    )

@@ -280,3 +280,21 @@ def dict_size_estimate(postings: DataFrame) -> DataFrame:
             "round(CAST(front_bytes AS DOUBLE) / raw_bytes, 9) AS ratio",
         )
     )
+
+
+def doc_keywords(postings: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, token, tf_idf, rk) — each document's top-k terms by
+    tf·idf (rk 1-based): the classic related-tags / document-summary
+    surface straight off the posting table (IIR ch.6's "vector-space
+    document description"). One window partitioned by doc_id — bounded
+    by a doc's vocabulary, no global ordering."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tf_idf").desc(), F.col("token").asc()
+    )
+    return (
+        postings.select("doc_id", "token", "tf_idf")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+    )

@@ -214,3 +214,45 @@ def burst_windows(
         z.alias("z"),
         (z > F.lit(z_threshold)).alias("is_burst"),
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(prev_type, next_type, n, p) — the first-order Markov
+    transition matrix of per-user event streams: how often event type
+    A is immediately followed by B in the same user's timeline, with
+    p = n / Σ_B n (row-normalized, an exact-int ratio). The
+    click-model / navigation-pattern table funnels and sessions both
+    build on.
+
+    ONE lag window per user stream (partitioned by user — bounded by a
+    user's history, never corpus-wide; ties broken by event id for
+    determinism) + one (prev, next) count agg + a row-total broadcast
+    back."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(
+            F.col(user_col),
+            F.col(ts_col),
+            F.col(id_col),
+            F.col(type_col).alias("next_type"),
+        )
+        .withColumn("prev_type", F.lag("next_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = pairs.groupBy("prev_type").agg(F.sum("n").alias("tot"))
+    return pairs.join(F.broadcast(tot), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.col("tot").cast("double")).alias("p"),
+    )

@@ -131,3 +131,27 @@ def test_anf_radius_monotone(spark):
     r3 = {r.id: r.est_reach for r in anf(e, verts, radius=3, p=4).collect()}
     assert all(r3[v] >= r1[v] - 1e-12 for v in r1)
     assert r3[0] > r1[0]  # the chain head's ball actually grows
+
+
+def test_neighborhood_function_series(spark):
+    from searchengine_spark.operators.graphstats import neighborhood_function
+
+    # directed 6-cycle: ball sizes grow 1, 2, 3, 4 per node
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(6)], "id long")
+    rows = {r.r: r for r in
+            neighborhood_function(e, verts, max_radius=3, p=4).collect()}
+    assert sorted(rows) == [0, 1, 2, 3]
+    # monotone non-decreasing series
+    vals = [rows[r].est_pairs for r in range(4)]
+    assert all(b >= a - 1e-9 for a, b in zip(vals, vals[1:]))
+    assert vals[3] > vals[0]
+    # exactly one effective-diameter row, and it is the minimal
+    # radius covering 90% of the final mass
+    effs = [r for r in range(4) if rows[r].is_effective_diameter]
+    assert len(effs) == 1
+    eff = effs[0]
+    assert vals[eff] >= 0.9 * vals[3]
+    assert all(vals[r] < 0.9 * vals[3] for r in range(eff))

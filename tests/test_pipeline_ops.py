@@ -509,3 +509,51 @@ def test_burst_windows_flags_spike(spark):
     assert bz == {"b": 0.0}
     spike = [r for r in out if r.ws == "2024-01-03 05:00:00"][0]
     assert spike.n_events == 60 and spike.z > 3.0
+
+
+def test_event_transitions_hand_built(spark):
+    from searchengine_spark.operators.windows import event_transitions
+
+    rows = [
+        # user 1: view -> click -> buy;  user 2: view -> view -> click
+        (0, 1, "2024-01-01 00:00:00", "view"),
+        (1, 1, "2024-01-01 00:01:00", "click"),
+        (2, 1, "2024-01-01 00:02:00", "buy"),
+        (3, 2, "2024-01-01 00:00:00", "view"),
+        (4, 2, "2024-01-01 00:01:00", "view"),
+        (5, 2, "2024-01-01 00:02:00", "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).selectExpr("event_id", "user_id", "CAST(ts AS TIMESTAMP) AS ts",
+                 "event_type")
+    got = {(r.prev_type, r.next_type): (r.n, r.p)
+           for r in event_transitions(ev).collect()}
+    assert got == {
+        ("view", "click"): (2, 2 / 3),
+        ("view", "view"): (1, 1 / 3),
+        ("click", "buy"): (1, 1.0),
+    }
+    # no cross-user pair: (buy, view) must not exist
+    assert ("buy", "view") not in got
+
+
+def test_doc_keywords_topk(spark):
+    from searchengine_spark.operators.tfidf import build_postings, doc_keywords
+
+    df = spark.createDataFrame(
+        [(0, "rare unique words here common"), (1, "common common filler")],
+        "doc_id long, text string",
+    )
+    out = doc_keywords(build_postings(df), k=2).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.doc_id, []).append((r.rk, r.token, r.tf_idf))
+    for d, lst in per.items():
+        lst.sort()
+        assert [rk for rk, _, _ in lst] == list(range(1, len(lst) + 1))
+        # scores non-increasing in rank
+        assert all(a[2] >= b[2] for a, b in zip(lst, lst[1:]))
+    # 'common' appears in both docs -> idf 0 -> never a top keyword of
+    # doc 0 (which has df-1 alternatives)
+    assert "common" not in [t for _, t, _ in per[0]]
