@@ -786,6 +786,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "est_reach",
         )
 
+    def q_window_pmi(spark, sf):
+        # +-5-window co-occurrence PMI (collocations widened): doc_id
+        # equi-join with an in-partition position band — fan-out
+        # n_tokens*w per doc, never corpus-quadratic
+        return _r(PX.window_pmi(_docs(spark, sf), w=5, min_count=5), "pmi")
+
+    def q_novelty(spark, sf):
+        # corpus-order novelty: fraction of a doc's distinct 8-grams
+        # first appearing in THIS doc (min-doc_id ownership) — exact
+        # ints, one gram-keyed min agg + same-key join back
+        return _r(TD.novelty_scores(_docs(spark, sf), n=8), "novelty")
+
+    def q_readability(spark, sf):
+        # Flesch reading ease with the published constants: sentence
+        # runs + vowel-group syllables, integer folds, ONE fixed float
+        # expression
+        return _r(TS.readability_scores(_docs(spark, sf)), "flesch")
+
     def q_neighborhood_fn(spark, sf):
         # neighborhood function N(r) + effective diameter (90% rule)
         # from the anf register iteration — per-radius scalars folded
@@ -1986,6 +2004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neighborhood_fn": q_neighborhood_fn,
         "event_transitions": q_transitions,
         "doc_keywords": q_doc_keywords,
+        "window_pmi": q_window_pmi,
+        "novelty": q_novelty,
+        "readability": q_readability,
         "cohort_retention": q_cohort,
         "crawl_delta": q_crawl_delta,
         "phrase_query": q_phrase,
@@ -4899,6 +4920,80 @@ rk AS (
 )
 SELECT doc_id, token, round(tf_idf, 9) AS tf_idf, rk
 FROM rk WHERE rk <= 5""",
+        # +-w window PMI — the collocations formula over the banded
+        # position self-join (MATERIALIZED: unnest CTE feeds a self-join)
+        "window_pmi": f"""
+WITH toks AS MATERIALIZED (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+tp AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(range(len(tl)),
+                i -> struct_pack(pos := i, token := tl[i + 1])),
+                recursive := true)
+  FROM toks WHERE len(tl) >= 1
+),
+pr AS MATERIALIZED (
+  SELECT a.token AS a, b.token AS b
+  FROM tp a JOIN tp b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 5
+),
+cab AS (SELECT a, b, count(*) AS n_ab FROM pr GROUP BY a, b),
+cx AS (SELECT token, count(*) AS n_x FROM tp GROUP BY token),
+tot AS (SELECT (SELECT count(*) FROM tp) AS t,
+               (SELECT count(*) FROM pr) AS pcnt)
+SELECT cab.a, cab.b, n_ab,
+  round(ln((CAST(n_ab AS DOUBLE) * CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+           / (CAST(pcnt AS DOUBLE) * CAST(na.n_x AS DOUBLE)
+              * CAST(nb.n_x AS DOUBLE))), 9) AS pmi
+FROM cab JOIN cx na ON na.token = cab.a
+JOIN cx nb ON nb.token = cab.b, tot
+WHERE n_ab >= 5""",
+        # corpus-order novelty — distinct 8-grams, min-doc_id ownership
+        "novelty": f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+g AS MATERIALIZED (
+  SELECT DISTINCT doc_id, gram FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(len(tl) - 7),
+                  i -> array_to_string(list_slice(tl, i + 1, i + 8), ' ')))
+             AS gram
+    FROM toks WHERE len(tl) >= 8
+  )
+),
+f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+per AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM g JOIN f USING (gram) GROUP BY g.doc_id
+)
+SELECT t.doc_id, coalesce(n_grams, 0) AS n_grams,
+       coalesce(n_novel, 0) AS n_novel,
+       round(CASE WHEN n_grams IS NULL OR n_grams = 0 THEN 0.0e0
+                  ELSE CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE)
+             END, 9) AS novelty
+FROM toks t LEFT JOIN per USING (doc_id)""",
+        # Flesch reading ease — published constants, integer counts,
+        # one fixed float expression
+        "readability": f"""
+WITH s AS (
+  SELECT doc_id,
+    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sents,
+    len({_DUCK_TL}) AS n_words,
+    coalesce(list_sum(list_transform({_DUCK_TL},
+      t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+'))))), 0)
+      AS n_syllables
+  FROM documents
+)
+SELECT doc_id, CAST(n_sents AS BIGINT) AS n_sents,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       round(CASE WHEN n_words = 0 THEN 0.0e0
+             ELSE 206.835e0
+                  - 1.015e0 * (CAST(n_words AS DOUBLE)
+                               / CAST(n_sents AS DOUBLE))
+                  - 84.6e0 * (CAST(n_syllables AS DOUBLE)
+                              / CAST(n_words AS DOUBLE))
+             END, 9) AS flesch
+FROM s""",
         # hourly burst z-scores — exact-int Σn/Σn², textbook population
         # variance in one fixed expression; sqrt is IEEE-exact
         "burst_windows": """

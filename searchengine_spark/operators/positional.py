@@ -528,3 +528,69 @@ def rake_keywords(
         .filter(F.col("_r") <= k)
         .drop("_r")
     )
+
+
+def window_pmi(
+    documents: DataFrame,
+    w: int = 5,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(a, b, n_ab, pmi) — ±w-window co-occurrence PMI: collocations()
+    widened from adjacent bigrams to ordered pairs within w positions
+    (a precedes b) — the word-association estimator distributional
+    thesauri and query-expansion tables are built from (Church & Hanks
+    1990, window form). Same formula family as collocations:
+
+      PMI = ln( (n_ab · T²) / (P · n_a · n_b) )
+
+    with P the number of window pair slots and T the token count —
+    exact integer counts into one fixed double expression.
+
+    Scale shape: the pair stream is a doc_id equi-join of the
+    positional postings with an in-partition band filter
+    (1 ≤ pos_b − pos_a ≤ w) — fan-out n_tokens·w per doc, never
+    corpus-quadratic; counts are map-side-combined aggregates; the
+    unigram dictionary broadcasts twice (the collocations plan,
+    window edition)."""
+    pp = positional_postings(documents, id_col, text_col)
+    a = pp.select("doc_id", F.col("pos").alias("pa"),
+                  F.col("token").alias("a"))
+    b = pp.select("doc_id", F.col("pos").alias("pb"),
+                  F.col("token").alias("b"))
+    pairs = a.join(b, "doc_id").filter(
+        (F.col("pb") - F.col("pa") >= 1) & (F.col("pb") - F.col("pa") <= w)
+    )
+    c_ab = pairs.groupBy("a", "b").agg(F.count("*").alias("n_ab"))
+    c_x = pp.groupBy("token").agg(F.count("*").alias("n_x"))
+    totals = pp.agg(F.count("*").alias("t")).crossJoin(
+        pairs.agg(F.count("*").alias("pcnt"))
+    )
+    joined = (
+        c_ab.join(
+            F.broadcast(
+                c_x.select(F.col("token").alias("a"),
+                           F.col("n_x").alias("n_a"))
+            ),
+            "a",
+        )
+        .join(
+            F.broadcast(
+                c_x.select(F.col("token").alias("b"),
+                           F.col("n_x").alias("n_b"))
+            ),
+            "b",
+        )
+        .crossJoin(F.broadcast(totals))
+    )
+    pmi = F.log(
+        (F.col("n_ab").cast("double") * F.col("t").cast("double")
+         * F.col("t").cast("double"))
+        / (F.col("pcnt").cast("double") * F.col("n_a").cast("double")
+           * F.col("n_b").cast("double"))
+    )
+    return (
+        joined.filter(F.col("n_ab") >= min_count)
+        .select("a", "b", "n_ab", pmi.alias("pmi"))
+    )

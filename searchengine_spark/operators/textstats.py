@@ -745,3 +745,42 @@ def stopword_census(
         .orderBy(F.col("cf").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def readability_scores(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_sents, n_words, n_syllables, flesch) — Flesch
+    reading-ease (Flesch 1948, the published constants):
+
+      206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    with sentences = max(1, count of [.!?]+ runs) and the standard
+    vowel-group syllable heuristic, max(1, count of [aeiouy]+ runs)
+    per word. A curation readability gate (C4/Gopher-adjacent): SEO
+    keyword soup and OCR noise score far outside the human band.
+
+    Pure per-row expressions; the syllable sum is an integer fold
+    (order-free). The float formula is ONE fixed expression shared
+    with the oracle."""
+    toks = tokens_sql(text_col)
+    return documents.selectExpr(
+        f"{id_col} AS doc_id",
+        f"greatest(1L, CAST(size(regexp_extract_all({text_col}, "
+        f"'[.!?]+', 0)) AS BIGINT)) AS n_sents",
+        f"CAST(size({toks}) AS BIGINT) AS n_words",
+        f"aggregate(transform({toks}, t -> greatest(1L, "
+        f"CAST(size(regexp_extract_all(t, '[aeiouy]+', 0)) AS BIGINT))), "
+        f"0L, (a, s) -> a + s) AS n_syllables",
+    ).selectExpr(
+        "doc_id",
+        "n_sents",
+        "n_words",
+        "n_syllables",
+        "CASE WHEN n_words = 0 THEN CAST(0.0 AS DOUBLE) ELSE "
+        "206.835D - 1.015D * (CAST(n_words AS DOUBLE) / CAST(n_sents AS DOUBLE))"
+        " - 84.6D * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))"
+        " END AS flesch",
+    )

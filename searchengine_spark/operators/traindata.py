@@ -614,3 +614,54 @@ def cdc_chunks(
             "ch.chunk_md5 AS chunk_md5",
         )
     )
+
+
+def novelty_scores(
+    documents: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_grams, n_novel, novelty) — corpus-order novelty: the
+    fraction of a document's DISTINCT n-grams whose FIRST corpus
+    appearance (minimum doc_id) is this document. The incremental-
+    crawl signal behind "is this capture adding anything": recrawled
+    boilerplate scores ~0, genuinely new text ~1 (the per-doc
+    aggregate view of the exact_substr duplicated-span census).
+
+    Exact integers end to end (min/count aggregates + one ratio).
+    Scale shape: one gram explode → ONE min-aggregate on the gram key
+    (map-side combined) → join back on the same key (exchange reuse)
+    → per-doc counts. Zero-gram docs (shorter than n tokens) report
+    (0, 0, 0.0)."""
+    toks = tokens_sql(text_col)
+    grams = (
+        documents.selectExpr(
+            f"{id_col} AS doc_id", f"{_sliding_grams(toks, n)} AS grams"
+        )
+        .select("doc_id", F.explode("grams").alias("gram"))
+        .distinct()
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        grams.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        documents.selectExpr(f"{id_col} AS doc_id")
+        .join(per, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "coalesce(n_grams, 0L) AS n_grams",
+            "coalesce(n_novel, 0L) AS n_novel",
+            "CASE WHEN n_grams IS NULL OR n_grams = 0 THEN CAST(0.0 AS DOUBLE)"
+            " ELSE CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE) END"
+            " AS novelty",
+        )
+    )

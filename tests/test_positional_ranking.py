@@ -516,3 +516,40 @@ def test_rake_max_phrase_and_topk(spark):
         [(1, "aa bb and cc dd and ee")], "doc_id long, text string"
     )
     assert rake_keywords(df2, k=2).count() == 2
+
+
+def test_window_pmi_widens_collocations(spark):
+    import math
+
+    from searchengine_spark.operators.positional import window_pmi
+
+    # "alpha ... beta" always within 3 positions but never adjacent
+    rows = [(i, "alpha mid beta filler%d" % i) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.a, r.b): (r.n_ab, r.pmi)
+           for r in window_pmi(df, w=3, min_count=6).collect()}
+    assert ("alpha", "beta") in got
+    n_ab, pmi = got[("alpha", "beta")]
+    assert n_ab == 6
+    # hand recompute: T = 24 tokens, pairs per doc with w=3 over 4
+    # tokens = 3+2+1 = 6 -> P = 36; n_alpha = n_beta = 6
+    exp = math.log((6 * 24 * 24) / (36 * 6 * 6))
+    assert abs(pmi - exp) < 1e-12
+
+
+def test_readability_golden(spark):
+    from searchengine_spark.operators.textstats import readability_scores
+
+    rows = [
+        (0, "The cat sat. The dog ran!"),
+        (1, ""),  # empty -> flesch 0.0 sentinel
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in readability_scores(df).collect()}
+    r0 = got[0]
+    assert r0.n_sents == 2 and r0.n_words == 6
+    # syllables: the=1, cat=1, sat=1, the=1, dog=1, ran=1
+    assert r0.n_syllables == 6
+    exp = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+    assert abs(r0.flesch - exp) < 1e-9
+    assert got[1].n_words == 0 and got[1].flesch == 0.0

@@ -327,3 +327,23 @@ def test_cdc_chunks_deterministic_boundaries(spark):
     df2 = spark.createDataFrame([(9, text)], "doc_id long, text string")
     c = [t[1:] for t in sorted(map(tuple, cdc_chunks(df2).collect()))]
     assert c == [t[1:] for t in a]
+
+
+def test_novelty_scores_ownership(spark):
+    from searchengine_spark.operators.traindata import novelty_scores
+
+    a = "one two three four five six seven eight nine ten"
+    rows = [
+        (0, a),                       # owns all its grams
+        (1, a),                       # exact dup of 0 -> novelty 0
+        (2, a + " eleven twelve"),    # shares a prefix, adds a tail
+        (3, "short"),                 # < n tokens -> (0, 0, 0.0)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.n_grams, r.n_novel, r.novelty)
+           for r in novelty_scores(df, n=8).collect()}
+    assert got[0] == (3, 3, 1.0)
+    assert got[1] == (3, 0, 0.0)
+    n2, v2, f2 = got[2]
+    assert n2 == 5 and v2 == 2 and abs(f2 - 2 / 5) < 1e-12
+    assert got[3] == (0, 0, 0.0)
