@@ -108,3 +108,65 @@ def test_triangle_closing_join_is_equi_not_nested_loop(spark, sf_dir):
     # OR-of-slots close condition degrades to BroadcastNestedLoopJoin
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_pairs_no_cartesian_product(spark, sf_dir):
+    from searchengine_spark.operators.dedup import tfidf_cosine_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _plan(tfidf_cosine_pairs(docs, threshold=0.5, max_df=50))
+    # candidates come from the token equi-join only — a cross join
+    # here is the corpus-squared failure mode the df-cut exists to kill
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_cdc_chunks_zero_shuffle(spark, sf_dir):
+    from searchengine_spark.operators.traindata import cdc_chunks
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _plan(cdc_chunks(docs))
+    # boundary detection + chunk hashing are pure per-row array exprs:
+    # the plan must contain NO exchange at all
+    assert "Exchange" not in plan
+
+
+def test_soft404_and_readability_zero_shuffle(spark, sf_dir):
+    from searchengine_spark.operators.textstats import (
+        readability_scores,
+        soft404_scores,
+    )
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    assert "Exchange" not in _plan(soft404_scores(docs))
+    assert "Exchange" not in _plan(readability_scores(docs))
+
+
+def test_page_directives_zero_shuffle(spark):
+    from searchengine_spark.operators.directives import page_directives
+
+    pages = spark.createDataFrame(
+        [(0, "<html></html>")], "doc_id long, html string"
+    )
+    assert "Exchange" not in _plan(page_directives(pages))
+
+
+def test_rrf_windows_are_bounded_not_corpus_wide(spark, sf_dir):
+    from searchengine_spark.operators.ranking import rrf_fuse
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _plan(rrf_fuse(docs, ["spark", "window"], k=5, n_cand=20))
+    # the rank windows run over <= n_cand rows by construction (each
+    # input is a LIMIT'd search) — assert the limits made it into the
+    # plan so the single-partition windows stay bounded
+    assert "GlobalLimit" in plan or "TakeOrdered" in plan
+
+
+def test_doc_keywords_window_partitioned_by_doc(spark, sf_dir):
+    from searchengine_spark.operators.tfidf import build_postings, doc_keywords
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    plan = _plan(doc_keywords(build_postings(docs), k=5))
+    for line in plan.splitlines():
+        if "partitionBy" in line.lower():
+            assert "doc_id" in line
