@@ -129,6 +129,10 @@ _NOT_TERMS = ["spark", "window"]
 _NOT_EXCLUDE = ["dup", "slow"]
 _DNF = [["spark", "dup"], ["fast", "the"]]
 _BM25_TERMS = ["spark", "window", "dup"]
+# mixture_report target composition (doubles shared verbatim with the
+# oracle's VALUES list)
+_MIXTURE_TARGETS = {"en": 0.4, "de": 0.15, "fr": 0.15, "es": 0.15,
+                    "zh": 0.15}
 _PHRASE = ["table", "value"]
 _SPELL_TERM = "quary"
 # batch spell-correction fixture: misspellings at distance 1-2 of
@@ -785,6 +789,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             "est_reach",
         )
+
+    def q_mixture_report(spark, sf):
+        # data-mixture KL diagnostics vs a fixed target composition —
+        # one bucket count agg + broadcast literal target dim
+        from searchengine_spark.operators.sampling import mixture_report
+
+        return _r(
+            mixture_report(_docs(spark, sf), _MIXTURE_TARGETS),
+            "share", "kl_term", "ratio",
+        )
+
+    def q_reciprocity(spark, sf):
+        # directed-edge reciprocity over the synthetic graph — one
+        # reversed-key semi-join, exact counts, drift alarm next to
+        # degree_tail
+        from searchengine_spark.operators import graphstats as GS
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        return _r(GS.reciprocity(edges), "reciprocity")
 
     def q_window_pmi(spark, sf):
         # +-5-window co-occurrence PMI (collocations widened): doc_id
@@ -2007,6 +2039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_pmi": q_window_pmi,
         "novelty": q_novelty,
         "readability": q_readability,
+        "mixture_report": q_mixture_report,
+        "reciprocity": q_reciprocity,
         "cohort_retention": q_cohort,
         "crawl_delta": q_crawl_delta,
         "phrase_query": q_phrase,
@@ -4971,6 +5005,48 @@ SELECT t.doc_id, coalesce(n_grams, 0) AS n_grams,
                   ELSE CAST(n_novel AS DOUBLE) / CAST(n_grams AS DOUBLE)
              END, 9) AS novelty
 FROM toks t LEFT JOIN per USING (doc_id)""",
+        # data-mixture KL report — bucket counts vs the literal target
+        # mixture (same Python doubles as _MIXTURE_TARGETS)
+        "mixture_report": f"""
+WITH tgt(bucket, target_share) AS (VALUES {", ".join(
+            f"('{k}', {v!r})" for k, v in sorted(_MIXTURE_TARGETS.items())
+        )}),
+c AS (SELECT lang AS bucket, count(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT count(*) AS tot FROM documents)
+SELECT c.bucket, n,
+  round(CAST(n AS DOUBLE) / CAST((SELECT tot FROM t) AS DOUBLE), 9) AS share,
+  coalesce(target_share, 0.0e0) AS target_share,
+  round(CASE WHEN target_share IS NOT NULL AND target_share > 0.0e0
+    THEN (CAST(n AS DOUBLE) / CAST((SELECT tot FROM t) AS DOUBLE))
+         * ln((CAST(n AS DOUBLE) / CAST((SELECT tot FROM t) AS DOUBLE))
+              / target_share)
+    ELSE 0.0e0 END, 9) AS kl_term,
+  round(CASE WHEN target_share IS NOT NULL AND target_share > 0.0e0
+    THEN (CAST(n AS DOUBLE) / CAST((SELECT tot FROM t) AS DOUBLE))
+         / target_share
+    ELSE 0.0e0 END, 9) AS ratio
+FROM c LEFT JOIN tgt USING (bucket)""",
+        # reciprocity — distinct directed edges with the reverse edge
+        # present (self-loops excluded)
+        "reciprocity": """
+WITH nn AS (SELECT count(*) AS c FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id*2+1) % (SELECT c FROM nn) AS dst FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*3+7) % (SELECT c FROM nn) FROM documents
+  UNION ALL
+  SELECT doc_id, (doc_id*5+11) % (SELECT c FROM nn) FROM documents
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+r AS (SELECT count(*) AS nr FROM e
+      WHERE EXISTS (SELECT 1 FROM e x
+                    WHERE x.src = e.dst AND x.dst = e.src)),
+n AS (SELECT count(*) AS ne FROM e)
+SELECT ne AS n_edges, nr AS n_reciprocal,
+       round(CASE WHEN ne = 0 THEN 0.0e0
+                  ELSE CAST(nr AS DOUBLE) / CAST(ne AS DOUBLE) END, 9)
+         AS reciprocity
+FROM n, r""",
         # Flesch reading ease — published constants, integer counts,
         # one fixed float expression
         "readability": f"""

@@ -495,3 +495,28 @@ def neighborhood_function(
         [(r, v, r == eff) for r, v in enumerate(series)],
         "r int, est_pairs double, is_effective_diameter boolean",
     )
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """1-row (n_edges, n_reciprocal, reciprocity) — the fraction of
+    distinct directed edges whose reverse edge also exists (self-loops
+    excluded): the classic directed web-graph statistic (~0.25 for the
+    web per published crawls; link farms and scraper mirrors push it
+    toward 1, another drift alarm next to degree_tail_stats).
+
+    ONE self-semi-join on the reversed key + exact counts; the ratio
+    is the only float."""
+    e = (
+        edges.select("src", "dst")
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    n = e.count()
+    r = e.join(rev, ["src", "dst"], "left_semi").count()
+    spark = edges.sparkSession
+    frac = float(r) / float(n) if n else 0.0
+    return spark.createDataFrame(
+        [(n, r, frac)],
+        "n_edges long, n_reciprocal long, reciprocity double",
+    )

@@ -243,3 +243,50 @@ def weighted_sample(
         .orderBy(F.col("key").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def mixture_report(
+    documents: DataFrame,
+    targets: dict[str, float],
+    bucket_col: str = "lang",
+) -> DataFrame:
+    """(bucket, n, share, target_share, kl_term, ratio) — data-mixture
+    diagnostics: how far the corpus composition sits from a target
+    mixture, per bucket. kl_term = share·ln(share/target) (summing the
+    column gives KL(corpus ‖ target) — the scalar data-mixture papers
+    report); ratio = share/target is the per-bucket up/down-sampling
+    factor a rebalance (mixture_sample) would need. Buckets absent
+    from `targets` get target 0 ⇒ kl_term NULL-guarded to 0 with an
+    infinite-ratio sentinel ratio = 0.0 documented here (the caller
+    must drop or cap them — they cannot be hit by finite resampling).
+
+    ONE count aggregate over the bucket key + a broadcast 1-row total;
+    the target table is a literal broadcast dim. Exact counts into
+    fixed float expressions."""
+    spark = documents.sparkSession
+    tgt = spark.createDataFrame(
+        [(k, float(v)) for k, v in sorted(targets.items())],
+        "bucket string, target_share double",
+    )
+    counts = documents.groupBy(
+        F.col(bucket_col).alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    total = documents.count()
+    share = F.col("n").cast("double") / F.lit(float(total))
+    j = counts.join(F.broadcast(tgt), "bucket", "left")
+    kl = F.when(
+        F.col("target_share").isNotNull() & (F.col("target_share") > 0.0),
+        share * F.log(share / F.col("target_share")),
+    ).otherwise(F.lit(0.0))
+    ratio = F.when(
+        F.col("target_share").isNotNull() & (F.col("target_share") > 0.0),
+        share / F.col("target_share"),
+    ).otherwise(F.lit(0.0))
+    return j.select(
+        "bucket",
+        "n",
+        share.alias("share"),
+        F.coalesce(F.col("target_share"), F.lit(0.0)).alias("target_share"),
+        kl.alias("kl_term"),
+        ratio.alias("ratio"),
+    )

@@ -207,3 +207,21 @@ def test_degree_tail_empty_tail(spark):
     got = {r.side: (r.n_tail, r.alpha) for r in
            degree_tail_stats(df, d_min=5).collect()}
     assert got["in"] == (0, 0.0) and got["out"] == (0, 0.0)
+
+
+def test_reciprocity_counts(spark):
+    from searchengine_spark.operators.graphstats import reciprocity
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0),          # reciprocal pair
+         (1, 2),                  # one-way
+         (2, 2),                  # self-loop: excluded
+         (0, 1)],                 # duplicate: collapsed
+        "src long, dst long",
+    )
+    r = reciprocity(edges).collect()[0]
+    assert (r.n_edges, r.n_reciprocal) == (3, 2)
+    assert abs(r.reciprocity - 2 / 3) < 1e-12
+    empty = spark.createDataFrame([], "src long, dst long")
+    z = reciprocity(empty).collect()[0]
+    assert (z.n_edges, z.n_reciprocal, z.reciprocity) == (0, 0, 0.0)

@@ -557,3 +557,24 @@ def test_doc_keywords_topk(spark):
     # 'common' appears in both docs -> idf 0 -> never a top keyword of
     # doc 0 (which has df-1 alternatives)
     assert "common" not in [t for _, t, _ in per[0]]
+
+
+def test_mixture_report_hand_computed(spark):
+    import math
+
+    from searchengine_spark.operators.sampling import mixture_report
+
+    rows = [(i, "en" if i < 6 else "de") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = {r.bucket: r for r in
+           mixture_report(df, {"en": 0.5, "de": 0.5}).collect()}
+    assert got["en"].n == 6 and abs(got["en"].share - 0.6) < 1e-12
+    assert abs(got["en"].kl_term - 0.6 * math.log(0.6 / 0.5)) < 1e-12
+    assert abs(got["en"].ratio - 1.2) < 1e-12
+    assert abs(got["de"].ratio - 0.8) < 1e-12
+    # KL sum is >= 0 and 0 only at the target composition
+    assert got["en"].kl_term + got["de"].kl_term > 0
+    # bucket absent from targets: sentinel zeros
+    got2 = {r.bucket: r for r in mixture_report(df, {"en": 1.0}).collect()}
+    assert got2["de"].target_share == 0.0 and got2["de"].ratio == 0.0
+    assert got2["de"].kl_term == 0.0
