@@ -790,6 +790,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "est_reach",
         )
 
+    def q_prior_blend(spark, sf):
+        # static-quality-prior blending (IIR 7.1.4): bm25 top-50
+        # candidates re-ranked by score + 0.25*ln(pagerank) over the
+        # synthetic link graph — candidates broadcast, bounded re-rank
+        from searchengine_spark.operators import linkrank as LR
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        prior = LR.pagerank(
+            edges, docs.select(F.col("doc_id").alias("id")), n_iters=5
+        ).select(F.col("id").alias("doc_id"), "rank")
+        return _r(
+            RK.blend_with_prior(docs, _BM25_TERMS, prior, k=10, lam=0.25),
+            "score",
+        )
+
+    def q_site_collapse(spark, sf):
+        # SERP site collapsing: bm25 top-50 candidate page, at most 2
+        # results per host (hosts from the url fixture's doc_id%16
+        # mapping), re-ranked top-10
+        w = RK.bm25_table(_docs(spark, sf))
+        ranked = RK.bm25_search(w, _BM25_TERMS, k=50)
+        hosts = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 16).cast("string"),
+                F.lit(".test"),
+            ).alias("host"),
+        )
+        return _r(RK.site_collapse(ranked, hosts, k=10, per_host=2), "score")
+
     def q_mixture_report(spark, sf):
         # data-mixture KL diagnostics vs a fixed target composition —
         # one bucket count agg + broadcast literal target dim
@@ -2041,6 +2080,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability": q_readability,
         "mixture_report": q_mixture_report,
         "reciprocity": q_reciprocity,
+        "prior_blend": q_prior_blend,
+        "site_collapse": q_site_collapse,
         "cohort_retention": q_cohort,
         "crawl_delta": q_crawl_delta,
         "phrase_query": q_phrase,
@@ -2417,6 +2458,67 @@ terms_t AS (
 SELECT round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
   list(term ORDER BY token)), (a, b) -> a + b), 9) AS clarity
 FROM terms_t"""
+
+
+def _duck_prior_blend(
+    terms: list[str], k: int = 10, lam: float = 0.25, n_cand: int = 50
+) -> str:
+    """Static-prior blend oracle — bm25 top-n_cand candidates joined
+    to the unrolled-pagerank r5 table, sc + lam*ln(r), top-k."""
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    inlist = ", ".join(f"'{t}'" for t in uniq)
+    bm_case = " + ".join(
+        f"coalesce(max(CASE WHEN token = '{t}' THEN w END), 0.0e0)"
+        for t in uniq
+    )
+    pr = ",\n".join(_pagerank_ctes(5, 0.85, False))
+    return f"""
+WITH {_DUCK_BM25_WTS},
+{pr},
+bsc AS (
+  SELECT doc_id, {bm_case} AS sc
+  FROM wts WHERE token IN ({inlist}) GROUP BY doc_id
+),
+cand AS (SELECT doc_id, sc FROM bsc ORDER BY sc DESC, doc_id ASC
+         LIMIT {n_cand}),
+bl AS (
+  SELECT cand.doc_id, sc + {lam!r} * ln(r5.r) AS sc2
+  FROM cand JOIN r5 ON r5.id = cand.doc_id
+)
+SELECT doc_id, round(sc2, 9) AS score FROM bl
+ORDER BY sc2 DESC, doc_id ASC LIMIT {k}"""
+
+
+def _duck_site_collapse(
+    terms: list[str], k: int = 10, per_host: int = 2, n_cand: int = 50
+) -> str:
+    """Site-collapse oracle — bm25 top-n_cand page, host-partitioned
+    row_number cap, re-ranked top-k."""
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    inlist = ", ".join(f"'{t}'" for t in uniq)
+    bm_case = " + ".join(
+        f"coalesce(max(CASE WHEN token = '{t}' THEN w END), 0.0e0)"
+        for t in uniq
+    )
+    return f"""
+WITH {_DUCK_BM25_WTS},
+bsc AS (
+  SELECT doc_id, {bm_case} AS sc
+  FROM wts WHERE token IN ({inlist}) GROUP BY doc_id
+),
+cand AS (SELECT doc_id, sc FROM bsc ORDER BY sc DESC, doc_id ASC
+         LIMIT {n_cand}),
+h AS (SELECT doc_id,
+             'h' || CAST(doc_id % 16 AS VARCHAR) || '.test' AS host
+      FROM documents),
+rk AS (
+  SELECT cand.doc_id, h.host, sc,
+         row_number() OVER (PARTITION BY h.host
+                            ORDER BY sc DESC, cand.doc_id ASC) AS r
+  FROM cand JOIN h USING (doc_id)
+)
+SELECT doc_id, host, round(sc, 9) AS score FROM rk WHERE r <= {per_host}
+ORDER BY sc DESC, doc_id ASC LIMIT {k}"""
 
 
 def _duck_rocchio(terms: list[str], k_fb: int, m: int) -> str:
@@ -3162,9 +3264,9 @@ SELECT doc_id, shard, n_tokens, tok_offset,
 FROM o"""
 
 
-def _pagerank_sql(
+def _pagerank_ctes(
     n_iters: int = 5, damping: float = 0.85, weighted: bool = False
-) -> str:
+) -> list[str]:
     """Unrolled fixed-iteration PageRank over the same deterministic
     synthetic doc link graph as q_link_rank — one CTE per iteration,
     identical arithmetic (teleport + damped in-link shares; the graph
@@ -3203,6 +3305,13 @@ def _pagerank_sql(
   ) s ON s.id = docs.doc_id
 )"""
         )
+    return ctes
+
+
+def _pagerank_sql(
+    n_iters: int = 5, damping: float = 0.85, weighted: bool = False
+) -> str:
+    ctes = _pagerank_ctes(n_iters, damping, weighted)
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT id AS doc_id, round(r, 9) AS rank FROM r{n_iters}"
     )
@@ -5505,6 +5614,10 @@ FROM eb LEFT JOIN per_doc USING (doc_id)""",
         "pack_sequences": _DUCK_PACK_SEQUENCES,
         "bm25": _duck_bm25(_BM25_TERMS, k=10),
         "rrf_topk": _duck_rrf(_BM25_TERMS, k=10, k_rrf=60, n_cand=50),
+        "prior_blend": _duck_prior_blend(_BM25_TERMS, k=10, lam=0.25,
+                                         n_cand=50),
+        "site_collapse": _duck_site_collapse(_BM25_TERMS, k=10, per_host=2,
+                                             n_cand=50),
         "eliasfano_size": _duck_eliasfano(),
         "clarity": _duck_clarity(_BM25_TERMS, k_fb=10, mu=2000.0),
         # trigram JM-interpolated LM — lm_score's oracle one order up:

@@ -784,3 +784,72 @@ def clarity_score(
             ).alias("clarity")
         )
     )
+
+
+# ---- static-quality-prior blending ------------------------------------
+
+
+def blend_with_prior(
+    documents: DataFrame,
+    terms: list[str],
+    prior: DataFrame,
+    k: int = 10,
+    lam: float = 0.25,
+    n_cand: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs by BM25 blended with a query-INDEPENDENT quality
+    prior:  score = bm25 + λ·ln(prior_rank)  — the textbook
+    static-score combination (IIR §7.1.4; net-quality priors like
+    PageRank enter ranked retrieval exactly this way). `prior` is a
+    (doc_id, rank) frame, e.g. linkrank.pagerank output.
+
+    Standard two-stage shape: retrieve top-n_cand by text score (the
+    pruned-scan bm25 plan), then re-rank the bounded candidate page by
+    the blend — the prior join touches ≤ n_cand rows (broadcast the
+    candidates, not the corpus-wide prior). The blend is one
+    fixed-order two-term sum of deterministic doubles."""
+    w = bm25_table(documents, id_col, text_col)
+    cand = bm25_search(w, terms, k=n_cand)
+    j = F.broadcast(cand).join(
+        prior.select("doc_id", F.col("rank").alias("_pr")), "doc_id"
+    )
+    blended = j.select(
+        "doc_id",
+        (F.col("score") + F.lit(lam) * F.log(F.col("_pr"))).alias("score"),
+    )
+    return blended.orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    ).limit(k)
+
+
+# ---- SERP site collapsing ---------------------------------------------
+
+
+def site_collapse(
+    ranked: DataFrame,
+    hosts: DataFrame,
+    k: int = 10,
+    per_host: int = 2,
+) -> DataFrame:
+    """(doc_id, host, score) — host-diversified top-k: at most
+    `per_host` results from any one host, by rank order (the universal
+    SERP "site collapsing" rule — without it one mirror-heavy host
+    owns the whole page). ranked: (doc_id, score) — a candidate page,
+    already bounded (the search's top-n output); hosts: (doc_id, host).
+
+    One host-partitioned row_number over the bounded candidate frame +
+    the final top-k ordering — no corpus-sized window anywhere."""
+    j = ranked.join(hosts, "doc_id")
+    wh = Window.partitionBy("host").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        j.withColumn("_r", F.row_number().over(wh))
+        .filter(F.col("_r") <= per_host)
+        .drop("_r")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+        .select("doc_id", "host", "score")
+    )

@@ -187,3 +187,45 @@ def test_clarity_matches_hand_computation(spark):
         pwq[w] * math.log(pwq[w] / pwc[w]) / math.log(2.0) for w in sorted(pwq)
     )
     assert abs(got - exp) < 1e-12
+
+
+def test_blend_with_prior_reorders(spark):
+    import math
+
+    from searchengine_spark.operators.ranking import (
+        blend_with_prior, bm25_search, bm25_table,
+    )
+
+    rows = [
+        (0, "cat dog"),
+        (1, "cat dog"),  # identical text: bm25 tie with doc 0
+        (2, "bird"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # prior strongly favors doc 1
+    prior = spark.createDataFrame(
+        [(0, 0.01), (1, 0.9), (2, 0.09)], "doc_id long, rank double"
+    )
+    out = blend_with_prior(df, ["cat"], prior, k=3, lam=0.25).collect()
+    assert [r.doc_id for r in out] == [1, 0]  # prior breaks the text tie
+    base = {r.doc_id: r.score
+            for r in bm25_search(bm25_table(df), ["cat"], k=3).collect()}
+    exp1 = base[1] + 0.25 * math.log(0.9)
+    assert abs(out[0].score - exp1) < 1e-12
+
+
+def test_site_collapse_caps_per_host(spark):
+    from searchengine_spark.operators.ranking import site_collapse
+
+    ranked = spark.createDataFrame(
+        [(i, 100.0 - i) for i in range(8)], "doc_id long, score double"
+    )
+    hosts = spark.createDataFrame(
+        [(i, "a.test" if i < 5 else "b.test") for i in range(8)],
+        "doc_id long, host string",
+    )
+    out = site_collapse(ranked, hosts, k=10, per_host=2).collect()
+    got = [(r.doc_id, r.host) for r in out]
+    # host a contributes only its 2 best (docs 0, 1); b its 2 best (5, 6)
+    assert got == [(0, "a.test"), (1, "a.test"), (5, "b.test"),
+                   (6, "b.test")]
