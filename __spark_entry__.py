@@ -790,6 +790,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "est_reach",
         )
 
+    def q_sign_test(spark, sf):
+        # paired sign-flip permutation test (Smucker et al. 2007) over
+        # a deterministic 20-query paired-metric fixture; coins =
+        # h60('perm:qid') % 2, so the whole test is RNG-free and
+        # hash-oracled
+        from searchengine_spark.operators.rankeval import paired_sign_test
+
+        d = F.col("doc_id")
+        a = ((d * 7) % 10 + 2).cast("double") / F.lit(12.0)
+        delta = F.when(d % 3 == 0, F.lit(0.08)).otherwise(F.lit(-0.02))
+        m = (
+            _docs(spark, sf)
+            .filter(d < 20)
+            .select(
+                d.alias("query_id"),
+                a.alias("metric_a"),
+                (a - delta).alias("metric_b"),
+            )
+        )
+        return _r(paired_sign_test(m, n_perm=200), "mean_diff", "p_value")
+
     def q_prior_blend(spark, sf):
         # static-quality-prior blending (IIR 7.1.4): bm25 top-50
         # candidates re-ranked by score + 0.25*ln(pagerank) over the
@@ -2082,6 +2103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "reciprocity": q_reciprocity,
         "prior_blend": q_prior_blend,
         "site_collapse": q_site_collapse,
+        "sign_test": q_sign_test,
         "cohort_retention": q_cohort,
         "crawl_delta": q_crawl_delta,
         "phrase_query": q_phrase,
@@ -5616,6 +5638,42 @@ FROM eb LEFT JOIN per_doc USING (doc_id)""",
         "rrf_topk": _duck_rrf(_BM25_TERMS, k=10, k_rrf=60, n_cand=50),
         "prior_blend": _duck_prior_blend(_BM25_TERMS, k=10, lam=0.25,
                                          n_cand=50),
+        # paired sign-flip permutation test — h60 coins, query-ordered
+        # folds, add-one-smoothed p
+        "sign_test": f"""
+WITH m AS (
+  SELECT doc_id AS qid,
+         CAST((doc_id * 7) % 10 + 2 AS DOUBLE) / 12.0e0 AS a,
+         CASE WHEN doc_id % 3 = 0 THEN 0.08e0 ELSE -0.02e0 END AS delta
+  FROM documents WHERE doc_id < 20
+),
+d AS (SELECT qid, a - (a - delta) AS d FROM m),
+qq AS (SELECT count(*) AS q FROM d),
+obs AS (
+  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(d ORDER BY qid)), (x, y) -> x + y)
+         / CAST((SELECT q FROM qq) AS DOUBLE) AS o
+  FROM d
+),
+pg AS (
+  SELECT p.perm, d.qid,
+         CASE WHEN {_duck_h60("CAST(p.perm AS VARCHAR) || ':' || CAST(d.qid AS VARCHAR)")} % 2 = 0
+              THEN d.d ELSE -d.d END AS fd
+  FROM (SELECT unnest(range(200)) AS perm) p, d
+),
+pm AS (
+  SELECT perm,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(fd ORDER BY qid)), (x, y) -> x + y)
+         / CAST((SELECT q FROM qq) AS DOUBLE) AS pmean
+  FROM pg GROUP BY perm
+),
+cnt AS (SELECT count(*) AS c FROM pm
+        WHERE abs(pmean) >= abs((SELECT o FROM obs)))
+SELECT CAST((SELECT q FROM qq) AS BIGINT) AS n_queries,
+       round((SELECT o FROM obs), 9) AS mean_diff,
+       round(CAST(c + 1 AS DOUBLE) / CAST(201 AS DOUBLE), 9) AS p_value
+FROM cnt""",
         "site_collapse": _duck_site_collapse(_BM25_TERMS, k=10, per_host=2,
                                              n_cand=50),
         "eliasfano_size": _duck_eliasfano(),

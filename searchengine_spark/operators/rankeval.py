@@ -116,3 +116,71 @@ def rank_eval(ranked: DataFrame, rels: DataFrame, k: int = 10) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+def paired_sign_test(
+    metrics: DataFrame,
+    n_perm: int = 200,
+    q_col: str = "query_id",
+    a_col: str = "metric_a",
+    b_col: str = "metric_b",
+) -> DataFrame:
+    """1-row (n_queries, mean_diff, p_value) — the paired sign-flip
+    permutation test for comparing two rankers over a query set (Smucker,
+    Allan & Carterette, CIKM 2007 recommend exactly this randomization
+    test for IR metric differences): under H0 the per-query metric
+    difference d_q is symmetric around 0, so each permutation flips
+    every d_q's sign by a fair coin and the p-value is the fraction of
+    permutations whose |mean| reaches the observed |mean|
+    (add-one smoothed: (hits+1)/(n_perm+1)).
+
+    The coins are DETERMINISTIC: flip_q(perm) = h60('perm:qid') % 2 —
+    the repo's md5-60bit idiom — so the whole test is reproducible and
+    hash-oracled (no RNG; Date/seed-free by construction). Input is any
+    per-query paired metric table, e.g. two rank_eval nDCG@10 columns.
+
+    Scale shape: the permutation grid is n_perm × Q rows built by
+    fanning the (tiny, broadcast) per-query diff table across a
+    spark.range(n_perm) — bounded by the knob, never corpus-sized; the
+    per-permutation means fold in query order."""
+    from searchengine_spark.operators.sampling import h60_col
+
+    diffs = metrics.select(
+        F.col(q_col).alias("qid"),
+        (F.col(a_col) - F.col(b_col)).alias("d"),
+    )
+    q = diffs.count()
+    if q == 0:
+        return metrics.sparkSession.createDataFrame(
+            [], "n_queries long, mean_diff double, p_value double"
+        )
+    obs = float(
+        diffs.agg(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(qid, d AS v))), "
+                "0.0D, (a, s) -> a + s.v)"
+            )
+        ).collect()[0][0]
+    ) / float(q)
+    spark = metrics.sparkSession
+    perms = spark.range(n_perm).select(F.col("id").alias("perm"))
+    grid = perms.crossJoin(F.broadcast(diffs))  # bounded fan-out: B x Q
+    flip = F.when(
+        h60_col("concat(CAST(perm AS STRING), ':', CAST(qid AS STRING))")
+        % 2 == 0,
+        F.col("d"),
+    ).otherwise(-F.col("d"))
+    pm = grid.select("perm", "qid", flip.alias("fd")).groupBy("perm").agg(
+        (
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(qid, fd AS v))), "
+                "0.0D, (a, s) -> a + s.v)"
+            )
+            / F.lit(float(q))
+        ).alias("pmean")
+    )
+    hits = pm.filter(F.abs(F.col("pmean")) >= abs(obs)).count()
+    p = float(hits + 1) / float(n_perm + 1)
+    return spark.createDataFrame(
+        [(q, obs, p)], "n_queries long, mean_diff double, p_value double"
+    )

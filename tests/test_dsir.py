@@ -115,3 +115,43 @@ def test_no_target_rows_still_defined(spark, occ):
     empty = spark.range(0).selectExpr("id AS doc_id")
     w = SP.dsir_log_weights(occ, empty, n_buckets=N_BUCKETS)
     assert w.filter(F.col("log_weight").isNull()).count() == 0
+
+
+def test_paired_sign_test_separates_signal_from_noise(spark):
+    from searchengine_spark.operators.rankeval import paired_sign_test
+
+    # systematic winner: a beats b by 0.1 on every one of 12 queries
+    win = spark.createDataFrame(
+        [(q, 0.5 + 0.1, 0.5) for q in range(12)],
+        "query_id long, metric_a double, metric_b double",
+    )
+    r = paired_sign_test(win, n_perm=400).collect()[0]
+    assert r.n_queries == 12 and abs(r.mean_diff - 0.1) < 1e-12
+    # all-same-sign diffs: only the all-heads/all-tails flips reach
+    # |obs| -> p near 2/2^12; with add-one smoothing p stays tiny
+    assert r.p_value < 0.02
+
+    # pure noise: alternating +-0.1 diffs -> mean 0, p = 1
+    noise = spark.createDataFrame(
+        [(q, 0.5 + (0.1 if q % 2 == 0 else -0.1), 0.5) for q in range(12)],
+        "query_id long, metric_a double, metric_b double",
+    )
+    n = paired_sign_test(noise, n_perm=400).collect()[0]
+    assert abs(n.mean_diff) < 1e-12
+    assert n.p_value > 0.9
+
+
+def test_paired_sign_test_deterministic_and_empty(spark):
+    from searchengine_spark.operators.rankeval import paired_sign_test
+
+    m = spark.createDataFrame(
+        [(q, 0.6, 0.5 + 0.01 * (q % 3)) for q in range(8)],
+        "query_id long, metric_a double, metric_b double",
+    )
+    a = paired_sign_test(m, n_perm=100).collect()[0]
+    b = paired_sign_test(m, n_perm=100).collect()[0]
+    assert tuple(a) == tuple(b)  # h60 coins: no RNG anywhere
+    empty = spark.createDataFrame(
+        [], "query_id long, metric_a double, metric_b double"
+    )
+    assert paired_sign_test(empty).count() == 0
