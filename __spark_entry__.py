@@ -790,6 +790,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "est_reach",
         )
 
+    def q_nqc(spark, sf):
+        # Normalized Query Commitment (post-retrieval QPP, Shtok et
+        # al.): std of the bm25 top-50 scores over the collection score
+        # magnitude — bounded folds only, nothing past the search plan
+        return _r(
+            RK.nqc_score(_docs(spark, sf), _BM25_TERMS, k=50), "mu", "nqc"
+        )
+
+    def q_burstiness(spark, sf):
+        # Church-Gale term burstiness P(tf>=2 | tf>=1): topical words
+        # burst, glue words spread — exact counts + one ratio
+        return _r(TS.term_burstiness(_docs(spark, sf), min_df=5),
+                  "burstiness")
+
     def q_sign_test(spark, sf):
         # paired sign-flip permutation test (Smucker et al. 2007) over
         # a deterministic 20-query paired-metric fixture; coins =
@@ -2104,6 +2118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prior_blend": q_prior_blend,
         "site_collapse": q_site_collapse,
         "sign_test": q_sign_test,
+        "nqc": q_nqc,
+        "burstiness": q_burstiness,
         "cohort_retention": q_cohort,
         "crawl_delta": q_crawl_delta,
         "phrase_query": q_phrase,
@@ -5638,6 +5654,48 @@ FROM eb LEFT JOIN per_doc USING (doc_id)""",
         "rrf_topk": _duck_rrf(_BM25_TERMS, k=10, k_rrf=60, n_cand=50),
         "prior_blend": _duck_prior_blend(_BM25_TERMS, k=10, lam=0.25,
                                          n_cand=50),
+        # NQC post-retrieval QPP — top-50 score folds in doc_id order,
+        # collection score magnitude as the normalizer
+        "nqc": f"""
+WITH {_DUCK_BM25_WTS},
+bsc AS (
+  SELECT doc_id, coalesce(max(CASE WHEN token = 'spark' THEN w END), 0.0e0) + coalesce(max(CASE WHEN token = 'window' THEN w END), 0.0e0) + coalesce(max(CASE WHEN token = 'dup' THEN w END), 0.0e0) AS sc
+  FROM wts WHERE token IN ('spark', 'window', 'dup') GROUP BY doc_id
+),
+topk AS (SELECT doc_id, sc FROM bsc ORDER BY sc DESC, doc_id ASC LIMIT 50),
+stot AS (
+  SELECT coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(w ORDER BY doc_id, token)), (x, y) -> x + y), 0.0e0) AS st
+  FROM wts WHERE token IN ('spark', 'window', 'dup')
+),
+ag AS (
+  SELECT count(*) AS n,
+    coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list(sc ORDER BY doc_id)), (x, y) -> x + y), 0.0e0) AS s1,
+    coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      list(sc * sc ORDER BY doc_id)), (x, y) -> x + y), 0.0e0) AS s2
+  FROM topk
+)
+SELECT CAST(n AS BIGINT) AS n_scored,
+  round(CASE WHEN n > 0 THEN s1 / CAST(n AS DOUBLE) ELSE 0.0e0 END, 9) AS mu,
+  round(CASE WHEN n > 0 AND (SELECT st FROM stot) > 0.0e0
+    THEN sqrt(greatest(s2 / CAST(n AS DOUBLE)
+                       - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)),
+                       0.0e0)) / (SELECT st FROM stot)
+    ELSE 0.0e0 END, 9) AS nqc
+FROM ag""",
+        # Church-Gale burstiness — exact (doc, token) counts, one ratio
+        "burstiness": f"""
+WITH {_DUCK_TOKENS},
+per AS (SELECT doc_id, token, count(*) AS f FROM tok2 GROUP BY doc_id, token),
+r AS (
+  SELECT token, count(*) AS df,
+         sum(CASE WHEN f >= 2 THEN 1 ELSE 0 END) AS df2
+  FROM per GROUP BY token
+)
+SELECT token, df, df2,
+       round(CAST(df2 AS DOUBLE) / CAST(df AS DOUBLE), 9) AS burstiness
+FROM r WHERE df >= 5""",
         # paired sign-flip permutation test — h60 coins, query-ordered
         # folds, add-one-smoothed p
         "sign_test": f"""

@@ -853,3 +853,65 @@ def site_collapse(
         .limit(k)
         .select("doc_id", "host", "score")
     )
+
+
+def nqc_score(
+    documents: DataFrame,
+    terms: list[str],
+    k: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """1-row (n_scored, mu, nqc) — Normalized Query Commitment (Shtok,
+    Kurland & Carmel 2012), the standard POST-retrieval query-
+    performance predictor next to the pre-retrieval clarity_score:
+
+      NQC = sqrt( (1/k) Σ_{d ∈ top-k} (s(d) − μ)² ) / s_total
+
+    high variance among the top scores ⇒ the ranking "commits" to a
+    few documents (an easy query); a flat score curve predicts poor
+    effectiveness. s_total (the normalizer) is the corpus-wide sum of
+    per-term BM25 weights for the query — a collection-level score
+    magnitude, computed here as a doc_id-ordered fold.
+
+    Determinism: the top-k scores and their μ/variance fold in doc_id
+    order (a bounded ≤k list); every division is a fixed expression.
+    Cost: the bm25 candidate plan + one bounded fold — nothing
+    corpus-sized beyond what the search already pays."""
+    w = bm25_table(documents, id_col, text_col)
+    top = bm25_search(w, terms, k=k)
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    stot_row = (
+        w.filter(F.col("token").isin(uniq))
+        .agg(
+            F.expr(
+                "aggregate(sort_array(collect_list(struct(doc_id, token, "
+                "weight AS v))), 0.0D, (a, s) -> a + s.v)"
+            ).alias("stot")
+        )
+        .collect()[0]
+    )
+    stot = float(stot_row["stot"] or 0.0)
+    agg = top.agg(
+        F.count("*").alias("n"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(doc_id, score AS v))), "
+            "0.0D, (a, s) -> a + s.v)"
+        ).alias("s1"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(doc_id, "
+            "score * score AS v))), 0.0D, (a, s) -> a + s.v)"
+        ).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1") / n
+    var = F.col("s2") / n - mu * mu
+    nqc = F.when(
+        (F.col("n") > 0) & (F.lit(stot) > 0.0),
+        F.sqrt(F.greatest(var, F.lit(0.0))) / F.lit(stot),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col("n").alias("n_scored"),
+        F.when(F.col("n") > 0, mu).otherwise(F.lit(0.0)).alias("mu"),
+        nqc.alias("nqc"),
+    )

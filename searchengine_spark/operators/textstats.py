@@ -784,3 +784,44 @@ def readability_scores(
         " - 84.6D * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))"
         " END AS flesch",
     )
+
+
+def term_burstiness(
+    documents: DataFrame,
+    min_df: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, df, df2, burstiness) — Church & Gale / Katz term
+    burstiness: of the documents containing a term, what fraction
+    contain it AGAIN (P(tf ≥ 2 | tf ≥ 1))? Content words burst
+    (mentioned once, mentioned often); function words spread evenly —
+    the statistic separates topical vocabulary from glue better than
+    raw df, and feeds stopword/keyword decisions next to
+    stopword_census. Exact integer counts + one ratio; ONE
+    (doc, token) aggregate the tf table already pays + one token
+    rollup."""
+    toks = tokens_sql(text_col)
+    per = (
+        documents.selectExpr(
+            f"{id_col} AS doc_id", f"explode({toks}) AS token"
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("f"))
+    )
+    return (
+        per.groupBy("token")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum(F.when(F.col("f") >= 2, 1).otherwise(0)).alias("df2"),
+        )
+        .filter(F.col("df") >= min_df)
+        .select(
+            "token",
+            "df",
+            "df2",
+            (F.col("df2").cast("double") / F.col("df").cast("double")).alias(
+                "burstiness"
+            ),
+        )
+    )

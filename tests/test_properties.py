@@ -180,3 +180,20 @@ def test_tfidf_cosine_pairs_exact_and_dfcut(spark):
     # df-cut: with max_df=1 every shared token is dropped from the dot
     # -> no candidate pairs at all
     assert tfidf_cosine_pairs(df, threshold=0.0, max_df=1).count() == 0
+
+
+def test_term_burstiness_hand_computed(spark):
+    from searchengine_spark.operators.textstats import term_burstiness
+
+    rows = [
+        (0, "topic topic glue"),
+        (1, "topic glue"),
+        (2, "topic topic topic glue"),
+        (3, "glue"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.token: (r.df, r.df2, r.burstiness)
+           for r in term_burstiness(df, min_df=3).collect()}
+    # topic: in 3 docs, twice-or-more in 2 of them; glue: never repeats
+    assert got["topic"] == (3, 2, 2 / 3)
+    assert got["glue"] == (4, 0, 0.0)

@@ -229,3 +229,23 @@ def test_site_collapse_caps_per_host(spark):
     # host a contributes only its 2 best (docs 0, 1); b its 2 best (5, 6)
     assert got == [(0, "a.test"), (1, "a.test"), (5, "b.test"),
                    (6, "b.test")]
+
+
+def test_nqc_commitment_ordering(spark):
+    from searchengine_spark.operators.ranking import nqc_score
+
+    # query 'needle': one doc dominates -> high score variance; query
+    # 'common': flat scores across docs -> low variance
+    rows = [
+        (0, "needle needle needle haystack"),
+        (1, "haystack common filler one"),
+        (2, "haystack common filler two"),
+        (3, "haystack common filler three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hi = nqc_score(df, ["needle", "haystack"], k=4).collect()[0]
+    lo = nqc_score(df, ["common"], k=4).collect()[0]
+    assert hi.n_scored == 4 and lo.n_scored == 3
+    assert hi.nqc > lo.nqc >= 0.0
+    empty = nqc_score(df, ["absentterm"], k=4).collect()[0]
+    assert empty.n_scored == 0 and empty.nqc == 0.0
