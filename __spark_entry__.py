@@ -790,6 +790,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "est_reach",
         )
 
+    def q_anchor_entropy(spark, sf):
+        # anchor-vocabulary entropy per target (nepotistic-link
+        # signal): H over the anchor postings' exact weights,
+        # token-ordered fold — third link-spam alarm next to
+        # reciprocity and degree_tail
+        from searchengine_spark.operators import anchortext as AT
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        t1 = ((F.col("doc_id") * 2 + 1) % n).cast("string")
+        t2 = ((F.col("doc_id") * 3 + 7) % n).cast("string")
+        html = F.concat(
+            F.lit('<html><body><a href="https://docs.test/'), t1,
+            F.lit('">'), F.substring(F.col("text"), 1, 32),
+            F.lit('</a><a href="https://docs.test/'), t2,
+            F.lit('">'), F.substring(F.col("text"), 33, 32),
+            F.lit("</a></body></html>"),
+        )
+        pages = docs.select(
+            F.concat(
+                F.lit("https://docs.test/"), F.col("doc_id").cast("string")
+            ).alias("url"),
+            html.alias("html"),
+        )
+        return _r(AT.anchor_entropy(AT.anchor_postings(pages)), "entropy")
+
+    def q_path_census(spark, sf):
+        # URL-space census by path prefix (scope decisions): <=3
+        # ancestor rows per url, one (host, prefix) count agg
+        from searchengine_spark.operators import urlmining as UM
+
+        return UM.path_prefix_census(
+            UM.url_fixture(_docs(spark, sf)), max_depth=3
+        )
+
+    def q_good_turing(spark, sf):
+        # Good-Turing discounted counts r* = (r+1)N_{r+1}/N_r off the
+        # exact frequency spectrum (Katz smoothing's core table)
+        # the synthetic corpus has a CLOSED 31-token vocabulary, so all
+        # counts are large — lift the r cutoff so the oracle checks
+        # real rows (production Katz uses the small-r default)
+        return _r(
+            TS.good_turing_discounts(_docs(spark, sf), max_r=10_000_000),
+            "r_star",
+        )
+
     def q_nqc(spark, sf):
         # Normalized Query Commitment (post-retrieval QPP, Shtok et
         # al.): std of the bm25 top-50 scores over the collection score
@@ -2120,6 +2166,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sign_test": q_sign_test,
         "nqc": q_nqc,
         "burstiness": q_burstiness,
+        "anchor_entropy": q_anchor_entropy,
+        "path_census": q_path_census,
+        "good_turing": q_good_turing,
         "cohort_retention": q_cohort,
         "crawl_delta": q_crawl_delta,
         "phrase_query": q_phrase,
@@ -3184,6 +3233,17 @@ atok AS (
 SELECT target AS target_url, token, count(*) AS weight
 FROM atok WHERE token <> '' AND length(token) <= 10000
 GROUP BY target, token"""
+
+
+# the anchor-postings statement re-shaped into a CTE chain so entropy
+# (and future anchor analytics) can build on it
+_DUCK_ANCHOR_POSTINGS_CTE = _DUCK_ANCHOR_TEXT.replace(
+    "\nSELECT target AS target_url",
+    ",\nap AS (\n  SELECT target AS target_url", 1
+) + "\n)"
+assert _DUCK_ANCHOR_POSTINGS_CTE != _DUCK_ANCHOR_TEXT + "\n)", (
+    "_DUCK_ANCHOR_TEXT changed; update the ap-CTE surgery"
+)
 
 # ---- tf_lemma (F3): the token pipeline with the shipped lemma map
 # applied in tok2 — the exact CASE both engines share ------------------
@@ -5654,6 +5714,63 @@ FROM eb LEFT JOIN per_doc USING (doc_id)""",
         "rrf_topk": _duck_rrf(_BM25_TERMS, k=10, k_rrf=60, n_cand=50),
         "prior_blend": _duck_prior_blend(_BM25_TERMS, k=10, lam=0.25,
                                          n_cand=50),
+        # anchor-vocabulary entropy — postings CTE + token-ordered
+        # -p*ln(p) fold per target
+        "anchor_entropy": f"""
+{_DUCK_ANCHOR_POSTINGS_CTE},
+tot AS (
+  SELECT target_url, sum(weight) AS tw, count(*) AS n_terms
+  FROM ap GROUP BY target_url
+),
+he AS (
+  SELECT ap.target_url, ap.token,
+    -((CAST(weight AS DOUBLE) / CAST(tw AS DOUBLE))
+      * ln(CAST(weight AS DOUBLE) / CAST(tw AS DOUBLE))) AS h
+  FROM ap JOIN tot USING (target_url)
+),
+ent AS (
+  SELECT target_url,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(h ORDER BY token)), (x, y) -> x + y) AS entropy
+  FROM he GROUP BY target_url
+)
+SELECT t.target_url, t.n_terms, t.tw AS n_anchors,
+       round(ent.entropy, 9) AS entropy
+FROM tot t JOIN ent USING (target_url)""",
+        # path-prefix census over the url fixture — <=3 ancestors/url
+        "path_census": f"""
+WITH u AS ({_DUCK_URL_FIXTURE}),
+pp AS (
+  SELECT lower(split_part(substr(url, 9), '/', 1)) AS host,
+         list_filter(string_split(regexp_replace(
+           split_part(substr(substr(url, 9),
+             length(split_part(substr(url, 9), '/', 1)) + 1), '?', 1),
+           '^/', ''), '/'), s -> s <> '') AS segs
+  FROM u
+),
+ex AS (
+  SELECT host,
+         unnest(list_transform(range(1, least(len(segs), 3) + 1),
+           d -> struct_pack(depth := d,
+                prefix := '/' || array_to_string(list_slice(segs, 1, d),
+                                                 '/'))),
+           recursive := true)
+  FROM pp WHERE len(segs) > 0
+)
+SELECT host, prefix, depth, count(*) AS n_urls
+FROM ex GROUP BY host, prefix, depth""",
+        # Good-Turing discounts off the exact unigram spectrum
+        "good_turing": f"""
+WITH {_DUCK_TOKENS},
+tokf AS (SELECT token, count(*) AS freq FROM tok2 GROUP BY token),
+spec AS (SELECT freq, count(*) AS n_types FROM tokf GROUP BY freq),
+nxt AS (SELECT freq - 1 AS freq, n_types AS n_next FROM spec)
+SELECT spec.freq AS r, spec.n_types AS n_r,
+  round(CASE WHEN n_next IS NOT NULL AND n_next > 0
+    THEN (CAST(spec.freq AS DOUBLE) + 1.0e0)
+         * (CAST(n_next AS DOUBLE) / CAST(spec.n_types AS DOUBLE))
+    ELSE CAST(spec.freq AS DOUBLE) END, 9) AS r_star
+FROM spec LEFT JOIN nxt USING (freq) WHERE spec.freq <= 10000000""",
         # NQC post-retrieval QPP — top-50 score folds in doc_id order,
         # collection score magnitude as the normalizer
         "nqc": f"""

@@ -825,3 +825,38 @@ def term_burstiness(
             ),
         )
     )
+
+
+def good_turing_discounts(
+    documents: DataFrame,
+    max_r: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(r, n_r, r_star) — the Good-Turing discounted counts over the
+    corpus unigram spectrum: r* = (r+1)·N_{r+1}/N_r for r ≤ max_r
+    (Good 1953; the core table of Katz-backoff smoothing — low counts
+    shrink toward the mass the hapaxes imply). Rows where N_{r+1} = 0
+    report r* = r (no discount information — the standard cutoff
+    convention, which is also why practical Katz only discounts small
+    r; max_r defaults to the usual 10).
+
+    Built straight off freq_spectrum's exact integer counts (two
+    map-side-combinable aggregates) + ONE self-join of the tiny
+    spectrum frame on r+1."""
+    spec = freq_spectrum(documents, id_col, text_col)
+    nxt = spec.select(
+        (F.col("freq") - 1).alias("freq"), F.col("n_types").alias("n_next")
+    )
+    j = spec.filter(F.col("freq") <= max_r).join(nxt, "freq", "left")
+    r = F.col("freq").cast("double")
+    rstar = F.when(
+        F.col("n_next").isNotNull() & (F.col("n_next") > 0),
+        (r + F.lit(1.0))
+        * (F.col("n_next").cast("double") / F.col("n_types").cast("double")),
+    ).otherwise(r)
+    return j.select(
+        F.col("freq").alias("r"),
+        F.col("n_types").alias("n_r"),
+        rstar.alias("r_star"),
+    )

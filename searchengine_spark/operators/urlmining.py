@@ -116,3 +116,40 @@ def url_fixture(documents: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return documents.select(
         d.alias("doc_id"), F.concat(host, path).alias("url")
     )
+
+
+def path_prefix_census(
+    urls: DataFrame,
+    max_depth: int = 3,
+    url_col: str = "url",
+) -> DataFrame:
+    """(host, prefix, depth, n_urls) — URL-space census by path prefix
+    up to max_depth segments: every URL contributes its /a, /a/b,
+    /a/b/c ancestors, counted per host. The scope-decision view a
+    crawl operator reads before widening or pruning a site ("/forum is
+    80% of the budget") — the tree-census companion to url_templates'
+    pattern census.
+
+    One explode of ≤ max_depth prefix rows per URL + one count
+    aggregate keyed (host, prefix) — map-side combinable, no UDF (path
+    split is parse_url + slice/array_join exprs)."""
+    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    path = F.coalesce(F.parse_url(F.col(url_col), F.lit("PATH")), F.lit(""))
+    segs = F.expr(
+        "filter(split(regexp_replace(path, '^/', ''), '/'), s -> s <> '')"
+    )
+    pref = F.expr(
+        f"transform(sequence(1, least(size(segs), {max_depth})), "
+        f"d -> struct(d AS depth, "
+        f"concat('/', array_join(slice(segs, 1, d), '/')) AS prefix))"
+    )
+    return (
+        urls.select(host.alias("host"), path.alias("path"))
+        .select("host", segs.alias("segs"))
+        .filter(F.size("segs") > 0)
+        .select("host", F.explode(pref).alias("p"))
+        .select("host", F.col("p.prefix").alias("prefix"),
+                F.col("p.depth").alias("depth"))
+        .groupBy("host", "prefix", "depth")
+        .agg(F.count("*").alias("n_urls"))
+    )

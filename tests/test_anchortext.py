@@ -58,3 +58,29 @@ def test_anchor_postings_aggregate(spark):
         for r in anchor_postings(pages, self_links=True).collect()
     }
     assert ("https://x.test/a", "self") in kept
+
+
+def test_anchor_entropy_diversity_signal(spark):
+    import math
+
+    from searchengine_spark.operators.anchortext import anchor_entropy
+
+    postings = spark.createDataFrame(
+        [
+            # organically cited: four distinct anchor words, equal weight
+            ("https://a.test/", "great", 1),
+            ("https://a.test/", "useful", 1),
+            ("https://a.test/", "reference", 1),
+            ("https://a.test/", "guide", 1),
+            # link farm: one phrase repeated
+            ("https://spam.test/", "cheap", 40),
+        ],
+        "target_url string, token string, weight long",
+    )
+    got = {r.target_url: r for r in anchor_entropy(postings).collect()}
+    a = got["https://a.test/"]
+    assert a.n_terms == 4 and a.n_anchors == 4
+    assert abs(a.entropy - math.log(4)) < 1e-12  # uniform -> ln(k)
+    s = got["https://spam.test/"]
+    assert s.n_terms == 1 and s.n_anchors == 40
+    assert abs(s.entropy) < 1e-12  # single phrase -> zero entropy

@@ -197,3 +197,19 @@ def test_term_burstiness_hand_computed(spark):
     # topic: in 3 docs, twice-or-more in 2 of them; glue: never repeats
     assert got["topic"] == (3, 2, 2 / 3)
     assert got["glue"] == (4, 0, 0.0)
+
+
+def test_good_turing_hand_computed(spark):
+    from searchengine_spark.operators.textstats import good_turing_discounts
+
+    # freq spectrum: 'a' x1 type with count 3; two types with count 1
+    # (b, c); one type with count 2 (d d)
+    rows = [(0, "a a a b c d d")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.r: (r.n_r, r.r_star)
+           for r in good_turing_discounts(df, max_r=10).collect()}
+    # N_1 = 2, N_2 = 1, N_3 = 1
+    assert got[1][0] == 2 and abs(got[1][1] - 2 * (1 / 2)) < 1e-12
+    assert got[2][0] == 1 and abs(got[2][1] - 3 * (1 / 1)) < 1e-12
+    # r=3 has no N_4 -> undiscounted r* = r
+    assert got[3] == (1, 3.0)

@@ -172,3 +172,27 @@ def test_containment_empty_docs_dropped(spark):
         [(1, ""), (2, None), (3, "a b c")], "doc_id long, text string"
     )
     assert containment_pairs(docs, threshold=0.5).collect() == []
+
+
+def test_path_prefix_census(spark):
+    from searchengine_spark.operators.urlmining import path_prefix_census
+
+    urls = spark.createDataFrame(
+        [
+            ("https://a.test/forum/t/1?x=1",),
+            ("https://a.test/forum/t/2",),
+            ("https://a.test/about",),
+            ("https://A.test/forum/news/3/deep/deeper",),  # case-folds
+            ("https://b.test/",),  # no path segments -> contributes none
+        ],
+        "url string",
+    )
+    got = {(r.host, r.prefix, r.depth): r.n_urls
+           for r in path_prefix_census(urls, max_depth=3).collect()}
+    assert got[("a.test", "/forum", 1)] == 3
+    assert got[("a.test", "/forum/t", 2)] == 2
+    assert got[("a.test", "/forum/t/1", 3)] == 1
+    assert got[("a.test", "/about", 1)] == 1
+    # depth capped at 3: no /forum/news/3/deep entries
+    assert all(d <= 3 for (_, _, d) in got)
+    assert not any(h == "b.test" for (h, _, _) in got)
