@@ -790,6 +790,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "est_reach",
         )
 
+    def q_modularity(spark, sf):
+        # Newman-Girvan modularity of the LPA partition over the
+        # expander fixture — exact intra-edge/degree sums into
+        # label-ordered Q-term folds ("did LPA find real structure")
+        from searchengine_spark.operators import graphstats as GS
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        comm = GS.lpa_communities(edges, n_iters=3)
+        return _r(GS.modularity(edges, comm), "modularity")
+
+    def q_pmi_expand(spark, sf):
+        # distributional-thesaurus query expansion: top-5 windowed-PMI
+        # associations per query term, direction-collapsed counts
+        # summed before the PMI
+        return _r(
+            PX.pmi_expand(_docs(spark, sf), _BM25_TERMS, m=5, w=5,
+                          min_count=5),
+            "pmi",
+        )
+
     def q_anchor_entropy(spark, sf):
         # anchor-vocabulary entropy per target (nepotistic-link
         # signal): H over the anchor postings' exact weights,
@@ -2166,6 +2195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sign_test": q_sign_test,
         "nqc": q_nqc,
         "burstiness": q_burstiness,
+        "modularity": q_modularity,
+        "pmi_expand": q_pmi_expand,
         "anchor_entropy": q_anchor_entropy,
         "path_census": q_path_census,
         "good_turing": q_good_turing,
@@ -4806,7 +4837,7 @@ surts AS (
 """
 
 
-def _duck_lpa_sql(n_iters: int = 3) -> str:
+def _duck_lpa_ctes(n_iters: int = 3) -> list[str]:
     """Unrolled synchronous min-tie label propagation over the expander
     edge fixture (same edge rules as the triangles/link_rank oracles)."""
     ctes = [
@@ -4842,6 +4873,11 @@ def _duck_lpa_sql(n_iters: int = 3) -> str:
             f"l{i} AS (SELECT l.node, coalesce(b.label, l.label) AS label "
             f"FROM l{i - 1} l LEFT JOIN b{i} b USING (node))"
         )
+    return ctes
+
+
+def _duck_lpa_sql(n_iters: int = 3) -> str:
+    ctes = _duck_lpa_ctes(n_iters)
     return (
         "WITH " + ",\n".join(ctes) + f"\nSELECT node, label FROM l{n_iters}"
     )
@@ -5714,6 +5750,83 @@ FROM eb LEFT JOIN per_doc USING (doc_id)""",
         "rrf_topk": _duck_rrf(_BM25_TERMS, k=10, k_rrf=60, n_cand=50),
         "prior_blend": _duck_prior_blend(_BM25_TERMS, k=10, lam=0.25,
                                          n_cand=50),
+        # Newman-Girvan modularity of the unrolled-LPA partition —
+        # exact intra/degree sums, label-ordered Q folds
+        "modularity": (
+            "WITH " + ",\n".join(_duck_lpa_ctes(3)) + """,
+intra AS (
+  SELECT l1.label AS label, count(*) AS ec
+  FROM e JOIN l3 l1 ON l1.node = e.a JOIN l3 l2 ON l2.node = e.b
+  WHERE l1.label = l2.label GROUP BY l1.label
+),
+degs AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY node
+),
+dcs AS (
+  SELECT l.label, sum(degs.d) AS dc
+  FROM degs JOIN l3 l ON l.node = degs.node GROUP BY l.label
+),
+mm AS (SELECT count(*) AS m FROM e),
+tq AS (
+  SELECT dcs.label,
+    CAST(coalesce(intra.ec, 0) AS DOUBLE)
+      / CAST((SELECT m FROM mm) AS DOUBLE)
+    - (CAST(dc AS DOUBLE) / CAST(2 * (SELECT m FROM mm) AS DOUBLE))
+      * (CAST(dc AS DOUBLE) / CAST(2 * (SELECT m FROM mm) AS DOUBLE)) AS q
+  FROM dcs LEFT JOIN intra USING (label)
+)
+SELECT CAST((SELECT m FROM mm) AS BIGINT) AS m_edges,
+       CAST(count(*) AS BIGINT) AS n_communities,
+       round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         list(q ORDER BY label)), (x, y) -> x + y), 9) AS modularity
+FROM tq"""
+        ),
+        # PMI query expansion — the window_pmi pair stream filtered to
+        # query terms, direction-collapsed counts, per-term top-5
+        "pmi_expand": f"""
+WITH toks AS MATERIALIZED (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+tp AS MATERIALIZED (
+  SELECT doc_id,
+         unnest(list_transform(range(len(tl)),
+                i -> struct_pack(pos := i, token := tl[i + 1])),
+                recursive := true)
+  FROM toks WHERE len(tl) >= 1
+),
+pr AS MATERIALIZED (
+  SELECT a.token AS a, b.token AS b
+  FROM tp a JOIN tp b
+    ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 5
+),
+cab AS (SELECT a, b, count(*) AS n_ab FROM pr GROUP BY a, b),
+bo AS (
+  SELECT term, assoc, sum(n_ab) AS n_ab FROM (
+    SELECT a AS term, b AS assoc, n_ab FROM cab
+    WHERE a IN ('spark', 'window', 'dup')
+    UNION ALL
+    SELECT b, a, n_ab FROM cab WHERE b IN ('spark', 'window', 'dup')
+  ) WHERE assoc NOT IN ('spark', 'window', 'dup')
+  GROUP BY term, assoc HAVING sum(n_ab) >= 5
+),
+cx AS (SELECT token, count(*) AS n_x FROM tp GROUP BY token),
+tot AS (SELECT (SELECT count(*) FROM tp) AS t,
+               (SELECT count(*) FROM pr) AS pcnt),
+sc AS (
+  SELECT term, assoc, n_ab,
+    ln((CAST(n_ab AS DOUBLE) * CAST(t AS DOUBLE) * CAST(t AS DOUBLE))
+       / (CAST(2 * pcnt AS DOUBLE) * CAST(nt.n_x AS DOUBLE)
+          * CAST(na.n_x AS DOUBLE))) AS pmi
+  FROM bo JOIN cx nt ON nt.token = bo.term
+  JOIN cx na ON na.token = bo.assoc, tot
+),
+rk AS (
+  SELECT term, assoc, n_ab, pmi,
+         row_number() OVER (PARTITION BY term
+                            ORDER BY pmi DESC, assoc ASC) AS r
+  FROM sc
+)
+SELECT term, assoc, n_ab, round(pmi, 9) AS pmi FROM rk WHERE r <= 5""",
         # anchor-vocabulary entropy — postings CTE + token-ordered
         # -p*ln(p) fold per target
         "anchor_entropy": f"""

@@ -520,3 +520,83 @@ def reciprocity(edges: DataFrame) -> DataFrame:
         [(n, r, frac)],
         "n_edges long, n_reciprocal long, reciprocity double",
     )
+
+
+def modularity(
+    edges: DataFrame,
+    communities: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """1-row (m_edges, n_communities, modularity) — Newman-Girvan
+    modularity Q of a node partition over the undirected simple graph
+    (the same canonical edge set lpa_communities uses):
+
+      Q = Σ_c ( e_c / m  −  (d_c / 2m)² )
+
+    with m undirected edges, e_c intra-community edges and d_c the
+    community's total degree. THE quality number for a community
+    assignment — "did LPA find real structure" (Q ≈ 0 for random
+    partitions, 0.3+ for genuinely modular graphs).
+
+    e_c and d_c are exact integers (one edge join against the
+    community map + two aggregates); the per-community Q terms fold in
+    community order — bit-stable. communities: (node, label) as
+    lpa_communities emits."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    m = e.count()
+    spark = edges.sparkSession
+    if m == 0:
+        return spark.createDataFrame(
+            [(0, 0, 0.0)],
+            "m_edges long, n_communities long, modularity double",
+        )
+    cm = communities.select(F.col("node"), F.col("label"))
+    ej = (
+        e.join(cm.select(F.col("node").alias("a"),
+                         F.col("label").alias("la")), "a")
+        .join(cm.select(F.col("node").alias("b"),
+                        F.col("label").alias("lb")), "b")
+    )
+    intra = (
+        ej.filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").alias("ec"))
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+        .join(cm, "node")
+        .groupBy("label")
+        .agg(F.sum("d").alias("dc"))
+    )
+    terms = deg.join(intra, "label", "left").select(
+        "label",
+        (
+            F.coalesce(F.col("ec"), F.lit(0)).cast("double")
+            / F.lit(float(m))
+            - (F.col("dc").cast("double") / F.lit(float(2 * m)))
+            * (F.col("dc").cast("double") / F.lit(float(2 * m)))
+        ).alias("q"),
+    )
+    agg = terms.agg(
+        F.count("*").alias("n_communities"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(label, q AS v))), "
+            "0.0D, (a, s) -> a + s.v)"
+        ).alias("q"),
+    )
+    return agg.select(
+        F.lit(m).cast("long").alias("m_edges"),
+        F.col("n_communities").cast("long").alias("n_communities"),
+        F.col("q").alias("modularity"),
+    )

@@ -594,3 +594,82 @@ def window_pmi(
         joined.filter(F.col("n_ab") >= min_count)
         .select("a", "b", "n_ab", pmi.alias("pmi"))
     )
+
+
+def pmi_expand(
+    documents: DataFrame,
+    terms: list[str],
+    m: int = 5,
+    w: int = 5,
+    min_count: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(term, assoc, n_ab, pmi) — the top-m windowed-PMI associations
+    of each query term: the distributional-thesaurus expansion surface
+    (pre-neural query expansion ran on exactly this table; Rocchio
+    expands from feedback DOCS, this expands from corpus-wide word
+    statistics — complementary recall sources).
+
+    Association is direction-collapsed: (a,b) and (b,a) windowed pairs
+    both count toward the (term, other) association, with the pair
+    counts summed BEFORE the PMI (exact ints; n_ab = n_fwd + n_rev).
+    Cost: the window_pmi pair stream filtered to rows touching a query
+    term — the broadcast-able slice, never the full association table;
+    one per-term top-m window over ≤ vocabulary rows."""
+    from pyspark.sql import Window
+
+    from searchengine_spark.functions.text import tokens_sql
+
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    if not uniq:
+        return documents.sparkSession.createDataFrame(
+            [], "term string, assoc string, n_ab long, pmi double"
+        )
+    pairs = window_pmi(documents, w=w, min_count=1,
+                       id_col=id_col, text_col=text_col)
+    fwd = pairs.filter(F.col("a").isin(uniq)).select(
+        F.col("a").alias("term"), F.col("b").alias("assoc"), "n_ab"
+    )
+    rev = pairs.filter(F.col("b").isin(uniq)).select(
+        F.col("b").alias("term"), F.col("a").alias("assoc"), "n_ab"
+    )
+    both = (
+        fwd.unionByName(rev)
+        .filter(~F.col("assoc").isin(uniq))
+        .groupBy("term", "assoc")
+        .agg(F.sum("n_ab").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    # recompute PMI on the summed counts with the same corpus totals
+    toks = documents.selectExpr(f"explode({tokens_sql(text_col)}) AS t")
+    t_cnt = toks.count()
+    c_x = toks.groupBy("t").agg(F.count("*").alias("n_x"))
+    p_cnt = int(
+        pairs.agg(F.sum("n_ab").alias("p")).collect()[0]["p"] or 0
+    )
+    j = (
+        both.join(
+            F.broadcast(c_x.select(F.col("t").alias("term"),
+                                   F.col("n_x").alias("n_t"))), "term"
+        )
+        .join(
+            F.broadcast(c_x.select(F.col("t").alias("assoc"),
+                                   F.col("n_x").alias("n_a"))), "assoc"
+        )
+    )
+    pmi = F.log(
+        (F.col("n_ab").cast("double") * F.lit(float(t_cnt))
+         * F.lit(float(t_cnt)))
+        / (F.lit(float(2 * p_cnt)) * F.col("n_t").cast("double")
+           * F.col("n_a").cast("double"))
+    )
+    wn = Window.partitionBy("term").orderBy(
+        F.col("pmi").desc(), F.col("assoc").asc()
+    )
+    return (
+        j.select("term", "assoc", "n_ab", pmi.alias("pmi"))
+        .withColumn("_r", F.row_number().over(wn))
+        .filter(F.col("_r") <= m)
+        .drop("_r")
+    )

@@ -76,3 +76,41 @@ def test_max_centroid_tokens_cap(spark):
     df = spark.createDataFrame(TOPIC_ROWS, "doc_id long, text string")
     capped = doc_clusters(df, k=2, iters=2, max_centroid_tokens=3)
     assert capped.count() == 6  # still assigns every doc
+
+
+def test_modularity_two_cliques(spark):
+    from searchengine_spark.operators.graphstats import modularity
+
+    # two 4-cliques joined by one bridge edge; the true partition
+    # scores high Q, the all-in-one partition scores exactly 0
+    cl = []
+    for base in (0, 10):
+        for i in range(4):
+            for j in range(i + 1, 4):
+                cl.append((base + i, base + j))
+    edges = spark.createDataFrame(cl + [(3, 10)], "src long, dst long")
+    good = spark.createDataFrame(
+        [(i, 0) for i in range(4)] + [(10 + i, 1) for i in range(4)],
+        "node long, label long",
+    )
+    r = modularity(edges, good).collect()[0]
+    # m=13; community 0: ec=6, dc=13; community 1: ec=6, dc=13
+    exp = 2 * (6 / 13 - (13 / 26) ** 2)
+    assert r.m_edges == 13 and r.n_communities == 2
+    assert abs(r.modularity - exp) < 1e-12
+    allone = spark.createDataFrame(
+        [(i, 7) for i in list(range(4)) + list(range(10, 14))],
+        "node long, label long",
+    )
+    r1 = modularity(edges, allone).collect()[0]
+    assert abs(r1.modularity - 0.0) < 1e-12  # e_c/m = 1, (dc/2m)^2 = 1
+    assert r.modularity > r1.modularity
+
+
+def test_modularity_empty(spark):
+    from searchengine_spark.operators.graphstats import modularity
+
+    e = spark.createDataFrame([], "src long, dst long")
+    c = spark.createDataFrame([], "node long, label long")
+    r = modularity(e, c).collect()[0]
+    assert (r.m_edges, r.n_communities, r.modularity) == (0, 0, 0.0)

@@ -553,3 +553,27 @@ def test_readability_golden(spark):
     exp = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
     assert abs(r0.flesch - exp) < 1e-9
     assert got[1].n_words == 0 and got[1].flesch == 0.0
+
+
+def test_pmi_expand_surfaces_associations(spark):
+    from searchengine_spark.operators.positional import pmi_expand
+
+    # 'spark' co-occurs with 'shuffle' in a tight window everywhere;
+    # 'garden' text provides unrelated vocabulary
+    rows = [(i, "spark shuffle executor run") for i in range(6)]
+    rows += [(10 + i, "garden flower pond soil") for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pmi_expand(df, ["spark"], m=3, w=3, min_count=3).collect()
+    assocs = [r.assoc for r in got]
+    assert "shuffle" in assocs
+    assert "spark" not in assocs        # never expand to the query term
+    assert not {"garden", "flower", "pond", "soil"} & set(assocs)
+    assert all(r.term == "spark" for r in got)
+    # direction-collapse: 'spark' only ever PRECEDES its neighbors in
+    # this fixture; a doc with reversed order adds reverse counts
+    df2 = spark.createDataFrame(
+        rows + [(99, "shuffle spark")], "doc_id long, text string"
+    )
+    got2 = {r.assoc: r.n_ab for r in
+            pmi_expand(df2, ["spark"], m=5, w=3, min_count=3).collect()}
+    assert got2["shuffle"] == 6 + 1  # 6 forward + 1 reverse pair
