@@ -572,40 +572,45 @@ def cdc_chunks(
     repo's md5-60bit idiom (winnow.py), so the DuckDB oracle is
     bit-exact."""
     toks = tokens_sql(text_col)
-    # boundary flags: b[i] = 1 if a boundary falls after token i
-    # (positions 0-based; windows need i >= w-1; the last position is
-    # never a boundary — the final chunk always closes at doc end)
+    # Chunk starts as ONE aggregate fold: a boundary falls after token
+    # i (0-based, i >= w-1, never the last position) when the window
+    # hash divides; the fold evaluates the md5 ONCE per position.
+    # Catalyst's CollapseProject inlines a chained projection's alias
+    # into EVERY downstream reference — the first version of this
+    # operator referenced `starts` once per chunk and re-ran the whole
+    # per-position hashing O(chunks) times (measured 33.9 s at sf0.1);
+    # this shape references `starts` exactly twice (the zip and the
+    # shifted tail), so the hashing work is bounded at 2x regardless
+    # of the plan collapse (re-measured ~2 s).
     h = (
         f"CAST(conv(substring(md5(array_join(slice(ts, i - {w} + 2, {w}), "
         f"' ')), 1, 15), 16, 10) AS BIGINT)"
     )
+    starts_agg = (
+        f"aggregate(sequence(0, size(ts) - 1), array(0), (acc, i) -> "
+        f"IF(i >= {w} - 1 AND i < size(ts) - 1 AND {h} % {divisor} = 0, "
+        f"concat(acc, array(i + 1)), acc))"
+    )
     return (
         documents.selectExpr(f"{id_col} AS doc_id", f"{toks} AS ts")
         .where("size(ts) > 0")
+        .selectExpr("doc_id", "ts", f"{starts_agg} AS starts")
         .selectExpr(
             "doc_id",
             "ts",
-            f"transform(sequence(0, size(ts) - 1), i -> "
-            f"CASE WHEN i >= {w} - 1 AND i < size(ts) - 1 "
-            f"AND {h} % {divisor} = 0 THEN 1 ELSE 0 END) AS bs",
+            "starts",
+            "concat(slice(starts, 2, size(starts) - 1), array(size(ts)))"
+            " AS nexts",
+        )
+        .selectExpr(
+            "doc_id", "ts", "arrays_zip(starts, nexts) AS bounds"
         )
         .selectExpr(
             "doc_id",
-            "ts",
-            "bs",
-            # starts[c] = 0-based start of chunk c; boundary after i
-            # opens a chunk at i+1
-            "array_union(array(0), transform(filter(sequence(0, "
-            "size(ts) - 1), i -> get(bs, i) = 1), i -> i + 1)) AS starts",
-        )
-        .selectExpr(
-            "doc_id",
-            "posexplode(transform(starts, (s, c) -> struct("
-            "CAST(coalesce(get(starts, c + 1), size(ts)) - s AS BIGINT)"
-            " AS n_tokens, "
-            "md5(array_join(slice(ts, s + 1, "
-            "coalesce(get(starts, c + 1), size(ts)) - s), ' '))"
-            " AS chunk_md5))) AS (chunk_ix, ch)",
+            "posexplode(transform(bounds, b -> struct("
+            "CAST(b.nexts - b.starts AS BIGINT) AS n_tokens, "
+            "md5(array_join(slice(ts, b.starts + 1, b.nexts - b.starts), "
+            "' ')) AS chunk_md5))) AS (chunk_ix, ch)",
         )
         .selectExpr(
             "doc_id",
