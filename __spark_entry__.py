@@ -1758,6 +1758,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("n_moved"),
         )
 
+    def q_ring_assign(spark, sf):
+        # consistent-hash ring (the >10^4-shard successor to HRW,
+        # closing sharding.py's documented seam): shard = owner of the
+        # first of 8x32 ring points clockwise from h60(url); the hash
+        # stays JVM-codegen, the lookup is one vectorized searchsorted
+        from searchengine_spark.operators import ring as RG
+        from searchengine_spark.operators import urlmining as UM
+
+        return (
+            RG.ring_assign(
+                UM.url_fixture(_docs(spark, sf)), 8, key_col="url", vnodes=32
+            )
+            .groupBy("shard")
+            .agg(
+                F.count("*").alias("n_urls"),
+                F.min("url").alias("example_url"),
+            )
+        )
+
+    def q_ring_moves(spark, sf):
+        # the ring minimal-movement invariant as data: adding shard 8
+        # to an 8-shard ring steals keys ONLY for the new shard —
+        # n_moved_elsewhere must be identically zero per source shard
+        from searchengine_spark.operators import ring as RG
+        from searchengine_spark.operators import urlmining as UM
+
+        df = RG.ring_assign(
+            RG.ring_assign(
+                UM.url_fixture(_docs(spark, sf)), 8,
+                key_col="url", vnodes=32, out_col="shard_8",
+            ),
+            9,
+            key_col="url",
+            vnodes=32,
+            out_col="shard_9",
+        )
+        return df.groupBy("shard_8").agg(
+            F.count("*").alias("n_urls"),
+            F.sum(
+                F.when(F.col("shard_9") == 8, 1).otherwise(0)
+            ).alias("n_to_new"),
+            F.sum(
+                F.when(
+                    (F.col("shard_8") != F.col("shard_9"))
+                    & (F.col("shard_9") != 8),
+                    1,
+                ).otherwise(0)
+            ).alias("n_moved_elsewhere"),
+        )
+
     def q_hll_distinct(spark, sf):
         # HyperLogLog distinct-token estimate per language from
         # explicit md5-60bit registers; the register harmonic sum stays
@@ -2237,6 +2287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": q_containment,
         "shard_assign": q_shard_assign,
         "shard_moves": q_shard_moves,
+        "ring_assign": q_ring_assign,
+        "ring_moves": q_ring_moves,
         "hll_distinct": q_hll_distinct,
         "maxscore_topk": q_maxscore,
         "bmw_topk": q_bmw,
@@ -4929,6 +4981,52 @@ SELECT shard_8, count(*) AS n_urls,
 FROM a GROUP BY shard_8"""
 
 
+def _duck_ring_cte(n_shards: int, vnodes: int) -> str:
+    """CTE body ``ring{n}``: the (point, shard) circle of
+    operators/ring.ring_points — h60('ring!s!v') per (shard, vnode),
+    shard as INTEGER to match the pandas_udf('int') Spark column."""
+    pt = _duck_h60("'ring!' || CAST(s AS VARCHAR) || '!' || CAST(v AS VARCHAR)")
+    return f"""ring{n_shards} AS (
+  SELECT CAST(s AS INTEGER) AS shard, {pt} AS pt
+  FROM (SELECT unnest(range({n_shards})) AS s),
+       (SELECT unnest(range({vnodes})) AS v)
+)"""
+
+
+def _duck_ring_owner(ring: str) -> str:
+    """Scalar successor lookup on CTE ``ring``: first point >= hv,
+    wrapping to the global minimum — ties (2^-60) break by (pt, shard)
+    exactly like ring.ring_points' sort."""
+    return f"""coalesce(
+  (SELECT r.shard FROM {ring} r WHERE r.pt >= k.hv
+   ORDER BY r.pt, r.shard LIMIT 1),
+  (SELECT r.shard FROM {ring} r ORDER BY r.pt, r.shard LIMIT 1))"""
+
+
+_DUCK_RING_ASSIGN = f"""
+WITH u AS ({_DUCK_URL_FIXTURE}),
+{_duck_ring_cte(8, 32)},
+k AS (SELECT url, {_duck_h60("url")} AS hv FROM u),
+a AS (SELECT k.url, {_duck_ring_owner("ring8")} AS shard FROM k)
+SELECT shard, count(*) AS n_urls, min(url) AS example_url
+FROM a GROUP BY shard"""
+
+
+_DUCK_RING_MOVES = f"""
+WITH u AS ({_DUCK_URL_FIXTURE}),
+{_duck_ring_cte(8, 32)},
+{_duck_ring_cte(9, 32)},
+k AS (SELECT url, {_duck_h60("url")} AS hv FROM u),
+a AS (SELECT k.url, {_duck_ring_owner("ring8")} AS shard_8,
+             {_duck_ring_owner("ring9")} AS shard_9 FROM k)
+SELECT shard_8, count(*) AS n_urls,
+       CAST(sum(CASE WHEN shard_9 = 8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_to_new,
+       CAST(sum(CASE WHEN shard_8 <> shard_9 AND shard_9 <> 8
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_elsewhere
+FROM a GROUP BY shard_8"""
+
+
 def duck_pld_case() -> str:
     """The full-PSL registrable-domain CASE in DuckDB dialect, generated
     from the SAME pycore.psl.branch_spec() the Spark pld_sql generator
@@ -6233,6 +6331,8 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         "containment_pairs": _DUCK_CONTAINMENT,
         "shard_assign": _DUCK_SHARD_ASSIGN,
         "shard_moves": _DUCK_SHARD_MOVES,
+        "ring_assign": _DUCK_RING_ASSIGN,
+        "ring_moves": _DUCK_RING_MOVES,
         "hll_distinct": _duck_hll(8),
         # exact pruning: MaxScore's oracle IS the brute-force bm25 SQL
         "maxscore_topk": _duck_bm25(_BM25_TERMS, k=10),
