@@ -873,6 +873,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             RK.nqc_score(_docs(spark, sf), _BM25_TERMS, k=50), "mu", "nqc"
         )
 
+    def q_rank_corr(spark, sf):
+        # Kendall tau / Spearman rho agreement of the BM25 vs QLM
+        # top-50 pages (exact pair counts + two IEEE divisions); the
+        # O(n^2) pair join is bounded by the page size, never corpus
+        docs = _docs(spark, sf)
+        bm = RK.bm25_search(RK.bm25_table(docs), _BM25_TERMS, k=50)
+        ql = RK.qlm_search(docs, _BM25_TERMS, k=50)
+        return RE.rank_correlation(bm, ql)
+
     def q_burstiness(spark, sf):
         # Church-Gale term burstiness P(tf>=2 | tf>=1): topical words
         # burst, glue words spread — exact counts + one ratio
@@ -2244,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "site_collapse": q_site_collapse,
         "sign_test": q_sign_test,
         "nqc": q_nqc,
+        "rank_corr": q_rank_corr,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -2533,6 +2543,89 @@ fused AS (
 )
 SELECT doc_id, round(sc, 9) AS score FROM fused
 ORDER BY sc DESC, doc_id ASC LIMIT {k}"""
+
+
+def _duck_rank_corr(
+    terms: list[str], n_cand: int = 50, mu: float = 2000.0
+) -> str:
+    """Kendall/Spearman oracle — same bm25 + qlm top-n_cand chains as
+    _duck_rrf, then rankeval.rank_correlation's arithmetic: dense
+    re-ranks inside the intersection, O(n^2) pair CTE (bounded by
+    n_cand), exact int counts, two final IEEE divisions."""
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    inlist = ", ".join(f"'{t}'" for t in uniq)
+    bm_case = " + ".join(
+        f"coalesce(max(CASE WHEN token = '{t}' THEN w END), 0.0e0)"
+        for t in uniq
+    )
+    pivs = ", ".join(
+        f"sum(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS f{i}"
+        for i, t in enumerate(uniq)
+    )
+    qscore = " + ".join(
+        f"ln((CAST(f{i} AS DOUBLE) + {mu!r} * "
+        f"coalesce((SELECT c FROM qcf WHERE token = '{t}'), 0) "
+        f"/ (SELECT t FROM qtot)) / (CAST(dl AS DOUBLE) + {mu!r}))"
+        for i, t in enumerate(uniq)
+    )
+    return f"""
+WITH {_DUCK_BM25_WTS},
+bsc AS (
+  SELECT doc_id, {bm_case} AS sc
+  FROM wts WHERE token IN ({inlist}) GROUP BY doc_id
+),
+brk AS (
+  SELECT doc_id, sc AS sa
+  FROM bsc ORDER BY sc DESC, doc_id ASC LIMIT {n_cand}
+),
+qtot AS (SELECT count(*) AS t FROM tok2),
+qcf AS (SELECT token, count(*) AS c FROM tok2
+        WHERE token IN ({inlist}) GROUP BY token),
+qdl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+qpiv AS (
+  SELECT doc_id, {pivs}
+  FROM tok2 WHERE token IN ({inlist}) GROUP BY doc_id
+),
+qsc AS (
+  SELECT qpiv.doc_id, {qscore} AS sc
+  FROM qpiv JOIN qdl USING (doc_id)
+),
+qrk AS (
+  SELECT doc_id, sc AS sb
+  FROM qsc ORDER BY sc DESC, doc_id ASC LIMIT {n_cand}
+),
+com AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY sa DESC, doc_id ASC)
+              AS BIGINT) AS ra,
+         CAST(row_number() OVER (ORDER BY sb DESC, doc_id ASC)
+              AS BIGINT) AS rb
+  FROM brk JOIN qrk USING (doc_id)
+),
+pagg AS (
+  SELECT
+    CAST(coalesce(sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS concordant,
+    CAST(coalesce(sum(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) < 0
+                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS discordant
+  FROM com x JOIN com y ON x.doc_id < y.doc_id
+),
+nagg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_common,
+         CAST(coalesce(sum((ra - rb) * (ra - rb)), 0) AS BIGINT) AS sum_d2
+  FROM com
+)
+SELECT n_common, concordant, discordant,
+       round(CASE WHEN n_common >= 2 THEN
+         CAST(concordant - discordant AS DOUBLE)
+           / (CAST(n_common * (n_common - 1) AS DOUBLE) / 2.0e0)
+       END, 9) AS kendall_tau,
+       sum_d2,
+       round(CASE WHEN n_common >= 2 THEN
+         1.0e0 - 6.0e0 * CAST(sum_d2 AS DOUBLE)
+           / CAST(n_common * (n_common * n_common - 1) AS DOUBLE)
+       END, 9) AS spearman_rho
+FROM nagg, pagg"""
 
 
 def _duck_eliasfano() -> str:
@@ -5984,6 +6077,7 @@ SELECT spec.freq AS r, spec.n_types AS n_r,
 FROM spec LEFT JOIN nxt USING (freq) WHERE spec.freq <= 10000000""",
         # NQC post-retrieval QPP — top-50 score folds in doc_id order,
         # collection score magnitude as the normalizer
+        "rank_corr": _duck_rank_corr(_BM25_TERMS, n_cand=50),
         "nqc": f"""
 WITH {_DUCK_BM25_WTS},
 bsc AS (

@@ -184,3 +184,91 @@ def paired_sign_test(
     return spark.createDataFrame(
         [(q, obs, p)], "n_queries long, mean_diff double, p_value double"
     )
+
+
+def rank_correlation(
+    a: DataFrame,
+    b: DataFrame,
+    id_col: str = "doc_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Agreement between two rankers as one row: Kendall tau-a and
+    Spearman rho over the docs BOTH result pages retrieved, plus the
+    exact pair/rank-difference counts they derive from.
+
+    The standard rank-correlation pair (Kendall 1938; Spearman 1904)
+    is how IR work quantifies "do BM25 and the LM ranker agree" (and
+    how rank-preserving optimizations are validated — e.g. comparing a
+    pruned ranking to the exhaustive one). Inputs are two (id, score)
+    result pages; within their intersection each side is re-ranked
+    1..n by (score DESC, id ASC) — a monotone restriction of the
+    original order, so tau is unchanged and rho is computed on honest
+    dense ranks. Scores being bit-reproducible (see bm25_search /
+    qlm_search) makes the ranks exact ints: every output column is
+    integer arithmetic plus two final IEEE divisions, so the row
+    hash-matches the DuckDB oracle.
+
+      tau = (C - D) / (n(n-1)/2)        C/D = concordant/discordant
+      rho = 1 - 6 Σd² / (n(n²-1))       d = rank_a - rank_b
+
+    Scale shape: both inputs are top-k result pages (bounded by a
+    query-time constant), so the rank windows, the O(n²) pair join
+    (a theta join — bounded by construction, never corpus-sized) and
+    the 1-row aggregate all run on ≤ n_cand rows; the corpus-scale
+    work happened upstream in the retrieval operators. n < 2 yields
+    NULL correlations, never a divide-by-zero.
+    """
+    one = F.pmod(F.col(id_col), F.lit(1))
+    common = a.select(id_col, F.col(score_col).alias("sa")).join(
+        b.select(id_col, F.col(score_col).alias("sb")), id_col
+    )
+    wa = Window.partitionBy(one).orderBy(
+        F.col("sa").desc(), F.col(id_col).asc()
+    )
+    wb = Window.partitionBy(one).orderBy(
+        F.col("sb").desc(), F.col(id_col).asc()
+    )
+    r = common.select(
+        F.col(id_col),
+        F.row_number().over(wa).cast("long").alias("ra"),
+        F.row_number().over(wb).cast("long").alias("rb"),
+    )
+    x = r.select(
+        F.col(id_col).alias("xid"),
+        F.col("ra").alias("xa"),
+        F.col("rb").alias("xb"),
+    )
+    y = r.select(
+        F.col(id_col).alias("yid"),
+        F.col("ra").alias("ya"),
+        F.col("rb").alias("yb"),
+    )
+    sgn = (F.col("xa") - F.col("ya")) * (F.col("xb") - F.col("yb"))
+    pagg = x.join(y, F.col("xid") < F.col("yid")).agg(
+        F.coalesce(
+            F.sum(F.when(sgn > 0, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("concordant"),
+        F.coalesce(
+            F.sum(F.when(sgn < 0, 1).otherwise(0)), F.lit(0)
+        ).cast("long").alias("discordant"),
+    )
+    d = F.col("ra") - F.col("rb")
+    nagg = r.agg(
+        F.count("*").alias("n_common"),
+        F.coalesce(F.sum(d * d), F.lit(0)).cast("long").alias("sum_d2"),
+    )
+    n = F.col("n_common")
+    tau = (F.col("concordant") - F.col("discordant")).cast("double") / (
+        (n * (n - 1)).cast("double") / F.lit(2.0)
+    )
+    rho = F.lit(1.0) - F.lit(6.0) * F.col("sum_d2").cast("double") / (
+        n * (n * n - 1)
+    ).cast("double")
+    return nagg.crossJoin(pagg).select(
+        "n_common",
+        "concordant",
+        "discordant",
+        F.round(F.when(n >= 2, tau), 9).alias("kendall_tau"),
+        "sum_d2",
+        F.round(F.when(n >= 2, rho), 9).alias("spearman_rho"),
+    )
