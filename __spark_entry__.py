@@ -1817,6 +1817,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("n_moved_elsewhere"),
         )
 
+    def q_zorder_files(spark, sf):
+        # Z-order (Morton) file layout census: rows keyed by the bit
+        # interleave of h31(host) x scaled-day land in files whose zone
+        # maps are bounded on BOTH axes at once — pure codegen integer
+        # spreads, identical arithmetic text on the DuckDB side
+        from searchengine_spark.operators import layout as LY
+
+        d = _docs(spark, sf).select(
+            "doc_id",
+            F.expr(
+                "concat('h', CAST(doc_id % 16 AS STRING), '.test')"
+            ).alias("host"),
+        )
+        x_sql = (
+            "(CAST(conv(substring(md5(host), 1, 15), 16, 10) AS BIGINT)"
+            " >> 29)"
+        )
+        return LY.zorder_files(d, x_sql, "((doc_id % 365) << 22)", 6)
+
     def q_hll_distinct(spark, sf):
         # HyperLogLog distinct-token estimate per language from
         # explicit md5-60bit registers; the register harmonic sum stays
@@ -2298,6 +2317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assign": q_shard_assign,
         "shard_moves": q_shard_moves,
         "ring_assign": q_ring_assign,
+        "zorder_files": q_zorder_files,
         "ring_moves": q_ring_moves,
         "hll_distinct": q_hll_distinct,
         "maxscore_topk": q_maxscore,
@@ -2626,6 +2646,30 @@ SELECT n_common, concordant, discordant,
            / CAST(n_common * (n_common * n_common - 1) AS DOUBLE)
        END, 9) AS spearman_rho
 FROM nagg, pagg"""
+
+
+
+def _duck_zorder() -> str:
+    """Z-order census oracle — the SAME morton_sql text the Spark side
+    compiles (decimal masks, & | << >> on BIGINT are dialect-shared);
+    only the h60 leaf differs per engine."""
+    from searchengine_spark.operators.layout import morton_sql
+
+    x = f"({_duck_h60('host')} >> 29)"
+    y = "((doc_id % 365) << 22)"
+    return f"""
+WITH d AS (
+  SELECT doc_id, 'h' || CAST(doc_id % 16 AS VARCHAR) || '.test' AS host
+  FROM documents
+),
+k AS (
+  SELECT {x} AS zx, CAST({y} AS BIGINT) AS zy,
+         {morton_sql(x, y)} AS zkey
+  FROM d
+)
+SELECT zkey >> 56 AS file_id, count(*) AS n_rows,
+       count(DISTINCT zx) AS n_x, min(zy) AS min_y, max(zy) AS max_y
+FROM k GROUP BY file_id"""
 
 
 def _duck_eliasfano() -> str:
@@ -6426,6 +6470,7 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         "shard_assign": _DUCK_SHARD_ASSIGN,
         "shard_moves": _DUCK_SHARD_MOVES,
         "ring_assign": _DUCK_RING_ASSIGN,
+        "zorder_files": _duck_zorder(),
         "ring_moves": _DUCK_RING_MOVES,
         "hll_distinct": _duck_hll(8),
         # exact pruning: MaxScore's oracle IS the brute-force bm25 SQL
