@@ -882,6 +882,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ql = RK.qlm_search(docs, _BM25_TERMS, k=50)
         return RE.rank_correlation(bm, ql)
 
+    def q_kn_bigrams(spark, sf):
+        # interpolated Kneser-Ney bigram probabilities — continuation
+        # counts fix add-one's collocation pathology; all stats derive
+        # from ONE (w1,w2) agg over the bigram stream
+        return TS.kneser_ney_bigrams(_docs(spark, sf), min_count=5)
+
     def q_burstiness(spark, sf):
         # Church-Gale term burstiness P(tf>=2 | tf>=1): topical words
         # burst, glue words spread — exact counts + one ratio
@@ -2273,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sign_test": q_sign_test,
         "nqc": q_nqc,
         "rank_corr": q_rank_corr,
+        "kn_bigrams": q_kn_bigrams,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -6122,6 +6129,25 @@ FROM spec LEFT JOIN nxt USING (freq) WHERE spec.freq <= 10000000""",
         # NQC post-retrieval QPP — top-50 score folds in doc_id order,
         # collection score magnitude as the normalizer
         "rank_corr": _duck_rank_corr(_BM25_TERMS, n_cand=50),
+        "kn_bigrams": f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+bi AS (
+  SELECT unnest(list_transform(range(len(tl) - 1),
+         i -> struct_pack(w1 := tl[i + 1], w2 := tl[i + 2])),
+         recursive := true)
+  FROM toks WHERE len(tl) >= 2
+),
+big AS (SELECT w1, w2, count(*) AS cb FROM bi GROUP BY w1, w2),
+lft AS (SELECT w1, sum(cb) AS cl, count(*) AS nf FROM big GROUP BY w1),
+cont AS (SELECT w2, count(*) AS np FROM big GROUP BY w2),
+tt AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM big)
+SELECT w1, w2, cb AS c,
+       round(greatest(CAST(cb AS DOUBLE) - 0.75e0, 0.0e0)
+               / CAST(cl AS DOUBLE)
+             + 0.75e0 * CAST(nf AS DOUBLE) / CAST(cl AS DOUBLE)
+               * (CAST(np AS DOUBLE) / (SELECT t FROM tt)), 9) AS p_kn
+FROM big JOIN lft USING (w1) JOIN cont USING (w2)
+WHERE cb >= 5""",
         "nqc": f"""
 WITH {_DUCK_BM25_WTS},
 bsc AS (

@@ -860,3 +860,74 @@ def good_turing_discounts(
         F.col("n_types").alias("n_r"),
         rstar.alias("r_star"),
     )
+
+
+def kneser_ney_bigrams(
+    documents: DataFrame,
+    min_count: int = 5,
+    discount: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(w1, w2, c, p_kn) — interpolated Kneser-Ney smoothed bigram
+    probabilities (Kneser & Ney 1995; Chen & Goodman 1999's standard
+    formulation), the LM-smoothing family's best-practice member next
+    to lm_score's add-one and lm_score_trigram's Jelinek-Mercer:
+
+      P_KN(w2|w1) = max(c(w1,w2) - D, 0) / c(w1·)
+                    + D · N1+(w1,·) / c(w1·) · N1+(·,w2) / N1+(·,·)
+
+    The continuation probability N1+(·,w2)/N1+(·,·) — "how many
+    CONTEXTS does w2 complete", not "how often does w2 occur" — is the
+    part that fixes add-one's 'francisco' pathology: a word frequent
+    only inside one collocation gets a small continuation weight no
+    matter its raw count. Rows are emitted for bigrams with
+    c ≥ min_count; the smoothing statistics are computed over ALL
+    bigrams first, so the filter changes which rows ship, never their
+    values.
+
+    Determinism: every input to the probability is an exact int64
+    count; D and the count differences are exact in double; the
+    expression tree (two divisions, one product chain, fixed parens)
+    is spelled identically in the DuckDB oracle, so p_kn bit-matches.
+
+    Scale shape: ONE (w1,w2) groupBy over the exploded bigram stream
+    (map-side combined), then the three smoothing tables derive from
+    that already-aggregated bigram-type table — c(w1·) and N1+(w1,·)
+    by a w1 groupBy, N1+(·,w2) by a w2 groupBy, N1+(·,·) a single
+    scalar; the final joins key the filtered type table (not the
+    occurrence stream) on w1 / w2. No window, no self-join, nothing
+    touches occurrence rows after the first agg.
+    """
+    toks = tokens_sql(text_col)
+    base = documents.selectExpr(f"{id_col} AS doc_id", f"{toks} AS tl")
+    bi = (
+        base.where("size(tl) >= 2")
+        .selectExpr(
+            "transform(sequence(0, size(tl) - 2), i -> "
+            "struct(get(tl, i) AS w1, get(tl, i + 1) AS w2)) AS bs",
+        )
+        .select(F.explode("bs").alias("b"))
+        .select("b.w1", "b.w2")
+    )
+    big = bi.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    left = big.groupBy("w1").agg(
+        F.sum("cb").alias("cl"), F.count("*").alias("nf")
+    )
+    cont = big.groupBy("w2").agg(F.count("*").alias("np"))
+    n_types = big.count()
+    d = float(discount)
+    return (
+        big.filter(F.col("cb") >= min_count)
+        .join(left, "w1")
+        .join(cont, "w2")
+        .selectExpr(
+            "w1",
+            "w2",
+            "cb AS c",
+            f"round(greatest(CAST(cb AS DOUBLE) - {d!r}D, 0.0D) "
+            f"/ CAST(cl AS DOUBLE) "
+            f"+ {d!r}D * CAST(nf AS DOUBLE) / CAST(cl AS DOUBLE) "
+            f"* (CAST(np AS DOUBLE) / {float(n_types)!r}D), 9) AS p_kn",
+        )
+    )

@@ -53,3 +53,31 @@ def test_degenerate_singleton(spark):
     r = rank_correlation(a, b).collect()[0]
     assert r["n_common"] == 1
     assert r["kendall_tau"] is None and r["spearman_rho"] is None
+
+
+def test_kneser_ney_golden(spark):
+    from searchengine_spark.operators.textstats import kneser_ney_bigrams
+
+    # corpus: "a b a b a c" -> bigrams: ab,ba,ab,ba,ac
+    docs = spark.createDataFrame(
+        [(0, "a b a b a c")], "doc_id long, text string"
+    )
+    rows = {
+        (r["w1"], r["w2"]): r
+        for r in kneser_ney_bigrams(docs, min_count=1).collect()
+    }
+    # counts: c(ab)=2 c(ba)=2 c(ac)=1; c(a.)=3 c(b.)=2
+    # N1+(a,.)=2 N1+(b,.)=1 ; N1+(.,b)=1 N1+(.,a)=1 N1+(.,c)=1 ; T=3
+    D = 0.75
+    p_ab = (2 - D) / 3 + D * 2 / 3 * (1 / 3)
+    p_ac = (1 - D) / 3 + D * 2 / 3 * (1 / 3)
+    p_ba = (2 - D) / 2 + D * 1 / 2 * (1 / 3)
+    assert abs(rows[("a", "b")]["p_kn"] - p_ab) < 1e-9
+    assert abs(rows[("a", "c")]["p_kn"] - p_ac) < 1e-9
+    assert abs(rows[("b", "a")]["p_kn"] - p_ba) < 1e-9
+    assert rows[("a", "b")]["c"] == 2
+    # context 'a' emits its full support {b, c}; mass missing vs 1 is
+    # exactly the continuation mass routed to unseen followers
+    s = rows[("a", "b")]["p_kn"] + rows[("a", "c")]["p_kn"]
+    assert s < 1.0
+    assert abs(s + D * 2 / 3 * (1 / 3) - 1.0) < 1e-9  # + P_KN(a->a)
