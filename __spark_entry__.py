@@ -888,6 +888,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # from ONE (w1,w2) agg over the bigram stream
         return TS.kneser_ney_bigrams(_docs(spark, sf), min_count=5)
 
+    def q_lmjm(spark, sf):
+        # Jelinek-Mercer smoothed LM ranking (fixed-mix sibling of the
+        # Dirichlet qlm): same pruned-scan + one-pivot plan
+        return _r(
+            RK.lmjm_search(_docs(spark, sf), _BM25_TERMS, k=10), "score"
+        )
+
+    def q_zipf(spark, sf):
+        # Zipf rank-frequency OLS exponent over the top-1000 terms —
+        # TakeOrdered cut, then rank-ordered folds on <=1000 rows
+        return TS.zipf_fit(_docs(spark, sf), max_rank=1000)
+
     def q_burstiness(spark, sf):
         # Church-Gale term burstiness P(tf>=2 | tf>=1): topical words
         # burst, glue words spread — exact counts + one ratio
@@ -2280,6 +2292,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nqc": q_nqc,
         "rank_corr": q_rank_corr,
         "kn_bigrams": q_kn_bigrams,
+        "lmjm_topk": q_lmjm,
+        "zipf_fit": q_zipf,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -2490,6 +2504,42 @@ def _duck_qlm(terms: list[str], k: int, mu: float) -> str:
         f"ln((CAST(f{i} AS DOUBLE) + {mu!r} * "
         f"coalesce((SELECT c FROM qcf WHERE token = '{t}'), 0) "
         f"/ (SELECT t FROM qtot)) / (CAST(dl AS DOUBLE) + {mu!r}))"
+        for i, t in enumerate(uniq)
+    )
+    return f"""
+WITH {_DUCK_TOKENS},
+qtot AS (SELECT count(*) AS t FROM tok2),
+qcf AS (SELECT token, count(*) AS c FROM tok2
+        WHERE token IN ({inlist}) GROUP BY token),
+qdl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+qpiv AS (
+  SELECT doc_id, {pivs}
+  FROM tok2 WHERE token IN ({inlist}) GROUP BY doc_id
+),
+qsc AS (
+  SELECT qpiv.doc_id, {score} AS sc
+  FROM qpiv JOIN qdl USING (doc_id)
+)
+SELECT doc_id, round(sc, 9) AS score FROM qsc
+ORDER BY sc DESC, doc_id ASC LIMIT {k}"""
+
+
+def _duck_lmjm(terms: list[str], k: int, lam: float) -> str:
+    """Jelinek-Mercer oracle — mirrors lmjm_search: fixed query-order
+    sum of ln((1-lam)*f/dl + lam*cf/total); the mix weight and prior
+    are left-assoc double math in both engines (the Spark side's
+    Python-computed prior lam*cf/total is the same op sequence)."""
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    inlist = ", ".join(f"'{t}'" for t in uniq)
+    pivs = ", ".join(
+        f"sum(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS f{i}"
+        for i, t in enumerate(uniq)
+    )
+    c1 = 1.0 - lam
+    score = " + ".join(
+        f"ln({c1!r} * CAST(f{i} AS DOUBLE) / CAST(dl AS DOUBLE) + "
+        f"{lam!r} * coalesce((SELECT c FROM qcf WHERE token = '{t}'), 0) "
+        f"/ (SELECT t FROM qtot))"
         for i, t in enumerate(uniq)
     )
     return f"""
@@ -6634,6 +6684,43 @@ SELECT
   CASE WHEN doc_id % 16 = 0 THEN 1 ELSE 0 END AS n_skipped
 FROM documents""",
         "qlm_topk": _duck_qlm(_BM25_TERMS, k=10, mu=2000.0),
+        "lmjm_topk": _duck_lmjm(_BM25_TERMS, k=10, lam=0.1),
+        "zipf_fit": f"""
+WITH {_DUCK_TOKENS},
+freq AS (SELECT token, count(*) AS c FROM tok2 GROUP BY token),
+top AS (SELECT token, c FROM freq ORDER BY c DESC, token ASC LIMIT 1000),
+pts AS (
+  SELECT CAST(row_number() OVER (ORDER BY c DESC, token ASC) AS BIGINT)
+           AS rk,
+         ln(CAST(row_number() OVER (ORDER BY c DESC, token ASC)
+                 AS DOUBLE)) AS x,
+         ln(CAST(c AS DOUBLE)) AS y
+  FROM top
+),
+p2 AS (SELECT rk, x, y, x * y AS xy, x * x AS xx FROM pts),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(x ORDER BY rk)), (a, b) -> a + b)
+           AS sx,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(y ORDER BY rk)), (a, b) -> a + b)
+           AS sy,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(xy ORDER BY rk)), (a, b) -> a + b)
+           AS sxy,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(xx ORDER BY rk)), (a, b) -> a + b)
+           AS sxx
+  FROM p2
+),
+a2 AS (SELECT n_ranks, CAST(n_ranks AS DOUBLE) AS n, sx, sy, sxy, sxx
+       FROM agg)
+SELECT n_ranks,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)
+             / n, 9) AS intercept
+FROM a2""",
         "opic": _duck_opic(rounds=3, cash0=1_000_000),
         # same counting + position-ordered fold + (score, label DESC)
         # argmax as operators/classify.nb_classify (train_mod=2)

@@ -497,6 +497,76 @@ def qlm_search(
     )
 
 
+def lmjm_search(
+    documents: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    lam: float = 0.1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs by Jelinek-Mercer-smoothed query likelihood (Zhai &
+    Lafferty 2001's other classic smoother, next to qlm_search's
+    Dirichlet):
+
+      score(q, d) = Σ_{t ∈ q} ln((1-λ)·f_{t,d}/dl_d + λ·cf_t/|C|)
+
+    JM mixes the document MLE with the collection model at a FIXED λ
+    (Dirichlet's μ adapts to document length); Zhai-Lafferty found JM
+    better for verbose queries, Dirichlet for keyword queries — serving
+    both is the point of having the family. Candidate set, zero-cf
+    guard, and plan shape are identical to qlm_search: token-IN pruned
+    scan, ONE groupBy(doc_id) pivot into fixed per-term columns,
+    query-ordered log sum (deterministic doubles), collection stats as
+    exact-long query constants.
+    """
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    toks = doc_tokens(documents, id_col, text_col).filter(F.col("n_terms") > 0)
+    if not uniq:
+        return documents.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    stats = toks.agg(F.sum("n_terms").alias("total")).collect()[0]
+    total = int(stats["total"] or 0)
+    if total == 0:
+        return documents.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    ex = toks.select(
+        "doc_id", "n_terms", F.explode("tokens").alias("token")
+    ).filter(F.col("token").isin(uniq))
+    cf = {
+        r["token"]: int(r["cf"])
+        for r in ex.groupBy("token").agg(F.count("*").alias("cf")).collect()
+    }
+    per_term = [
+        F.coalesce(
+            F.sum(F.when(F.col("token") == t, F.lit(1)).otherwise(F.lit(0))),
+            F.lit(0),
+        ).alias(f"f{i}")
+        for i, t in enumerate(uniq)
+    ]
+    piv = ex.groupBy("doc_id").agg(F.first("n_terms").alias("dl"), *per_term)
+    dl = F.col("dl").cast("double")
+    score = None
+    for i, t in enumerate(uniq):
+        if cf.get(t, 0) == 0:  # doc-independent -inf; see qlm_search
+            continue
+        prior = lam * cf[t] / total  # python double == SQL double
+        term = F.log(
+            F.lit(1.0 - lam) * F.col(f"f{i}").cast("double") / dl
+            + F.lit(prior)
+        )
+        score = term if score is None else score + term
+    if score is None:
+        score = F.lit(0.0)
+    return (
+        piv.select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 # ---- Rocchio pseudo-relevance feedback --------------------------------
 
 

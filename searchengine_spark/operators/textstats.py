@@ -10,7 +10,7 @@ across engines, rounded to 9 decimals at the contract surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from searchengine_spark.functions.text import tokens_sql
@@ -930,4 +930,77 @@ def kneser_ney_bigrams(
             f"+ {d!r}D * CAST(nf AS DOUBLE) / CAST(cl AS DOUBLE) "
             f"* (CAST(np AS DOUBLE) / {float(n_types)!r}D), 9) AS p_kn",
         )
+    )
+
+
+def zipf_fit(
+    documents: DataFrame,
+    max_rank: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """One row (n_ranks, slope, intercept): OLS fit of ln(freq) on
+    ln(rank) over the top-``max_rank`` terms — the Zipf's-law exponent
+    (Zipf 1949; slope ≈ -1 for natural language). A crawl-health
+    diagnostic next to vocab_growth and freq_spectrum: machine-generated
+    or template-flooded corpora bend the rank-frequency line (too flat:
+    keyword stuffing; too steep: boilerplate domination), and the single
+    fitted exponent is the thresholdable number.
+
+    Determinism: x = ln(rank), y = ln(count) are per-row lns of exact
+    ints (ln is bit-parity across engines, measured — see BENCH notes);
+    the four OLS sums fold in rank order via the lm_score
+    sorted-list-fold pattern, so Σx, Σy, Σxy, Σx² and the closed-form
+    slope/intercept bit-match the DuckDB oracle.
+
+    Scale shape: the corpus-sized work is ONE map-side-combined token
+    count; the top-max_rank cut is orderBy().limit() (TakeOrdered — no
+    global sort/window over the vocabulary), and every window/fold
+    after it runs on ≤ max_rank rows by construction.
+    """
+    toks = tokens_sql(text_col)
+    freq = (
+        documents.selectExpr(f"explode({toks}) AS token")
+        .groupBy("token")
+        .agg(F.count("*").alias("c"))
+    )
+    top = freq.orderBy(F.col("c").desc(), F.col("token").asc()).limit(
+        max_rank
+    )
+    one = F.pmod(F.col("c"), F.lit(1))
+    w = Window.partitionBy(one).orderBy(
+        F.col("c").desc(), F.col("token").asc()
+    )
+    pts = (
+        top.withColumn("rk", F.row_number().over(w).cast("long"))
+        .selectExpr(
+            "rk",
+            "ln(CAST(rk AS DOUBLE)) AS x",
+            "ln(CAST(c AS DOUBLE)) AS y",
+        )
+        .selectExpr("rk", "x", "y", "x * y AS xy", "x * x AS xx")
+    )
+
+    def fold(v: str) -> str:
+        return (
+            f"aggregate(sort_array(collect_list(struct(rk, {v} AS v))), "
+            "CAST(0.0 AS DOUBLE), (a, s) -> a + s.v)"
+        )
+
+    agg = pts.agg(
+        F.count("*").alias("n_ranks"),
+        F.expr(fold("x")).alias("sx"),
+        F.expr(fold("y")).alias("sy"),
+        F.expr(fold("xy")).alias("sxy"),
+        F.expr(fold("xx")).alias("sxx"),
+    )
+    return agg.selectExpr(
+        "n_ranks",
+        "CAST(n_ranks AS DOUBLE) AS n",
+        "sx", "sy", "sxy", "sxx",
+    ).selectExpr(
+        "n_ranks",
+        "round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope",
+        "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)"
+        " / n, 9) AS intercept",
     )

@@ -81,3 +81,44 @@ def test_kneser_ney_golden(spark):
     s = rows[("a", "b")]["p_kn"] + rows[("a", "c")]["p_kn"]
     assert s < 1.0
     assert abs(s + D * 2 / 3 * (1 / 3) - 1.0) < 1e-9  # + P_KN(a->a)
+
+
+def test_lmjm_matches_reference_arithmetic(spark):
+    from searchengine_spark.operators.ranking import lmjm_search
+
+    docs = spark.createDataFrame(
+        [(0, "apple banana apple"), (1, "banana cherry"), (2, "cherry date")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["score"] for r in
+            lmjm_search(docs, ["apple", "banana"], k=10).collect()}
+    import math
+
+    total = 7
+    cf = {"apple": 2, "banana": 2}
+    lam = 0.1
+
+    def sc(f_a, f_b, dl):
+        s = 0.0
+        for t, f in (("apple", f_a), ("banana", f_b)):
+            s += math.log((1.0 - lam) * f / dl + lam * cf[t] / total)
+        return s
+
+    assert abs(rows[0] - sc(2, 1, 3)) < 1e-12
+    assert abs(rows[1] - sc(0, 1, 2)) < 1e-12
+    assert 2 not in rows  # matched no query term
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    from searchengine_spark.operators.textstats import zipf_fit
+
+    # plant freq(rank) = round(1000 / rank) over 50 "words": the OLS
+    # slope on the log-log points must be close to -1
+    words = [(0, " ".join(
+        f"w{r}" for r in range(1, 51) for _ in range(round(1000 / r))
+    ))]
+    docs = spark.createDataFrame(words, "doc_id long, text string")
+    row = zipf_fit(docs, max_rank=50).collect()[0]
+    assert row["n_ranks"] == 50
+    assert -1.05 < row["slope"] < -0.95
+    assert abs(row["intercept"] - 6.9) < 0.3  # ln(1000) ~ 6.91
