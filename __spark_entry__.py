@@ -900,6 +900,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TakeOrdered cut, then rank-ordered folds on <=1000 rows
         return TS.zipf_fit(_docs(spark, sf), max_rank=1000)
 
+    def q_pl2(spark, sf):
+        # DFR PL2 (Poisson randomness + Laplace + length-norm-2): the
+        # third ranking family beside BM25 and the LM smoothers; term
+        # arithmetic text is shared verbatim with the oracle
+        return _r(
+            RK.pl2_search(_docs(spark, sf), _BM25_TERMS, k=10), "score"
+        )
+
+    def q_salt_balance(spark, sf):
+        # hot-host skew and its salting fix as hash-checked data: a
+        # 50%-hot host fixture routed by h60(host)%8 vs the two-phase
+        # salted key — max_load collapse is the ST3 mechanism measured
+        from searchengine_spark.operators.sharding import partition_balance
+
+        d = _docs(spark, sf).selectExpr(
+            "doc_id",
+            "CASE WHEN doc_id % 2 = 0 THEN 'hot.test' ELSE "
+            "concat('h', CAST(doc_id % 16 AS STRING), '.test') END AS host",
+        )
+        return partition_balance(
+            d, "host", n_partitions=8, n_salts=64, id_sql="(doc_id >> 1)"
+        )
+
+    def q_blocklist(spark, sf):
+        # registrable-domain blocklist gate (UT1/Dolma-style): one
+        # deny entry kills every subdomain shard; pure codegen CASE+IN
+        from searchengine_spark.functions.urls import (
+            blocklist_gate_col,
+            pld_col,
+        )
+
+        deny = ["site3.co.uk", "user7.github.io", "site5.com"]
+        d = _docs(spark, sf).selectExpr(
+            "CASE doc_id % 5 "
+            "WHEN 0 THEN concat('www.site', CAST(doc_id % 20 AS STRING), "
+            "'.co.uk') "
+            "WHEN 1 THEN concat('blog.site', CAST(doc_id % 20 AS STRING), "
+            "'.com') "
+            "WHEN 2 THEN concat('user', CAST(doc_id % 50 AS STRING), "
+            "'.github.io') "
+            "WHEN 3 THEN concat('cdn.site', CAST(doc_id % 10 AS STRING), "
+            "'.yamanashi.jp') "
+            "ELSE concat('site', CAST(doc_id % 20 AS STRING), '.com') END "
+            "AS host"
+        )
+        return (
+            d.select(
+                pld_col("host").alias("pld"),
+                blocklist_gate_col("host", deny).alias("blocked"),
+            )
+            .groupBy("pld", "blocked")
+            .agg(F.count("*").alias("n_hosts"))
+        )
+
     def q_burstiness(spark, sf):
         # Church-Gale term burstiness P(tf>=2 | tf>=1): topical words
         # burst, glue words spread — exact counts + one ratio
@@ -2294,6 +2348,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kn_bigrams": q_kn_bigrams,
         "lmjm_topk": q_lmjm,
         "zipf_fit": q_zipf,
+        "pl2_topk": q_pl2,
+        "salt_balance": q_salt_balance,
+        "blocklist_gate": q_blocklist,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -2554,6 +2611,53 @@ qpiv AS (
 ),
 qsc AS (
   SELECT qpiv.doc_id, {score} AS sc
+  FROM qpiv JOIN qdl USING (doc_id)
+)
+SELECT doc_id, round(sc, 9) AS score FROM qsc
+ORDER BY sc DESC, doc_id ASC LIMIT {k}"""
+
+
+def _duck_pl2(terms: list[str], k: int, c: float = 1.0) -> str:
+    """DFR PL2 oracle — compiles the SAME pl2_term_sql text the Spark
+    operator does; lambda_t = cf/N and avgdl become scalar-subquery
+    divisions of exact counts (one IEEE op each, bit-equal to the
+    Spark side's int-literal divisions)."""
+    from searchengine_spark.operators.ranking import pl2_term_sql
+
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    inlist = ", ".join(f"'{t}'" for t in uniq)
+    pivs = ", ".join(
+        f"sum(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS f{i}"
+        for i, t in enumerate(uniq)
+    )
+    avgdl = (
+        "(CAST((SELECT t FROM qtot) AS DOUBLE)"
+        " / CAST((SELECT n FROM qn) AS DOUBLE))"
+    )
+    score = " + ".join(
+        pl2_term_sql(
+            f"f{i}",
+            "dl",
+            f"(CAST(coalesce((SELECT c FROM qcf WHERE token = '{t}'), 0)"
+            f" AS DOUBLE) / CAST((SELECT n FROM qn) AS DOUBLE))",
+            avgdl,
+            c,
+        )
+        for i, t in enumerate(uniq)
+    )
+    return f"""
+WITH {_DUCK_TOKENS},
+qtot AS (SELECT count(*) AS t FROM tok2),
+qdl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+qn AS (SELECT count(*) AS n FROM qdl),
+qcf AS (SELECT token, count(*) AS c FROM tok2
+        WHERE token IN ({inlist}) GROUP BY token),
+qpiv AS (
+  SELECT doc_id, {pivs}
+  FROM tok2 WHERE token IN ({inlist}) GROUP BY doc_id
+),
+qsc AS (
+  SELECT qpiv.doc_id, ({score}) AS sc
   FROM qpiv JOIN qdl USING (doc_id)
 )
 SELECT doc_id, round(sc, 9) AS score FROM qsc
@@ -6545,6 +6649,25 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         "containment_pairs": _DUCK_CONTAINMENT,
         "shard_assign": _DUCK_SHARD_ASSIGN,
         "shard_moves": _DUCK_SHARD_MOVES,
+        "blocklist_gate": f"""
+WITH hosts AS (
+  SELECT CASE doc_id % 5
+    WHEN 0 THEN 'www.site' || CAST(doc_id % 20 AS VARCHAR) || '.co.uk'
+    WHEN 1 THEN 'blog.site' || CAST(doc_id % 20 AS VARCHAR) || '.com'
+    WHEN 2 THEN 'user' || CAST(doc_id % 50 AS VARCHAR) || '.github.io'
+    WHEN 3 THEN 'cdn.site' || CAST(doc_id % 10 AS VARCHAR)
+                || '.yamanashi.jp'
+    ELSE 'site' || CAST(doc_id % 20 AS VARCHAR) || '.com'
+  END AS host
+  FROM documents
+),
+s AS (SELECT host, lower(host) AS hl, string_split(lower(host), '.') AS l
+      FROM hosts),
+p AS (SELECT host, {duck_pld_case()} AS pld FROM s)
+SELECT pld,
+       pld IN ('site3.co.uk', 'site5.com', 'user7.github.io') AS blocked,
+       count(*) AS n_hosts
+FROM p GROUP BY pld, blocked""",
         "ring_assign": _DUCK_RING_ASSIGN,
         "zorder_files": _duck_zorder(),
         "ring_moves": _DUCK_RING_MOVES,
@@ -6685,6 +6808,29 @@ SELECT
 FROM documents""",
         "qlm_topk": _duck_qlm(_BM25_TERMS, k=10, mu=2000.0),
         "lmjm_topk": _duck_lmjm(_BM25_TERMS, k=10, lam=0.1),
+        "pl2_topk": _duck_pl2(_BM25_TERMS, k=10),
+        "salt_balance": f"""
+WITH d AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'hot.test' ELSE
+           'h' || CAST(doc_id % 16 AS VARCHAR) || '.test' END AS host
+  FROM documents
+),
+keyed AS (
+  SELECT {_duck_h60("host")} % 8 AS p FROM d
+),
+salted AS (
+  SELECT {_duck_h60("host || '#' || CAST((doc_id >> 1) % 64 AS VARCHAR)")} % 8
+           AS p
+  FROM d
+),
+ka AS (SELECT p, count(*) AS n FROM keyed GROUP BY p),
+sa AS (SELECT p, count(*) AS n FROM salted GROUP BY p)
+SELECT 'keyed' AS scheme, count(*) AS n_parts_used, max(n) AS max_load,
+       min(n) AS min_load, sum(n) AS total_keys FROM ka
+UNION ALL
+SELECT 'salted' AS scheme, count(*) AS n_parts_used, max(n) AS max_load,
+       min(n) AS min_load, sum(n) AS total_keys FROM sa""",
         "zipf_fit": f"""
 WITH {_DUCK_TOKENS},
 freq AS (SELECT token, count(*) AS c FROM tok2 GROUP BY token),

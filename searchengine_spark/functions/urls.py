@@ -172,3 +172,24 @@ def surt_col(url: Column) -> Column:
         path,
         F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), sortedq)),
     )
+
+
+def blocklist_gate_col(host_expr: str, deny_plds: list[str]) -> Column:
+    """Boolean: is ``host_expr`` blocked by a registrable-domain deny
+    list? True iff pld(host) ∈ deny_plds (case-insensitive) — so one
+    entry kills every subdomain shard of a domain, which is how the
+    public URL blocklists (UT1, Dolma's domain filters) are meant to be
+    applied; host-exact matching would let `www2.` aliases through.
+
+    Scale shape: the deny list compiles into the pld CASE expression +
+    an IN literal list — pure codegen projection, no join, composes
+    with scan pruning. For >10^4-entry lists, switch to broadcasting a
+    deny DataFrame and left-semi-joining on the pld column (the same
+    expression, one broadcast join); this literal form is the
+    query-constant fast path.
+    """
+    norm = sorted({d.lower().strip(".") for d in deny_plds})
+    if not norm:
+        return F.lit(False)
+    inlist = ", ".join(f"'{d}'" for d in norm)
+    return F.expr(f"({pld_sql(host_expr)}) IN ({inlist})")

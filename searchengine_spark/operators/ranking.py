@@ -567,6 +567,116 @@ def lmjm_search(
     )
 
 
+# ---- DFR PL2 ranking --------------------------------------------------
+
+
+def pl2_term_sql(
+    f_sql: str, dl_sql: str, lam: str, avgdl: str, c: float = 1.0
+) -> str:
+    """Engine-portable SQL for one query term's PL2 contribution
+    (Amati & van Rijsbergen 2002; the Terrier PL2 formulation):
+
+      tfn  = f · log2(1 + c·avgdl/dl)
+      gain = (1/(tfn+1)) · ( tfn·log2(tfn/λ)
+                             + (λ + 1/(12·tfn) − tfn)·log2(e)
+                             + 0.5·log2(2π·tfn) )
+
+    log2 is spelled ln(x)/ln(2) throughout (exp/log2 are NOT libm
+    bit-parity across engines; ln is — see BENCH notes), with ln 2,
+    log2(e) and 2π embedded as the same Python double literals on both
+    sides. Guarded to 0 for f = 0, so no ln(0) can surface.
+
+    The helper returns TEXT both Spark's selectExpr and DuckDB parse
+    identically — one source of truth for the arithmetic, two engines.
+    """
+    import math
+
+    ln2 = f"{math.log(2.0)!r}e0"  # e-suffix: DuckDB would parse a bare
+    log2e = f"{1.0 / math.log(2.0)!r}e0"  # decimal literal as DECIMAL
+    twopi = f"{2.0 * math.pi!r}e0"
+    tfn = (
+        f"(CAST({f_sql} AS DOUBLE) * "
+        f"(ln(1.0e0 + {c!r}e0 * ({avgdl}) / CAST({dl_sql} AS DOUBLE)) "
+        f"/ {ln2}))"
+    )
+    gain = (
+        f"(1.0e0 / ({tfn} + 1.0e0)) * "
+        f"({tfn} * (ln({tfn} / ({lam})) / {ln2}) "
+        f"+ (({lam}) + 1.0e0 / (12.0e0 * {tfn}) - {tfn}) * {log2e} "
+        f"+ 0.5e0 * (ln({twopi} * {tfn}) / {ln2}))"
+    )
+    return f"(CASE WHEN {f_sql} > 0 THEN {gain} ELSE 0.0e0 END)"
+
+
+def pl2_search(
+    documents: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    c: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs by DFR PL2 — the Divergence-From-Randomness family
+    beside BM25 (probabilistic) and QLM/LMJM (language-model): Poisson
+    randomness model, Laplace first normalization, length normalization
+    2. Parameter-light (one constant c) and strong on short queries —
+    the reason Terrier ships it as a default alternative.
+
+    Plan shape is the family standard: token-IN pruned scan, ONE
+    groupBy(doc_id) pivot, fixed query-order sum of per-term gains.
+    λ_t = cf_t/N and avgdl are exact-count query constants; the term
+    arithmetic text comes from pl2_term_sql, the same string the
+    oracle compiles, so scores bit-match.
+    """
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    toks = doc_tokens(documents, id_col, text_col).filter(F.col("n_terms") > 0)
+    if not uniq:
+        return documents.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    stats = toks.agg(
+        F.count("*").alias("n"), F.sum("n_terms").alias("total")
+    ).collect()[0]
+    n_docs, total = int(stats["n"] or 0), int(stats["total"] or 0)
+    if n_docs == 0:
+        return documents.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    avgdl = f"(CAST({total} AS DOUBLE) / CAST({n_docs} AS DOUBLE))"
+    ex = toks.select(
+        "doc_id", "n_terms", F.explode("tokens").alias("token")
+    ).filter(F.col("token").isin(uniq))
+    cf = {
+        r["token"]: int(r["cf"])
+        for r in ex.groupBy("token").agg(F.count("*").alias("cf")).collect()
+    }
+    per_term = [
+        F.coalesce(
+            F.sum(F.when(F.col("token") == t, F.lit(1)).otherwise(F.lit(0))),
+            F.lit(0),
+        ).alias(f"f{i}")
+        for i, t in enumerate(uniq)
+    ]
+    piv = ex.groupBy("doc_id").agg(F.first("n_terms").alias("dl"), *per_term)
+    gains = [
+        pl2_term_sql(
+            f"f{i}",
+            "dl",
+            f"(CAST({cf[t]} AS DOUBLE) / CAST({n_docs} AS DOUBLE))",
+            avgdl,
+            c,
+        )
+        for i, t in enumerate(uniq)
+        if cf.get(t, 0) > 0  # zero-cf: no doc matches; drop (qlm guard)
+    ]
+    score = " + ".join(gains) if gains else "0.0e0"
+    return (
+        piv.selectExpr("doc_id", f"({score}) AS score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 # ---- Rocchio pseudo-relevance feedback --------------------------------
 
 

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from searchengine_spark.operators.sampling import h60_col
+
 
 def _weights_sql(key_sql: str, n_shards: int) -> str:
     """Spark-SQL array<bigint> of HRW weights h60(key || '#' || s) for
@@ -60,3 +62,51 @@ def shard_assign(
     host's politeness budget lives on one shard: pass a host expression
     via key_col."""
     return df.withColumn(out_col, shard_col(key_col, n_shards))
+
+
+def partition_balance(
+    df: DataFrame,
+    key_sql: str,
+    n_partitions: int = 8,
+    n_salts: int = 16,
+    id_sql: str = "CAST(doc_id AS STRING)",
+) -> DataFrame:
+    """Two rows — ('keyed' | 'salted', n_parts_used, max_load,
+    min_load, total_keys): the frontier's hot-host skew problem and the
+    ST3 salting answer, as data.
+
+    'keyed' routes rows by h60(key) % P — one hot host (half a crawl
+    batch pointing at one CDN is normal) lands its whole load on ONE
+    partition, and max_load IS the straggler wall the north rule's
+    scaling criterion hits. 'salted' routes by h60(key # (id % S)) % P
+    — the same two-phase decomposition frontier.py's politeness quota
+    uses (phase 1 per (key, salt), phase 2 merges ≤ S·k survivors),
+    which spreads any single key over min(S, P) partitions. The census
+    is exact integer counts, so the skew collapse is hash-checkable,
+    not a claim.
+
+    Scale shape: two map-side-combined groupBys over pure-codegen hash
+    projections; nothing here is heavier than the word-count plan.
+    """
+    keyed = F.pmod(h60_col(key_sql), F.lit(n_partitions))
+    salted = F.pmod(
+        h60_col(
+            f"concat({key_sql}, '#', CAST(({id_sql}) % {n_salts} AS STRING))"
+        ),
+        F.lit(n_partitions),
+    )
+    out = []
+    for scheme, part in (("keyed", keyed), ("salted", salted)):
+        out.append(
+            df.select(part.alias("p"))
+            .groupBy("p")
+            .agg(F.count("*").alias("n"))
+            .agg(
+                F.lit(scheme).alias("scheme"),
+                F.count("*").alias("n_parts_used"),
+                F.max("n").alias("max_load"),
+                F.min("n").alias("min_load"),
+                F.sum("n").alias("total_keys"),
+            )
+        )
+    return out[0].unionByName(out[1])

@@ -122,3 +122,88 @@ def test_zipf_fit_recovers_planted_exponent(spark):
     assert row["n_ranks"] == 50
     assert -1.05 < row["slope"] < -0.95
     assert abs(row["intercept"] - 6.9) < 0.3  # ln(1000) ~ 6.91
+
+
+def test_pl2_matches_reference_arithmetic(spark):
+    import math
+
+    from searchengine_spark.operators.ranking import pl2_search
+
+    docs = spark.createDataFrame(
+        [(0, "apple banana apple"), (1, "banana cherry"), (2, "cherry date")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["score"] for r in
+            pl2_search(docs, ["apple", "banana"], k=10).collect()}
+    n, total = 3, 7
+    avgdl = total / n
+    cf = {"apple": 2, "banana": 2}
+
+    def gain(f, dl, t):
+        if f == 0:
+            return 0.0
+        lam = cf[t] / n
+        tfn = f * math.log2(1 + avgdl / dl)
+        return (1 / (tfn + 1)) * (
+            tfn * math.log2(tfn / lam)
+            + (lam + 1 / (12 * tfn) - tfn) * math.log2(math.e)
+            + 0.5 * math.log2(2 * math.pi * tfn)
+        )
+
+    assert abs(rows[0] - (gain(2, 3, "apple") + gain(1, 3, "banana"))) < 1e-9
+    assert abs(rows[1] - gain(1, 2, "banana")) < 1e-9
+    assert 2 not in rows
+
+
+def test_partition_balance_skew_collapse(spark):
+    from searchengine_spark.operators.sharding import partition_balance
+
+    d = spark.range(4000).selectExpr(
+        "id AS doc_id",
+        "CASE WHEN id % 2 = 0 THEN 'hot.test' ELSE "
+        "concat('h', CAST(id % 16 AS STRING), '.test') END AS host",
+    )
+    rows = {r["scheme"]: r for r in
+            partition_balance(d, "host", 8, 64, "(doc_id >> 1)").collect()}
+    assert rows["keyed"]["total_keys"] == rows["salted"]["total_keys"] == 4000
+    # the hot host's 2000 rows sit in one keyed partition; salting
+    # spreads them, collapsing the straggler
+    assert rows["keyed"]["max_load"] >= 2000
+    assert rows["salted"]["max_load"] < rows["keyed"]["max_load"] // 2
+    assert rows["salted"]["n_parts_used"] == 8
+
+
+def test_blocklist_gate_subdomains_and_platform(spark):
+    from searchengine_spark.functions.urls import blocklist_gate_col
+
+    d = spark.createDataFrame(
+        [
+            ("www.evil.co.uk",), ("evil.co.uk",), ("a.b.evil.co.uk",),
+            ("evilco.uk",), ("good.co.uk",),
+            ("user7.github.io",), ("extra.user7.github.io",),
+            ("user8.github.io",),
+        ],
+        "host string",
+    )
+    got = {
+        r["host"]: r["b"]
+        for r in d.select(
+            "host",
+            blocklist_gate_col("host", ["evil.co.uk", "user7.github.io"])
+            .alias("b"),
+        ).collect()
+    }
+    assert got["www.evil.co.uk"] and got["evil.co.uk"]
+    assert got["a.b.evil.co.uk"]
+    assert not got["evilco.uk"] and not got["good.co.uk"]
+    assert got["user7.github.io"] and got["extra.user7.github.io"]
+    assert not got["user8.github.io"]
+
+
+def test_blocklist_gate_empty_list(spark):
+    from searchengine_spark.functions.urls import blocklist_gate_col
+
+    d = spark.createDataFrame([("x.com",)], "host string")
+    assert d.select(
+        blocklist_gate_col("host", []).alias("b")
+    ).collect()[0]["b"] is False
