@@ -1683,6 +1683,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return GS.k_core(edges, k=4)
 
+    def q_ktruss(spark, sf):
+        # 4-truss of the expander link graph: edge peel on triangle
+        # support (>= 2 within the survivors) — the link-farm/mirror
+        # clique detector one step up from k_core's node peel
+        from searchengine_spark.operators import graphstats as GS
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        expander = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        # plant a 5-clique at every doc_id = 0 (mod 50): organic
+        # expander edges close almost no triangles and peel away; the
+        # cliques (support 3 on every internal edge) are the 4-truss
+        pairs = F.array(
+            *[
+                F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+                for i in range(5)
+                for j in range(i + 1, 5)
+            ]
+        )
+        cliques = (
+            docs.filter(F.col("doc_id") % 50 == 0)
+            .select("doc_id", F.explode(pairs).alias("p"))
+            .select(
+                (F.col("doc_id") + F.col("p.i")).alias("src"),
+                (F.col("doc_id") + F.col("p.j")).alias("dst"),
+            )
+            .filter(F.col("dst") < n)
+        )
+        return GS.k_truss(expander.unionByName(cliques), k=4)
+
     def q_change_rate(spark, sf):
         # Cho-Garcia-Molina recrawl change-rate: captures = one row per
         # event, url = user_id, fingerprint = event_type; event_id
@@ -2351,6 +2388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pl2_topk": q_pl2,
         "salt_balance": q_salt_balance,
         "blocklist_gate": q_blocklist,
+        "k_truss": q_ktruss,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -4843,6 +4881,68 @@ a{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE core_degree >= {k})"""
     )
 
 
+def _duck_ktruss(k: int, rounds: int) -> str:
+    """Unrolled k-truss edge peel over the expander fixture: each round
+    enumerates triangles at their min-ID corner (pure id-ordered wedge
+    join — the triangle SET is orientation-independent, so support
+    matches the Spark side's degree-ordered enumeration), credits the
+    three id-canonical edges, drops edges under k-2. ``rounds`` must
+    cover the fixpoint depth (extra rounds idempotent; the Spark
+    operator raises if its own loop is truncated). Every CTE is
+    MATERIALIZED — the k_core lesson about 2^rounds inlining."""
+    clique_pairs = ", ".join(
+        f"({i}, {j})" for i in range(5) for j in range(i + 1, 5)
+    )
+    base = _DUCK_EXPANDER_E.replace("e0 AS (", "ex0 AS MATERIALIZED (", 1)
+    base = base.replace(
+        """e AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+)""",
+        f"""cl0 AS MATERIALIZED (
+  SELECT doc_id + p.i AS src, doc_id + p.j AS dst
+  FROM documents CROSS JOIN (VALUES {clique_pairs}) p(i, j)
+  WHERE doc_id % 50 = 0 AND doc_id + p.j < (SELECT c FROM nn)
+),
+ee0 AS MATERIALIZED (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM (SELECT src, dst FROM ex0 UNION ALL SELECT src, dst FROM cl0)
+  WHERE src <> dst
+)""",
+        1,
+    )
+    parts = [base]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"""tri{i} AS MATERIALIZED (
+  SELECT x.a AS t1, x.b AS t2, y.b AS t3
+  FROM ee{p} x JOIN ee{p} y ON x.a = y.a AND x.b < y.b
+  JOIN ee{p} z ON z.a = x.b AND z.b = y.b
+),
+te{i} AS MATERIALIZED (
+  SELECT t1 AS a, t2 AS b FROM tri{i}
+  UNION ALL SELECT t1, t3 FROM tri{i}
+  UNION ALL SELECT t2, t3 FROM tri{i}
+),
+sup{i} AS MATERIALIZED (
+  SELECT e.a, e.b, coalesce(s.c, 0) AS support
+  FROM ee{p} e LEFT JOIN
+    (SELECT a, b, count(*) AS c FROM te{i} GROUP BY a, b) s
+    USING (a, b)
+),
+ee{i} AS MATERIALIZED (
+  SELECT a, b FROM sup{i} WHERE support >= {k - 2}
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT a, b, CAST(support AS BIGINT) AS support "
+        + f"FROM sup{rounds} WHERE support >= {k - 2}"
+    )
+
+
 def _duck_bpe_chain(n_merges: int) -> str:
     """Unrolled BPE merge CTE chain mirroring operators/bpe._train:
     v0 = char-encoded weighted vocabulary; each iteration counts
@@ -6638,6 +6738,7 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         "funnel": _DUCK_FUNNEL,
         "adamic_adar": _DUCK_ADAMIC_ADAR,
         "k_core": _duck_kcore(4, rounds=8),
+        "k_truss": _duck_ktruss(4, rounds=8),
         "bpe_encode": _duck_bpe_encode(6),
         "kmv_distinct": _duck_kmv(256),
         "ltr_features": _duck_ltr(_BM25_TERMS),

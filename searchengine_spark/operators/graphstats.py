@@ -600,3 +600,123 @@ def modularity(
         F.col("n_communities").cast("long").alias("n_communities"),
         F.col("q").alias("modularity"),
     )
+
+
+def edge_support(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(a, b, support) for every canonical undirected edge: the number
+    of triangles the edge closes. Enumeration reuses triangle_counts'
+    degree-ordered wedge plan (each triangle found once, at its
+    degree-order-minimum corner; hub wedge fan-out bounded by the
+    orientation), then each triangle credits its three id-canonical
+    edges through one explode + groupBy. Edges in no triangle report
+    support 0."""
+    e = _canonical_edges(edges, src, dst)
+    return _support_on_canonical(e)
+
+
+def _support_on_canonical(e: DataFrame) -> DataFrame:
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    d = (
+        e.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("degree", "deg_a")
+        .join(
+            deg.withColumnRenamed("node", "b").withColumnRenamed(
+                "degree", "deg_b"
+            ),
+            "b",
+        )
+        .select(
+            F.when(
+                F.struct(F.col("deg_a"), F.col("a"))
+                < F.struct(F.col("deg_b"), F.col("b")),
+                F.col("a"),
+            )
+            .otherwise(F.col("b"))
+            .alias("lo"),
+            F.when(
+                F.struct(F.col("deg_a"), F.col("a"))
+                < F.struct(F.col("deg_b"), F.col("b")),
+                F.col("b"),
+            )
+            .otherwise(F.col("a"))
+            .alias("hi"),
+        )
+    )
+    x = d.alias("x")
+    y = d.alias("y")
+    wedges = x.join(y, F.col("x.lo") == F.col("y.lo")).where(
+        F.col("x.hi") < F.col("y.hi")
+    )
+    tri = wedges.select(
+        F.col("x.lo").alias("t1"),
+        F.col("x.hi").alias("t2"),
+        F.col("y.hi").alias("t3"),
+    ).join(
+        e,
+        (F.col("a") == F.col("t2")) & (F.col("b") == F.col("t3")),
+    )
+    tri_edges = tri.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.least("t1", "t2").alias("a"),
+                    F.greatest("t1", "t2").alias("b"),
+                ),
+                F.struct(
+                    F.least("t1", "t3").alias("a"),
+                    F.greatest("t1", "t3").alias("b"),
+                ),
+                F.struct(
+                    F.col("t2").alias("a"), F.col("t3").alias("b")
+                ),
+            )
+        ).alias("te")
+    ).select("te.a", "te.b")
+    sup = tri_edges.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+    return (
+        e.join(sup, ["a", "b"], "left")
+        .select(
+            "a", "b", F.coalesce("support", F.lit(0)).alias("support")
+        )
+    )
+
+
+def k_truss(
+    edges: DataFrame, k: int, max_iters: int = 30
+) -> DataFrame:
+    """Edges of the k-truss (a, b, support): iterative edge peeling —
+    every surviving edge closes ≥ k-2 triangles WITHIN the surviving
+    subgraph (Cohen 2008 trusses; the cohesive-subgraph step up from
+    k_core's node peel). For a link graph this isolates tightly
+    inter-citing page clusters — link farms and mirror cliques light
+    up as high-truss components while organic hub-and-spoke citation
+    (high core, low truss) does not.
+
+    Loop discipline is k_core's: per-iteration generations hand off
+    via eager localCheckpoint, the driver sees ONE scalar (surviving
+    edge count) per round, peeling is monotone so an unchanged count
+    proves the fixpoint, and exceeding ``max_iters`` raises rather
+    than returning a silently-unconverged truss. The reported support
+    is measured in the stable subgraph (the fixpoint makes the
+    pre-filter support self-consistent).
+    """
+    if k < 3:
+        raise ValueError(f"k-truss needs k >= 3, got {k}")
+    e = _canonical_edges(edges, "src", "dst").localCheckpoint(eager=True)
+    n_edges = e.count()
+    for _ in range(max_iters):
+        sup = _support_on_canonical(e)
+        survivors = sup.where(F.col("support") >= F.lit(k - 2))
+        nxt = survivors.localCheckpoint(eager=True)
+        n_next = nxt.count()
+        if n_next == n_edges:
+            return nxt
+        e, n_edges = nxt.select("a", "b"), n_next
+    raise RuntimeError(
+        f"k_truss did not converge within {max_iters} iterations"
+    )

@@ -207,3 +207,38 @@ def test_blocklist_gate_empty_list(spark):
     assert d.select(
         blocklist_gate_col("host", []).alias("b")
     ).collect()[0]["b"] is False
+
+
+def test_k_truss_isolates_clique(spark):
+    import pytest as _pytest
+
+    from searchengine_spark.operators.graphstats import k_truss
+
+    # a 5-clique (0..4) + a long tail of chain edges; the 4-truss is
+    # exactly the clique's 10 edges, each with support 3
+    clique = [(i, j) for i in range(5) for j in range(i + 1, 5)]
+    chain = [(i, i + 1) for i in range(10, 30)]
+    e = spark.createDataFrame(clique + chain, "src long, dst long")
+    rows = k_truss(e, k=4).collect()
+    assert len(rows) == 10
+    assert all(r["support"] == 3 for r in rows)
+    assert {(r["a"], r["b"]) for r in rows} == set(clique)
+    # 5-truss of a 5-clique is still the clique; 6-truss is empty
+    assert len(k_truss(e, k=5).collect()) == 10
+    assert k_truss(e, k=6).count() == 0
+    with _pytest.raises(ValueError):
+        k_truss(e, k=2)
+
+
+def test_edge_support_counts(spark):
+    from searchengine_spark.operators.graphstats import edge_support
+
+    # two triangles sharing edge (0,1)
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (1, 3), (0, 3), (4, 5)],
+        "src long, dst long",
+    )
+    got = {(r["a"], r["b"]): r["support"] for r in edge_support(e).collect()}
+    assert got[(0, 1)] == 2
+    assert got[(0, 2)] == got[(1, 2)] == got[(0, 3)] == got[(1, 3)] == 1
+    assert got[(4, 5)] == 0
