@@ -1720,6 +1720,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return GS.k_truss(expander.unionByName(cliques), k=4)
 
+    def q_revisit(spark, sf):
+        # WARC revisit-record resolution (identical-payload-digest
+        # profile): first (ts, id)-ordered capture per (url, digest) is
+        # the original, later equal-digest captures become pointers —
+        # one min(struct) partial agg, no window
+        from searchengine_spark.operators import recrawl as RC
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        caps = ev.select(
+            F.col("user_id").alias("url"),
+            F.col("ts"),
+            F.col("event_type").alias("digest"),
+            F.col("event_id").alias("capture_id"),
+        )
+        return RC.revisit_resolve(caps)
+
     def q_change_rate(spark, sf):
         # Cho-Garcia-Molina recrawl change-rate: captures = one row per
         # event, url = user_id, fingerprint = event_type; event_id
@@ -2389,6 +2405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salt_balance": q_salt_balance,
         "blocklist_gate": q_blocklist,
         "k_truss": q_ktruss,
+        "revisit_resolve": q_revisit,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -6739,6 +6756,22 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         "adamic_adar": _DUCK_ADAMIC_ADAR,
         "k_core": _duck_kcore(4, rounds=8),
         "k_truss": _duck_ktruss(4, rounds=8),
+        "revisit_resolve": """
+WITH caps AS (
+  SELECT user_id AS url, ts, event_type AS digest,
+         event_id AS capture_id
+  FROM events
+),
+firsts AS (
+  SELECT url, digest,
+         min(struct_pack(ts := ts, capture_id := capture_id)) AS f
+  FROM caps GROUP BY url, digest
+)
+SELECT c.url, c.capture_id,
+       struct_pack(ts := c.ts, capture_id := c.capture_id) <> f.f
+         AS is_revisit,
+       f.f.capture_id AS original_id
+FROM caps c JOIN firsts f USING (url, digest)""",
         "bpe_encode": _duck_bpe_encode(6),
         "kmv_distinct": _duck_kmv(256),
         "ltr_features": _duck_ltr(_BM25_TERMS),

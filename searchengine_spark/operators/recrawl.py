@@ -172,3 +172,47 @@ def delta_census(
         .groupBy("host", "status")
         .agg(F.count("*").alias("n_urls"))
     )
+
+
+def revisit_resolve(
+    captures: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    digest_col: str = "digest",
+    id_col: str = "capture_id",
+) -> DataFrame:
+    """Per capture (url, capture_id, is_revisit, original_id): WARC
+    revisit-record resolution — the Common-Crawl storage dedup where a
+    re-fetch whose payload digest matches an EARLIER capture of the
+    same url is stored as a pointer (WARC/1.1 'revisit' record,
+    profile identical-payload-digest) instead of a second body. This
+    operator computes that resolution for a capture log: the first
+    capture of each (url, digest) in (ts, id) order is the original;
+    every later equal-digest capture is a revisit pointing at it.
+
+    The inverse direction (expanding revisits back to payloads when
+    READING an archive) is the same join — original_id is the lookup
+    key — so one operator serves both the writer and the reader side.
+
+    Scale shape: ONE max/min(struct)-style partial aggregation per
+    (url, digest) — no window, so a URL captured millions of times
+    never funnels through a single task's sort — plus the join back on
+    the same key the agg just shuffled (AQE reuses the exchange).
+    Deterministic: (ts, id) is a total order (id totalises equal
+    timestamps), so 'first' is unambiguous in every engine.
+    """
+    u, t, g, i = url_col, ts_col, digest_col, id_col
+    firsts = captures.groupBy(u, g).agg(
+        F.min(F.struct(F.col(t), F.col(i))).alias("f")
+    )
+    return (
+        captures.join(firsts, [u, g])
+        .select(
+            F.col(u).alias("url"),
+            F.col(i).alias("capture_id"),
+            (F.struct(F.col(t), F.col(i)) != F.col("f")).alias(
+                "is_revisit"
+            ),
+            F.col(f"f.{i}").alias("original_id"),
+        )
+    )

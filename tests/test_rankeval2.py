@@ -242,3 +242,41 @@ def test_edge_support_counts(spark):
     assert got[(0, 1)] == 2
     assert got[(0, 2)] == got[(1, 2)] == got[(0, 3)] == got[(1, 3)] == 1
     assert got[(4, 5)] == 0
+
+
+def test_revisit_resolve_roundtrip(spark):
+    import datetime as dt
+
+    from searchengine_spark.operators.recrawl import revisit_resolve
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        # url 1: digest A at t0 (original), A again later (revisit),
+        # B (new original), A a third time (still points at FIRST A)
+        (1, t0, "A", 10),
+        (1, t0 + dt.timedelta(days=1), "A", 11),
+        (1, t0 + dt.timedelta(days=2), "B", 12),
+        (1, t0 + dt.timedelta(days=3), "A", 13),
+        # url 2: same digest A — independent namespace per url
+        (2, t0, "A", 20),
+        # equal timestamps: id totalises the order
+        (3, t0, "C", 31),
+        (3, t0, "C", 30),
+    ]
+    caps = spark.createDataFrame(
+        rows, "url long, ts timestamp, digest string, capture_id long"
+    )
+    got = {r["capture_id"]: r for r in revisit_resolve(caps).collect()}
+    assert not got[10]["is_revisit"] and got[10]["original_id"] == 10
+    assert got[11]["is_revisit"] and got[11]["original_id"] == 10
+    assert not got[12]["is_revisit"]
+    assert got[13]["is_revisit"] and got[13]["original_id"] == 10
+    assert not got[20]["is_revisit"]  # url 2's A is its own original
+    assert not got[30]["is_revisit"]  # lower id wins the ts tie
+    assert got[31]["is_revisit"] and got[31]["original_id"] == 30
+    # reader-side expansion: following original_id always lands on a
+    # non-revisit capture with the same digest
+    digest = {r[3]: r[2] for r in rows}
+    for cid, r in got.items():
+        assert not got[r["original_id"]]["is_revisit"]
+        assert digest[r["original_id"]] == digest[cid]
