@@ -1736,6 +1736,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return RC.revisit_resolve(caps)
 
+    def q_late_data(spark, sf):
+        # watermark late-data census: replay the event log in a
+        # bounded-jitter arrival order (deterministic ±(n/25)-event
+        # displacement) and count what a 1-day watermark would drop,
+        # per daily window — the delay-tuning number for the streaming
+        # side, computed with the two-phase prefix-max (explicit bucket
+        # sized to the synthetic arrival-id density)
+        import math
+
+        from searchengine_spark.operators.windows import late_data_census
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        n = ev.count()
+        jm = 2 * max(1, n // 25) + 1
+        caps = ev.selectExpr(
+            f"((event_id + (event_id * 7919) % {jm}) * 1048576"
+            " + event_id % 1048576) AS arrival",
+            "ts",
+        )
+        return late_data_census(
+            caps,
+            delay_seconds=86400,
+            window_seconds=86400,
+            order_col="arrival",
+            bucket=1048576 * (math.isqrt(n) + 1),
+        )
+
     def q_change_rate(spark, sf):
         # Cho-Garcia-Molina recrawl change-rate: captures = one row per
         # event, url = user_id, fingerprint = event_type; event_id
@@ -2406,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocklist_gate": q_blocklist,
         "k_truss": q_ktruss,
         "revisit_resolve": q_revisit,
+        "late_data": q_late_data,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -6756,6 +6784,31 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         "adamic_adar": _DUCK_ADAMIC_ADAR,
         "k_core": _duck_kcore(4, rounds=8),
         "k_truss": _duck_ktruss(4, rounds=8),
+        "late_data": """
+WITH e0 AS (
+  SELECT event_id, epoch_us(ts) // 1000000 AS sec FROM events
+),
+nn AS (SELECT count(*) AS c FROM e0),
+jm AS (SELECT 2 * greatest(1, (SELECT c FROM nn) // 25) + 1 AS m),
+e AS (
+  SELECT ((event_id + (event_id * 7919) % (SELECT m FROM jm)) * 1048576
+          + event_id % 1048576) AS oid,
+         sec
+  FROM e0
+),
+m AS (
+  SELECT oid, sec,
+         max(sec) OVER (ORDER BY oid
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING) AS wm
+  FROM e
+)
+SELECT (sec // 86400) * 86400 AS window_start,
+       count(*) AS n_events,
+       CAST(coalesce(sum(CASE WHEN wm IS NOT NULL
+                          AND sec < wm - 86400 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_late
+FROM m GROUP BY 1""",
         "revisit_resolve": """
 WITH caps AS (
   SELECT user_id AS url, ts, event_type AS digest,

@@ -256,3 +256,85 @@ def event_transitions(
         "n",
         (F.col("n").cast("double") / F.col("tot").cast("double")).alias("p"),
     )
+
+
+def late_data_census(
+    events: DataFrame,
+    delay_seconds: int = 3600,
+    window_seconds: int = 3600,
+    ts_col: str = "ts",
+    order_col: str = "event_id",
+    bucket: int | None = None,
+) -> DataFrame:
+    """(window_start, n_events, n_late) per tumbling window: how many
+    events a streaming job with watermark ``delay_seconds`` would have
+    DROPPED, replayed over the at-rest log. The arrival order is
+    ``order_col`` (the log's total order); the watermark when an event
+    arrives is max(event time of all STRICTLY EARLIER arrivals) −
+    delay, and the event is late iff its own event time is below that
+    — the row-granular idealization of Structured Streaming's
+    per-batch watermark (strictly conservative: a per-batch watermark
+    can only be lower, so real SS drops ⊆ this count).
+
+    This is the capacity-planning number for the streaming side of the
+    engine (streaming/stateful.py): pick the smallest delay whose
+    n_late is acceptable, from history, before deploying the stream.
+
+    Scale shape: the running max over the arrival order uses the
+    vocab_growth two-phase prefix pattern — bucket upsweep window over
+    the tiny bucket table, then within-bucket windows — with the same
+    self-sizing bucket = ceil(sqrt(id_span)), so no caller can produce
+    an unbounded single-partition sort. Event-time seconds are exact
+    int64 (unix_micros div 10^6); the census is pure integer counts.
+    """
+    if bucket is None:
+        import math
+
+        lo, hi = events.select(
+            F.min(F.col(order_col)), F.max(F.col(order_col))
+        ).first()
+        span = max(1, int(hi) - int(lo) + 1) if hi is not None else 1
+        bucket = max(1, math.isqrt(span - 1) + 1)
+    neg_inf = -(1 << 62)
+    e = events.selectExpr(
+        f"{order_col} AS oid",
+        # timestampdiff: timezone-independent, works on TIMESTAMP_NTZ
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" {ts_col}) div 1000000 AS sec",
+    ).withColumn("b", (F.col("oid") / bucket).cast("bigint"))
+    bucket_max = e.groupBy("b").agg(F.max("sec").alias("bm"))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    bucket_pre = bucket_max.select(
+        "b",
+        F.coalesce(F.max("bm").over(wb), F.lit(neg_inf)).alias("pre_m"),
+    )
+    wi = (
+        Window.partitionBy("b")
+        .orderBy("oid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = (
+        e.join(F.broadcast(bucket_pre), "b")
+        .withColumn(
+            "wm",
+            F.greatest(
+                F.col("pre_m"),
+                F.coalesce(F.max("sec").over(wi), F.lit(neg_inf)),
+            ),
+        )
+        .withColumn(
+            "late",
+            (F.col("wm") > F.lit(neg_inf))
+            & (F.col("sec") < F.col("wm") - F.lit(delay_seconds)),
+        )
+    )
+    return (
+        marked.groupBy(
+            ((F.col("sec") / window_seconds).cast("bigint") * window_seconds)
+            .alias("window_start")
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("late").cast("long")).alias("n_late"),
+        )
+    )

@@ -280,3 +280,44 @@ def test_revisit_resolve_roundtrip(spark):
     for cid, r in got.items():
         assert not got[r["original_id"]]["is_revisit"]
         assert digest[r["original_id"]] == digest[cid]
+
+
+def test_late_data_census_golden_and_bucket_invariance(spark):
+    import datetime as dt
+
+    from searchengine_spark.operators.windows import late_data_census
+
+    t0 = dt.datetime(2026, 1, 2)  # window day boundary
+
+    def ev(oid, hours):
+        return (oid, t0 + dt.timedelta(hours=hours))
+
+    rows = [
+        ev(0, 0.0),    # watermark base
+        ev(1, 30.0),   # jumps watermark to t0+30h
+        ev(2, 26.0),   # 4h behind max: late iff delay < 4h
+        ev(3, 1.0),    # 29h behind: late at 1-day delay
+        ev(4, 31.0),
+    ]
+    caps = spark.createDataFrame(rows, "arrival long, ts timestamp")
+    got = {
+        r["window_start"]: (r["n_events"], r["n_late"])
+        for r in late_data_census(
+            caps, delay_seconds=86400, window_seconds=86400,
+            order_col="arrival",
+        ).collect()
+    }
+    day0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    # day 0 holds events at 0h and 1h; the 1h event arrived when the
+    # watermark stood at 30h - 24h = 6h -> late
+    assert got[day0] == (2, 1)
+    # day 1 holds 26h, 30h, 31h; 26h arrived with watermark 6h -> fine
+    assert got[day0 + 86400] == (3, 0)
+    # explicit tiny bucket must not change the census (pure regrouping)
+    got2 = {
+        r["window_start"]: (r["n_events"], r["n_late"])
+        for r in late_data_census(
+            caps, 86400, 86400, order_col="arrival", bucket=2
+        ).collect()
+    }
+    assert got == got2
