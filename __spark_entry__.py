@@ -1763,6 +1763,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             bucket=1048576 * (math.isqrt(n) + 1),
         )
 
+    def q_bowtie(spark, sf):
+        # Broder bow-tie macro-structure census over a graph with a
+        # planted IN fringe / OUT fringe / disconnected pairs around
+        # the expander core — two frontier BFS passes + one groupBy
+        from searchengine_spark.operators import linkrank as LR
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        core = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        f25 = docs.filter(F.col("doc_id") < 25)
+        fringe_in = f25.select(
+            (F.col("doc_id") + n).alias("src"),
+            ((F.col("doc_id") * 3) % n).alias("dst"),
+        )
+        fringe_out = f25.select(
+            ((F.col("doc_id") * 5) % n).alias("src"),
+            (F.col("doc_id") + n + 25).alias("dst"),
+        )
+        isolated = docs.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") * 2 + n + 50).alias("src"),
+            (F.col("doc_id") * 2 + n + 51).alias("dst"),
+        )
+        edges = core.unionByName(fringe_in).unionByName(
+            fringe_out
+        ).unionByName(isolated)
+        return LR.bowtie_census(edges)
+
     def q_change_rate(spark, sf):
         # Cho-Garcia-Molina recrawl change-rate: captures = one row per
         # event, url = user_id, fingerprint = event_type; event_id
@@ -2434,6 +2468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k_truss": q_ktruss,
         "revisit_resolve": q_revisit,
         "late_data": q_late_data,
+        "bowtie": q_bowtie,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -6784,6 +6819,55 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         "adamic_adar": _DUCK_ADAMIC_ADAR,
         "k_core": _duck_kcore(4, rounds=8),
         "k_truss": _duck_ktruss(4, rounds=8),
+        "bowtie": """
+WITH RECURSIVE nn AS (SELECT count(*) AS c FROM documents),
+e0 AS (
+  SELECT doc_id AS src, (doc_id*2+1) % (SELECT c FROM nn) AS dst
+  FROM documents
+  UNION ALL SELECT doc_id, (doc_id*3+7) % (SELECT c FROM nn)
+  FROM documents
+  UNION ALL SELECT doc_id, (doc_id*5+11) % (SELECT c FROM nn)
+  FROM documents
+  UNION ALL
+  SELECT doc_id + (SELECT c FROM nn), (doc_id*3) % (SELECT c FROM nn)
+  FROM documents WHERE doc_id < 25
+  UNION ALL
+  SELECT (doc_id*5) % (SELECT c FROM nn),
+         doc_id + (SELECT c FROM nn) + 25
+  FROM documents WHERE doc_id < 25
+  UNION ALL
+  SELECT doc_id*2 + (SELECT c FROM nn) + 50,
+         doc_id*2 + (SELECT c FROM nn) + 51
+  FROM documents WHERE doc_id < 10
+),
+ed AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+nodes AS (
+  SELECT id, count(*) AS deg FROM (
+    SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed
+  ) GROUP BY id
+),
+pv AS (SELECT id FROM nodes ORDER BY deg DESC, id ASC LIMIT 1),
+fwd AS (
+  SELECT id FROM pv
+  UNION
+  SELECT ed.dst FROM ed JOIN fwd ON ed.src = fwd.id
+),
+bwd AS (
+  SELECT id FROM pv
+  UNION
+  SELECT ed.src FROM ed JOIN bwd ON ed.dst = bwd.id
+),
+cls AS (
+  SELECT n.id,
+         CASE WHEN f.id IS NOT NULL AND b.id IS NOT NULL THEN 'scc'
+              WHEN b.id IS NOT NULL THEN 'in'
+              WHEN f.id IS NOT NULL THEN 'out'
+              ELSE 'other' END AS component
+  FROM nodes n
+  LEFT JOIN fwd f ON n.id = f.id
+  LEFT JOIN bwd b ON n.id = b.id
+)
+SELECT component, count(*) AS n_nodes FROM cls GROUP BY component""",
         "late_data": """
 WITH e0 AS (
   SELECT event_id, epoch_us(ts) // 1000000 AS sec FROM events

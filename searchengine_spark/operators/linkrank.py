@@ -565,3 +565,62 @@ def harmonic_centrality(
             ).alias("harmonic")
         )
     )
+
+
+def bowtie_census(edges: DataFrame, max_iters: int = 50) -> DataFrame:
+    """(component, n_nodes) — the Broder et al. (WWW 2000) bow-tie
+    decomposition of a directed link graph, the classic macro-shape
+    census of the web: SCC (the pivot's strongly connected core), IN
+    (reaches the core but is not reached), OUT (reached but does not
+    reach back), OTHER (tendrils, tubes and disconnected components,
+    lumped — separating those needs reach sets of IN/OUT themselves,
+    documented out of scope). Crawl use: seed quality and frontier
+    shape — a crawl seeded in IN eventually covers SCC+OUT; one seeded
+    in OUT starves.
+
+    Pivot = the maximum-total-degree node (ties to the smallest id) —
+    the standard heuristic for landing inside the giant SCC, and
+    deterministic. The two reach sets are plain frontier BFS
+    (crawl_depth's loop: per level ONE edges⋈frontier join shipping
+    only the frontier, eager localCheckpoint handoff, raise past
+    max_iters), run once forward and once on reversed edges; the
+    classification is two semi-join flags and ONE groupBy.
+    """
+    e = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    pivot_row = nodes.orderBy(F.col("deg").desc(), F.col("id").asc()).first()
+    spark = edges.sparkSession
+    if pivot_row is None:
+        return spark.createDataFrame([], "component string, n_nodes long")
+    seed = spark.createDataFrame([(int(pivot_row["id"]),)], "id long")
+    fwd = crawl_depth(e, seed, max_iters=max_iters).select("id")
+    bwd = crawl_depth(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        seed,
+        max_iters=max_iters,
+    ).select("id")
+    flagged = (
+        nodes.select("id")
+        .join(fwd.withColumn("in_fwd", F.lit(True)), "id", "left")
+        .join(bwd.withColumn("in_bwd", F.lit(True)), "id", "left")
+        .select(
+            F.when(F.col("in_fwd") & F.col("in_bwd"), F.lit("scc"))
+            .when(F.col("in_bwd"), F.lit("in"))
+            .when(F.col("in_fwd"), F.lit("out"))
+            .otherwise(F.lit("other"))
+            .alias("component")
+        )
+    )
+    out = flagged.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
+    e.unpersist()
+    return out

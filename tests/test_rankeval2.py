@@ -321,3 +321,21 @@ def test_late_data_census_golden_and_bucket_invariance(spark):
         ).collect()
     }
     assert got == got2
+
+
+def test_bowtie_census_golden(spark):
+    from searchengine_spark.operators.linkrank import bowtie_census
+
+    # SCC = {0,1,2} cycle (pivot: node 0 has max degree via extra
+    # edges); IN = {10, 11} chain into the core; OUT = {20, 21} chain
+    # out of it; OTHER = {30, 31} disconnected pair
+    edges = [
+        (0, 1), (1, 2), (2, 0),
+        (0, 2), (2, 1),            # extra edges pin pivot = 0
+        (10, 11), (11, 0),         # IN chain
+        (1, 20), (20, 21),         # OUT chain
+        (30, 31),                  # disconnected
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["component"]: r["n_nodes"] for r in bowtie_census(e).collect()}
+    assert got == {"scc": 3, "in": 2, "out": 2, "other": 2}
