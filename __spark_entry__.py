@@ -1797,6 +1797,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).unionByName(isolated)
         return LR.bowtie_census(edges)
 
+    def q_minhash_error(spark, sf):
+        # MinHash calibration census: exact J >= 0.5 pairs with the
+        # 16-perm portable-hash estimate beside the truth — sketch
+        # error as hash-checked data (signatures only for pair docs)
+        return DD.minhash_error(_docs(spark, sf), threshold=0.5, k=16)
+
     def q_change_rate(spark, sf):
         # Cho-Garcia-Molina recrawl change-rate: captures = one row per
         # event, url = user_id, fingerprint = event_type; event_id
@@ -2469,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "revisit_resolve": q_revisit,
         "late_data": q_late_data,
         "bowtie": q_bowtie,
+        "minhash_error": q_minhash_error,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -6819,6 +6826,42 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         "adamic_adar": _DUCK_ADAMIC_ADAR,
         "k_core": _duck_kcore(4, rounds=8),
         "k_truss": _duck_ktruss(4, rounds=8),
+        "minhash_error": f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+g AS (SELECT doc_id, {_DUCK_GRAMS} AS gs FROM toks),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.gs, b.gs))) AS j
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.gs, b.gs)) > 0
+    AND CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.5
+),
+ids AS (SELECT DISTINCT doc_id FROM
+        (SELECT doc_a AS doc_id FROM pr
+         UNION ALL SELECT doc_b FROM pr)),
+sg AS (
+  SELECT g.doc_id,
+         list_transform(range(16), p ->
+           list_aggregate(list_transform(gs, x ->
+             {_duck_h60("x || '#' || CAST(p AS VARCHAR)")}), 'min')) AS sig
+  FROM g JOIN ids USING (doc_id)
+),
+m AS (
+  SELECT pr.doc_a, pr.doc_b, pr.j,
+         CAST(list_sum(list_transform(range(16), p ->
+           CASE WHEN sa.sig[CAST(p + 1 AS INTEGER)]
+                     = sb.sig[CAST(p + 1 AS INTEGER)]
+                THEN 1 ELSE 0 END)) AS BIGINT) AS n_match
+  FROM pr
+  JOIN sg sa ON sa.doc_id = pr.doc_a
+  JOIN sg sb ON sb.doc_id = pr.doc_b
+)
+SELECT doc_a, doc_b, round(j, 9) AS j, n_match,
+       round(CAST(n_match AS DOUBLE) / 16.0e0, 9) AS j_est,
+       round(abs(j - CAST(n_match AS DOUBLE) / 16.0e0), 9) AS abs_err
+FROM m""",
         "bowtie": """
 WITH RECURSIVE nn AS (SELECT count(*) AS c FROM documents),
 e0 AS (

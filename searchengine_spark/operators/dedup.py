@@ -760,3 +760,108 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def gramstr_sql(tokens_expr: str, n: int = 3) -> str:
+    """array<string> of distinct NON-overlapping n-gram strings (the
+    same greedy-regex carving as fingerprint_sql, minus the xxhash64):
+    the engine-portable gram identity — DuckDB rebuilds the identical
+    strings from token-list slices, so cross-engine hashes of these
+    grams agree."""
+    t = tokens_expr
+    return (
+        f"CASE WHEN size({t}) = 0 THEN CAST(array() AS array<string>) "
+        f"ELSE array_distinct(transform("
+        f"regexp_extract_all(array_join({t}, ' '), "
+        f"'[^ ]+( [^ ]+){{0,{n - 1}}}', 0), "
+        f"g -> replace(g, ' ', ''))) END"
+    )
+
+
+def minhash_error(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    k: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, j, n_match, j_est, abs_err) — the MinHash
+    accuracy calibration table: for every EXACT near-dup pair
+    (Jaccard ≥ threshold), the k-permutation minhash estimate
+    n_match/k next to the true Jaccard. P[sig_i(a) = sig_i(b)] = J is
+    the MinHash identity (Broder 1997); this census turns the sketch's
+    ±1/sqrt(k) error into hash-checked data, which is how you pick k
+    before trusting minhash_lsh_pairs' bands at a new threshold.
+
+    Engine-portable signatures: permutation i hashes each distinct
+    gram STRING as h60(gram || '#' || i) (md5-based, the repo-wide
+    portable hash) and takes the min — no xxhash64, no mod-p universal
+    hashing, so DuckDB reproduces every signature bit-for-bit. j_est
+    and abs_err are a ratio of exact ints and one subtraction.
+
+    Scale shape: the exact pair set comes from the prefix-filtered
+    ngram_dup_pairs (sub-quadratic); signatures are computed ONLY for
+    documents that appear in some pair (left-semi prune), each via one
+    zero-shuffle projection (k·|grams| md5s per doc); the final join
+    ships k-element arrays for pair members only.
+    """
+    pairs = ngram_dup_pairs(documents, threshold, n, id_col, text_col)
+    ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    h = (
+        "CAST(conv(substring(md5(concat(x, '#', CAST(p AS STRING))), "
+        "1, 15), 16, 10) AS BIGINT)"
+    )
+    sig = (
+        f"transform(sequence(0, {k - 1}), p -> "
+        f"aggregate(gs, 9223372036854775807L, "
+        f"(acc, x) -> least(acc, {h})))"
+    )
+    sigs = (
+        documents.join(
+            ids, documents[id_col] == ids["doc_id"], "left_semi"
+        )
+        .selectExpr(
+            f"{id_col} AS doc_id",
+            f"{gramstr_sql(tokens_sql(text_col), n)} AS gs",
+        )
+        .selectExpr("doc_id", f"{sig} AS sig")
+    )
+    match_expr = (
+        f"aggregate(transform(sequence(0, {k - 1}), p -> "
+        "IF(element_at(sa, p + 1) = element_at(sb, p + 1), 1L, 0L)), "
+        "0L, (a, x) -> a + x)"
+    )
+    return (
+        pairs.join(
+            sigs.select(
+                F.col("doc_id").alias("doc_a"), F.col("sig").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            sigs.select(
+                F.col("doc_id").alias("doc_b"), F.col("sig").alias("sb")
+            ),
+            "doc_b",
+        )
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "j",
+            f"{match_expr} AS n_match",
+        )
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "round(j, 9) AS j",
+            "n_match",
+            f"round(CAST(n_match AS DOUBLE) / {float(k)!r}D, 9) AS j_est",
+            f"round(abs(j - CAST(n_match AS DOUBLE) / {float(k)!r}D), 9)"
+            " AS abs_err",
+        )
+    )

@@ -339,3 +339,22 @@ def test_bowtie_census_golden(spark):
     e = spark.createDataFrame(edges, "src long, dst long")
     got = {r["component"]: r["n_nodes"] for r in bowtie_census(e).collect()}
     assert got == {"scc": 3, "in": 2, "out": 2, "other": 2}
+
+
+def test_minhash_error_identical_and_disjoint(spark):
+    from searchengine_spark.operators.dedup import minhash_error
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (2, "one two three four five six seven eight nine"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = minhash_error(docs, threshold=0.5, k=16).collect()
+    assert len(rows) == 1  # only the identical pair passes 0.5
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (0, 1)
+    assert r["j"] == 1.0 and r["n_match"] == 16
+    assert r["j_est"] == 1.0 and r["abs_err"] == 0.0
