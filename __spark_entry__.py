@@ -1803,6 +1803,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # error as hash-checked data (signatures only for pair docs)
         return DD.minhash_error(_docs(spark, sf), threshold=0.5, k=16)
 
+    def q_bloom_fpr(spark, sf):
+        # empirical Bloom FPR at ~4 bits/key: even-doc urls inserted,
+        # odd-doc urls (anti-joined disjoint) probed — the urlseen fast
+        # path's error rate measured as exact integers
+        from searchengine_spark.operators.sketches import bloom_fpr_census
+        from searchengine_spark.operators import urlmining as UM
+
+        u = UM.url_fixture(_docs(spark, sf))
+        return bloom_fpr_census(
+            u.filter(F.col("doc_id") % 2 == 0),
+            u.filter(F.col("doc_id") % 2 == 1),
+        )
+
     def q_change_rate(spark, sf):
         # Cho-Garcia-Molina recrawl change-rate: captures = one row per
         # event, url = user_id, fingerprint = event_type; event_id
@@ -2476,6 +2489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_data": q_late_data,
         "bowtie": q_bowtie,
         "minhash_error": q_minhash_error,
+        "bloom_fpr": q_bloom_fpr,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -6826,6 +6840,49 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         "adamic_adar": _DUCK_ADAMIC_ADAR,
         "k_core": _duck_kcore(4, rounds=8),
         "k_truss": _duck_ktruss(4, rounds=8),
+        "bloom_fpr": f"""
+WITH u0 AS ({_DUCK_URL_FIXTURE_ID}),
+ins AS (SELECT DISTINCT url AS u FROM u0 WHERE doc_id % 2 = 0),
+prb AS (
+  SELECT DISTINCT url AS u FROM u0 WHERE doc_id % 2 = 1
+  AND url NOT IN (SELECT u FROM ins)
+),
+ni AS (SELECT count(*) AS n FROM ins),
+mm AS (SELECT greatest(64, 32 * ((4 * (SELECT n FROM ni) + 31) // 32))
+         AS m),
+ib AS (
+  SELECT ({_duck_h60("u || '#' || CAST(j AS VARCHAR)")})
+           % (SELECT m FROM mm) AS pos
+  FROM ins, (SELECT unnest(range(4)) AS j)
+),
+words AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS w
+  FROM ib GROUP BY pos // 32
+),
+bs AS (SELECT CAST(sum(bit_count(w)) AS BIGINT) AS b FROM words),
+pb AS (
+  SELECT u,
+         ({_duck_h60("u || '#' || CAST(j AS VARCHAR)")})
+           % (SELECT m FROM mm) AS pos
+  FROM prb, (SELECT unnest(range(4)) AS j)
+),
+ph AS (
+  SELECT pb.u,
+         CASE WHEN words.w IS NOT NULL
+                   AND (words.w & (CAST(1 AS BIGINT)
+                        << CAST(pb.pos % 32 AS INTEGER))) <> 0
+              THEN 1 ELSE 0 END AS hit
+  FROM pb LEFT JOIN words ON pb.pos // 32 = words.word
+),
+pu AS (SELECT u, sum(hit) AS n_set FROM ph GROUP BY u)
+SELECT CAST((SELECT m FROM mm) AS BIGINT) AS m_bits,
+       CAST((SELECT n FROM ni) AS BIGINT) AS n_insert,
+       count(*) AS n_probe,
+       (SELECT b FROM bs) AS bits_set,
+       CAST(coalesce(sum(CASE WHEN n_set = 4 THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_false_pos
+FROM pu""",
         "minhash_error": f"""
 WITH toks AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
 g AS (SELECT doc_id, {_DUCK_GRAMS} AS gs FROM toks),

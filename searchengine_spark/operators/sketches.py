@@ -231,3 +231,89 @@ def kmv_distinct(df: DataFrame, expr: str, k: int = 256) -> DataFrame:
         )
         .alias("est_distinct"),
     )
+
+
+def bloom_fpr_census(
+    inserts: DataFrame,
+    probes: DataFrame,
+    url_col: str = "url",
+    k: int = 4,
+    m_bits: int | None = None,
+) -> DataFrame:
+    """One row (m_bits, n_insert, n_probe, bits_set, n_false_pos) — a
+    Bloom filter's EMPIRICAL false-positive rate, measured rather than
+    quoted from the formula. The crawler's URL-seen fast path
+    (crawler/urlseen.py) lives or dies by this number: this census
+    builds the same kind of k-hash bit array from ``inserts``, probes
+    it with the (deduplicated, anti-joined — guaranteed disjoint)
+    ``probes`` set, and counts how many non-members answer "seen".
+    Sized by the caller or auto at ~4 bits/key (a deliberately loaded
+    filter: the interesting regime for a census is where FPs exist).
+
+    Engine-portable bit math: positions are h60(url#j) % m; the array
+    is 32-BIT words (word = pos div 32, mask = 1 << (pos % 32)) —
+    never a 1<<63, which DuckDB rejects as signed overflow where the
+    JVM silently wraps (the layout.py lesson) — OR-folded with the
+    bit_or aggregate; bits_set is a bit_count sum; a probe is a false
+    positive iff all k of its bits are set. Every output is an exact
+    integer.
+
+    Scale shape: build = one explode(k) projection + ONE
+    groupBy(word) bit_or (m/32 rows out — the filter itself is
+    broadcast-sized by construction); probe = the same projection
+    joined to the word table (broadcast join: the filter is tiny) +
+    one groupBy(url) + one count. No driver-side bit twiddling.
+    """
+    ins = inserts.select(F.col(url_col).alias("u")).distinct()
+    prb = (
+        probes.select(F.col(url_col).alias("u"))
+        .distinct()
+        .join(ins, "u", "left_anti")
+        .persist()
+    )
+    n_ins = ins.count()
+    if m_bits is None:
+        m_bits = max(64, 32 * ((4 * n_ins + 31) // 32))
+    pos = (
+        f"CAST(conv(substring(md5(concat(u, '#', CAST(j AS STRING))), "
+        f"1, 15), 16, 10) AS BIGINT) % {m_bits}"
+    )
+    expand = [
+        F.explode(F.expr(f"sequence(0, {k - 1})")).alias("j"),
+    ]
+    ins_bits = (
+        ins.select("u", *expand)
+        .selectExpr("u", f"{pos} AS pos")
+        .selectExpr("pos div 32 AS word", "shiftleft(1L, pos % 32) AS mask")
+        .groupBy("word")
+        .agg(F.expr("bit_or(mask)").alias("w"))
+        .persist()
+    )
+    bits_set = ins_bits.agg(
+        F.sum(F.expr("bit_count(w)")).alias("b")
+    ).collect()[0]["b"]
+    probe_hits = (
+        prb.select("u", *expand)
+        .selectExpr("u", f"{pos} AS pos")
+        .selectExpr(
+            "u", "pos div 32 AS word", "shiftleft(1L, pos % 32) AS mask"
+        )
+        .join(F.broadcast(ins_bits), "word", "left")
+        .selectExpr(
+            "u",
+            "CASE WHEN w IS NOT NULL AND (w & mask) != 0 "
+            "THEN 1 ELSE 0 END AS hit",
+        )
+        .groupBy("u")
+        .agg(F.sum("hit").alias("n_set"))
+    )
+    out = probe_hits.agg(
+        F.lit(int(m_bits)).cast("long").alias("m_bits"),
+        F.lit(int(n_ins)).cast("long").alias("n_insert"),
+        F.count("*").alias("n_probe"),
+        F.lit(int(bits_set)).cast("long").alias("bits_set"),
+        F.sum(
+            F.when(F.col("n_set") == k, 1).otherwise(0)
+        ).cast("long").alias("n_false_pos"),
+    )
+    return out

@@ -358,3 +358,22 @@ def test_minhash_error_identical_and_disjoint(spark):
     assert (r["doc_a"], r["doc_b"]) == (0, 1)
     assert r["j"] == 1.0 and r["n_match"] == 16
     assert r["j_est"] == 1.0 and r["abs_err"] == 0.0
+
+
+def test_bloom_fpr_census_bounds(spark):
+    from searchengine_spark.operators.sketches import bloom_fpr_census
+
+    ins = spark.range(300).selectExpr("concat('in', id) AS url")
+    prb = spark.range(300).selectExpr("concat('out', id) AS url")
+    # huge filter: FPR indistinguishable from zero
+    r = bloom_fpr_census(ins, prb, m_bits=1 << 20).collect()[0]
+    assert r["n_insert"] == 300 and r["n_probe"] == 300
+    assert r["n_false_pos"] == 0
+    assert r["bits_set"] <= 4 * 300
+    # deliberately loaded filter: FPs exist but aren't everything
+    r2 = bloom_fpr_census(ins, prb).collect()[0]
+    assert r2["m_bits"] == 32 * ((4 * 300 + 31) // 32)
+    assert 0 < r2["n_false_pos"] < 300
+    # probe set overlapping the insert set is anti-joined away
+    r3 = bloom_fpr_census(ins, ins.unionAll(prb)).collect()[0]
+    assert r3["n_probe"] == 300
