@@ -2056,6 +2056,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             SK.hll_distinct(occ, "token", ["lang"], p=8), "est_distinct"
         )
 
+    def q_hll_error(spark, sf):
+        # HLL calibration: per-lang estimate vs exact distinct count
+        # and the relative error — sketch accuracy as data (est is
+        # bit-reproducible, so the error column is too)
+        from searchengine_spark.functions.text import tokens_sql
+        from searchengine_spark.operators import sketches as SK
+
+        occ = _docs(spark, sf).select(
+            "lang", F.explode(F.expr(tokens_sql("text"))).alias("token")
+        )
+        est = SK.hll_distinct(occ, "token", ["lang"], p=8).select(
+            "lang", F.round("est_distinct", 9).alias("est_distinct")
+        )
+        exact = occ.groupBy("lang").agg(
+            F.countDistinct("token").alias("exact_distinct")
+        )
+        return est.join(exact, "lang").select(
+            "lang",
+            "est_distinct",
+            "exact_distinct",
+            F.round(
+                (F.col("est_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                9,
+            ).alias("rel_err"),
+        )
+
     def q_maxscore(spark, sf):
         # MaxScore-pruned exact BM25 top-10: term-UB suffix pruning
         # drops non-essential (stopword-class) terms from candidate
@@ -2490,6 +2517,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bowtie": q_bowtie,
         "minhash_error": q_minhash_error,
         "bloom_fpr": q_bloom_fpr,
+        "hll_error": q_hll_error,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -6840,6 +6868,17 @@ FROM events GROUP BY time_bucket(INTERVAL '1 hour', ts), event_type""",
         "adamic_adar": _DUCK_ADAMIC_ADAR,
         "k_core": _duck_kcore(4, rounds=8),
         "k_truss": _duck_ktruss(4, rounds=8),
+        "hll_error": f"""
+WITH hh AS ({_duck_hll(8)}),
+tke AS (SELECT lang, unnest({_DUCK_TL}) AS token FROM documents),
+ex AS (SELECT lang, CAST(count(DISTINCT token) AS BIGINT)
+         AS exact_distinct
+       FROM tke WHERE token <> '' AND length(token) <= 10000
+       GROUP BY lang)
+SELECT hh.lang, hh.est_distinct, ex.exact_distinct,
+       round((hh.est_distinct - ex.exact_distinct)
+             / ex.exact_distinct, 9) AS rel_err
+FROM hh JOIN ex USING (lang)""",
         "bloom_fpr": f"""
 WITH u0 AS ({_DUCK_URL_FIXTURE_ID}),
 ins AS (SELECT DISTINCT url AS u FROM u0 WHERE doc_id % 2 = 0),
