@@ -1446,6 +1446,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # to the token-sorted index's min/max stats; folded per-doc sum
         return _r(Q.prefix_search(_postings(spark, sf), "s", k=10), "score")
 
+    def q_suffix(spark, sf):
+        # wildcard *der: reverse-dictionary trick — leading-prefix
+        # range on reverse(token), pushdown-able on an rtoken-sorted
+        # layout; token-ordered fold for bit-stable scores
+        return _r(
+            Q.suffix_search(_postings(spark, sf), "der", k=10), "score"
+        )
+
+    def q_domain_split(spark, sf):
+        # leakage-safe 80/10/10 split keyed on registrable domain —
+        # every page of a pld lands in ONE split by construction; the
+        # census (n_docs, n_plds per split) is the verifiable artifact
+        from searchengine_spark.functions.urls import pld_col
+        from searchengine_spark.operators.sampling import domain_split
+
+        d = _docs(spark, sf).selectExpr(
+            "doc_id",
+            "CASE doc_id % 5 "
+            "WHEN 0 THEN concat('www.site', CAST((doc_id div 5) % 20 AS STRING), "
+            "'.co.uk') "
+            "WHEN 1 THEN concat('blog.site', CAST((doc_id div 5) % 20 AS STRING), "
+            "'.com') "
+            "WHEN 2 THEN concat('user', CAST((doc_id div 5) % 50 AS STRING), "
+            "'.github.io') "
+            "WHEN 3 THEN concat('cdn.site', CAST((doc_id div 5) % 10 AS STRING), "
+            "'.yamanashi.jp') "
+            "ELSE concat('site', CAST((doc_id div 5) % 20 AS STRING), '.com') END "
+            "AS host"
+        ).withColumn("pld", pld_col("host"))
+        return (
+            domain_split(d, "pld")
+            .groupBy("split")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.countDistinct("pld").alias("n_plds"),
+            )
+        )
+
     def q_proximity(spark, sf):
         # NEAR/3 proximity: two pruned positional scans, band join
         pp = PX.positional_postings(_docs(spark, sf))
@@ -2518,6 +2556,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_error": q_minhash_error,
         "bloom_fpr": q_bloom_fpr,
         "hll_error": q_hll_error,
+        "suffix_query": q_suffix,
+        "domain_split": q_domain_split,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -6741,6 +6781,21 @@ e AS (SELECT DISTINCT src, dst FROM e0)
 SELECT a.dst AS page_a, b.dst AS page_b, count(*) AS n_shared
 FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst
 GROUP BY a.dst, b.dst HAVING count(*) >= 2""",
+        "suffix_query": f"""
+WITH {_DUCK_TOKENS},
+hits AS (
+  SELECT doc_id, token, tf_idf FROM postings
+  WHERE reverse(token) >= 'red' AND reverse(token) < 'ree'
+),
+sc AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(tf_idf ORDER BY token)),
+                     (a, b) -> a + b) AS s
+  FROM hits GROUP BY doc_id
+)
+SELECT doc_id, round(s, 9) AS score FROM sc
+ORDER BY s DESC, doc_id ASC LIMIT 10""",
         "prefix_query": f"""
 WITH {_DUCK_TOKENS},
 hits AS (
@@ -7059,6 +7114,31 @@ FROM caps c JOIN firsts f USING (url, digest)""",
         "containment_pairs": _DUCK_CONTAINMENT,
         "shard_assign": _DUCK_SHARD_ASSIGN,
         "shard_moves": _DUCK_SHARD_MOVES,
+        "domain_split": f"""
+WITH hosts AS (
+  SELECT CASE doc_id % 5
+    WHEN 0 THEN 'www.site' || CAST((doc_id // 5) % 20 AS VARCHAR) || '.co.uk'
+    WHEN 1 THEN 'blog.site' || CAST((doc_id // 5) % 20 AS VARCHAR) || '.com'
+    WHEN 2 THEN 'user' || CAST((doc_id // 5) % 50 AS VARCHAR) || '.github.io'
+    WHEN 3 THEN 'cdn.site' || CAST((doc_id // 5) % 10 AS VARCHAR)
+                || '.yamanashi.jp'
+    ELSE 'site' || CAST((doc_id // 5) % 20 AS VARCHAR) || '.com'
+  END AS host
+  FROM documents
+),
+s AS (SELECT host, lower(host) AS hl, string_split(lower(host), '.') AS l
+      FROM hosts),
+p AS (SELECT host, {duck_pld_case()} AS pld FROM s),
+a AS (
+  SELECT pld,
+         CASE WHEN {_duck_h60("pld")} < 922337203685477632 THEN 'train'
+              WHEN {_duck_h60("pld")} < 1037629354146162304 THEN 'val'
+              ELSE 'test' END AS split
+  FROM p
+)
+SELECT split, count(*) AS n_docs,
+       CAST(count(DISTINCT pld) AS BIGINT) AS n_plds
+FROM a GROUP BY split""",
         "blocklist_gate": f"""
 WITH hosts AS (
   SELECT CASE doc_id % 5

@@ -193,3 +193,42 @@ def facet_counts(
         .groupBy(F.col("fv.facet").alias("facet"), F.col("fv.value").alias("value"))
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+def suffix_search(postings: DataFrame, suffix: str, k: int = 10) -> DataFrame:
+    """Wildcard query `*suffix`: top-k docs by the summed tf_idf of
+    their tokens ENDING with ``suffix`` — the reverse-dictionary trick
+    (a special case of the permuterm index, Garfield 1976 / standard IR
+    textbook treatment): index reverse(token), and a trailing wildcard
+    becomes a LEADING-prefix range on the reversed form.
+
+    Scale shape: the vocabulary filter is a RANGE predicate on
+    reverse(token) — written to a reversed-token-sorted index layout
+    (the S4 sink sorted by the rtoken column instead), it pushes to
+    parquet min/max stats exactly like prefix_search's; expressed over
+    the forward layout it is one projection + filter, never a LIKE
+    '%…' dictionary scan per candidate document. The per-doc sum folds
+    in token-sorted order (deterministic float addition, oracle
+    bit-parity).
+    """
+    s = suffix.lower()
+    if not s:
+        raise ValueError("suffix_search() needs a non-empty suffix")
+    rp = s[::-1]
+    hits = postings.withColumn("rtoken", F.reverse(F.col("token"))).filter(
+        (F.col("rtoken") >= rp) & (F.col("rtoken") < _prefix_upper(rp))
+    )
+    fold = "aggregate(sort_array(lst), 0.0D, (acc, s) -> acc + s.p)"
+    return (
+        hits.groupBy("doc_id")
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("token").alias("t"), F.col("tf_idf").alias("p")
+                )
+            ).alias("lst")
+        )
+        .select("doc_id", F.expr(fold).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -290,3 +290,45 @@ def mixture_report(
         kl.alias("kl_term"),
         ratio.alias("ratio"),
     )
+
+
+def domain_split(
+    df: DataFrame,
+    pld_sql_expr: str,
+    splits: list[tuple[str, float]] | None = None,
+    out_col: str = "split",
+) -> DataFrame:
+    """df + an ``out_col`` string column: leakage-safe train/val/test
+    assignment keyed by REGISTRABLE DOMAIN. Splitting a web corpus by
+    row (or even by page URL) leaks: near-duplicate pages, mirrors and
+    template families live on the same site, so a row-wise 80/10/10
+    puts one copy in train and its near-dup in test — the classic
+    contamination the split exists to prevent. Keying the split on
+    pld(host) puts every page of a domain in ONE split by
+    construction.
+
+    Deterministic and stateless like mixture_sample: the split is
+    h60(pld) against cumulative integer thresholds (floor(cum_w·2^60)
+    — exact int64 both engines), so re-runs, appends and retries agree
+    and the assignment is reproducible from the data alone. Rounding
+    of the last cumulative weight is forced to 2^60, so every hash is
+    always assigned. Zero shuffle: a pure projection over the pld CASE
+    expression, composing with scan pruning.
+    """
+    if splits is None:
+        splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    if not splits or abs(sum(w for _, w in splits) - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1: {splits}")
+    h = h60_col(pld_sql_expr)
+    cum = 0.0
+    col = None
+    for i, (name, w) in enumerate(splits):
+        cum += w
+        hi = (1 << H60_BITS) if i == len(splits) - 1 else int(
+            cum * (1 << H60_BITS)
+        )
+        cond = h < F.lit(hi)
+        col = F.when(cond, F.lit(name)) if col is None else col.when(
+            cond, F.lit(name)
+        )
+    return df.withColumn(out_col, col)

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from searchengine_spark.operators.rankeval import rank_correlation
 
 
@@ -377,3 +379,77 @@ def test_bloom_fpr_census_bounds(spark):
     # probe set overlapping the insert set is anti-joined away
     r3 = bloom_fpr_census(ins, ins.unionAll(prb)).collect()[0]
     assert r3["n_probe"] == 300
+
+
+def test_suffix_search_matches_like(spark):
+    import pytest as _pytest
+
+    from searchengine_spark.operators.query import suffix_search
+    from searchengine_spark.operators.tfidf import (
+        doc_tokens,
+        term_frequencies,
+        doc_frequencies,
+        idf_table,
+        postings_from_tf,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "reader loader spark window"),
+            (1, "loader window window"),
+            (2, "spark spark"),
+        ],
+        "doc_id long, text string",
+    )
+    tf = term_frequencies(doc_tokens(docs))
+    post = postings_from_tf(tf)
+    got = {r["doc_id"]: r["score"] for r in
+           suffix_search(post, "der", k=10).collect()}
+    # docs 0 and 1 contain *der tokens; doc 2 does not
+    assert set(got) == {0, 1}
+    # equivalence with a LIKE-based reference on the same postings
+    ref = (
+        post.filter(F.expr("token LIKE '%der'"))
+        .groupBy("doc_id")
+        .agg(F.expr(
+            "aggregate(sort_array(collect_list(struct(token, tf_idf))), "
+            "0.0D, (a, s) -> a + s.tf_idf)").alias("score"))
+    )
+    ref_rows = {r["doc_id"]: r["score"] for r in ref.collect()}
+    assert got == ref_rows
+    with _pytest.raises(ValueError):
+        suffix_search(post, "")
+
+
+def test_domain_split_no_leakage(spark):
+    import pytest as _pytest
+
+    from searchengine_spark.operators.sampling import domain_split
+
+    d = spark.range(2000).selectExpr(
+        "concat('sub', CAST(id % 7 AS STRING), '.dom', "
+        "CAST(id % 97 AS STRING), '.com') AS host",
+        "concat('dom', CAST(id % 97 AS STRING), '.com') AS pld",
+    )
+    out = domain_split(d, "pld")
+    # the leakage invariant: no pld appears in more than one split
+    span = (
+        out.groupBy("pld")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    assert span == 0
+    # all three splits get domains at 97-pld scale, and sizes order
+    sizes = {r["split"]: r["n"] for r in
+             out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(sizes) == {"train", "val", "test"}
+    assert sizes["train"] > sizes["val"] + sizes["test"]
+    # assignment is a pure function: re-run agrees
+    again = {r["pld"]: r["split"] for r in
+             domain_split(d, "pld").select("pld", "split").distinct().collect()}
+    first = {r["pld"]: r["split"] for r in
+             out.select("pld", "split").distinct().collect()}
+    assert first == again
+    with _pytest.raises(ValueError):
+        domain_split(d, "pld", splits=[("a", 0.5), ("b", 0.4)])
