@@ -1484,6 +1484,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         )
 
+    def q_sdm(spark, sf):
+        # Metzler-Croft sequential dependence model: unigram + ordered
+        # adjacent + unordered-window-8 Dirichlet features at the
+        # canonical (0.85, 0.1, 0.05) weights — the positional upgrade
+        # over bag-of-words ranking, all from token-pruned scans
+        return _r(
+            PX.sdm_search(_docs(spark, sf), _BM25_TERMS, k=10), "score"
+        )
+
     def q_proximity(spark, sf):
         # NEAR/3 proximity: two pruned positional scans, band join
         pp = PX.positional_postings(_docs(spark, sf))
@@ -2558,6 +2567,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_error": q_hll_error,
         "suffix_query": q_suffix,
         "domain_split": q_domain_split,
+        "sdm_topk": q_sdm,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -2869,6 +2879,92 @@ qsc AS (
 )
 SELECT doc_id, round(sc, 9) AS score FROM qsc
 ORDER BY sc DESC, doc_id ASC LIMIT {k}"""
+
+
+def _duck_sdm(
+    terms: list[str],
+    k: int = 10,
+    mu: float = 2000.0,
+    lambdas: tuple = (0.85, 0.1, 0.05),
+    window: int = 8,
+) -> str:
+    """Sequential-dependence-model oracle — mirrors positional.
+    sdm_search: unigram pivot + per-adjacent-pair ordered (pb = pa+1)
+    and unordered (|pa-pb| < window) counts from the positional CTE,
+    Dirichlet features in fixed query order. The Spark side DROPS
+    zero-cf features; here each feature is CASE-guarded to literal
+    0.0, and x + 0.0 == x bit-exactly for the (never -0) log sums, so
+    the scores still hash-match."""
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    lt, lo, lu = (float(x) for x in lambdas)
+    inlist = ", ".join(f"'{t}'" for t in uniq)
+    pivs = ", ".join(
+        f"sum(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS f{i}"
+        for i, t in enumerate(uniq)
+    )
+    pairs = list(zip(uniq, uniq[1:]))
+
+    def feat(x_sql: str, cf_sql: str) -> str:
+        return (
+            f"CASE WHEN ({cf_sql}) > 0 THEN "
+            f"ln((CAST({x_sql} AS DOUBLE) + {mu!r} * ({cf_sql}) "
+            f"/ (SELECT t FROM tot)) / (CAST(dl AS DOUBLE) + {mu!r})) "
+            f"ELSE 0.0e0 END"
+        )
+
+    parts = [_DUCK_POSIT.lstrip(), """
+dl AS (SELECT doc_id, count(*) AS dl FROM posit GROUP BY doc_id),
+tot AS (SELECT count(*) AS t FROM posit),
+qp AS (SELECT doc_id, pos, token FROM posit
+       WHERE token IN (%s)),
+cfq AS (SELECT token, count(*) AS c FROM qp GROUP BY token),
+piv AS (SELECT doc_id, %s FROM qp GROUP BY doc_id)""" % (inlist, pivs)]
+    joins = []
+    for i, (a, b) in enumerate(pairs):
+        parts.append(f"""
+od{i} AS (
+  SELECT a.doc_id, count(*) AS o{i}
+  FROM qp a JOIN qp b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+   AND a.token = '{a}' AND b.token = '{b}'
+  GROUP BY a.doc_id
+),
+cfo{i} AS (SELECT CAST(coalesce(sum(o{i}), 0) AS BIGINT) AS c
+           FROM od{i}),
+uw{i} AS (
+  SELECT a.doc_id, count(*) AS u{i}
+  FROM qp a JOIN qp b ON a.doc_id = b.doc_id
+   AND abs(a.pos - b.pos) < {window}
+   AND a.token = '{a}' AND b.token = '{b}'
+  GROUP BY a.doc_id
+),
+cfu{i} AS (SELECT CAST(coalesce(sum(u{i}), 0) AS BIGINT) AS c
+           FROM uw{i})""")
+        joins.append(f"LEFT JOIN od{i} USING (doc_id) "
+                     f"LEFT JOIN uw{i} USING (doc_id)")
+    st = " + ".join(
+        feat(f"f{i}",
+             f"coalesce((SELECT c FROM cfq WHERE token = '{t}'), 0)")
+        for i, t in enumerate(uniq)
+    )
+    so = " + ".join(
+        feat(f"coalesce(o{i}, 0)", f"(SELECT c FROM cfo{i})")
+        for i in range(len(pairs))
+    ) or "0.0e0"
+    su = " + ".join(
+        feat(f"coalesce(u{i}, 0)", f"(SELECT c FROM cfu{i})")
+        for i in range(len(pairs))
+    ) or "0.0e0"
+    score = f"{lt!r}e0 * ({st}) + {lo!r}e0 * ({so}) + {lu!r}e0 * ({su})"
+    return (
+        "WITH " + ",".join(parts)
+        + f""",
+sc AS (
+  SELECT piv.doc_id, {score} AS sc
+  FROM piv JOIN dl USING (doc_id) {' '.join(joins)}
+)
+SELECT doc_id, round(sc, 9) AS score FROM sc
+ORDER BY sc DESC, doc_id ASC LIMIT {k}"""
+    )
 
 
 def _duck_rrf(
@@ -7297,6 +7393,7 @@ SELECT
   CASE WHEN doc_id % 16 = 0 THEN 1 ELSE 0 END AS n_skipped
 FROM documents""",
         "qlm_topk": _duck_qlm(_BM25_TERMS, k=10, mu=2000.0),
+        "sdm_topk": _duck_sdm(_BM25_TERMS, k=10),
         "lmjm_topk": _duck_lmjm(_BM25_TERMS, k=10, lam=0.1),
         "pl2_topk": _duck_pl2(_BM25_TERMS, k=10),
         "salt_balance": f"""

@@ -673,3 +673,136 @@ def pmi_expand(
         .filter(F.col("_r") <= m)
         .drop("_r")
     )
+
+
+def sdm_search(
+    documents: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    mu: float = 2000.0,
+    lambdas: tuple[float, float, float] = (0.85, 0.1, 0.05),
+    window: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs by the Sequential Dependence Model (Metzler & Croft,
+    SIGIR 2005) — the standard term-dependence upgrade over bag-of-words
+    LM ranking, weighting three Dirichlet-smoothed feature classes:
+
+      score = λT Σ_q  f(tf_q)        unigrams
+            + λO Σ_adj f(tf_#1)      ordered adjacent pair occurrences
+            + λU Σ_adj f(tf_#uwN)    pair co-occurrences within N slots
+      f(x)  = ln((x + μ·cf/|C|) / (dl + μ))
+
+    with the canonical (0.85, 0.1, 0.05) weights. The phrase/proximity
+    evidence is what separates "new york" the city from scattered
+    mentions — the model BM25-family rankers can't express without
+    positions.
+
+    Scale shape: everything derives from token-pruned POSITIONAL scans
+    (only the query terms' position rows ever ship): unigram tf by the
+    qlm pivot (ONE groupBy(doc_id)), each adjacent pair's ordered
+    count by the phrase_match equi-join (pb = pa+1), each unordered
+    count by the proximity band join (|pa-pb| < N, per-doc cost = the
+    occurrence product of two single terms). Collection stats are
+    exact-long query constants; per-term logs add in fixed query
+    order; zero-cf features are dropped (doc-independent -inf — the
+    qlm_search guard). Candidates = docs matching ≥ 1 unigram.
+    """
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    lt, lo, lu = (float(x) for x in lambdas)
+    spark = documents.sparkSession
+    if not uniq:
+        return spark.createDataFrame([], "doc_id long, score double")
+    pp = positional_postings(documents, id_col, text_col).persist()
+    dl = pp.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    total = dl.agg(F.sum("dl")).collect()[0][0]
+    total = int(total or 0)
+    if total == 0:
+        pp.unpersist()
+        return spark.createDataFrame([], "doc_id long, score double")
+    qp = pp.filter(F.col("token").isin(uniq)).persist()
+    cf = {
+        r["token"]: int(r["c"])
+        for r in qp.groupBy("token").agg(F.count("*").alias("c")).collect()
+    }
+    per_term = [
+        F.coalesce(
+            F.sum(F.when(F.col("token") == t, F.lit(1)).otherwise(F.lit(0))),
+            F.lit(0),
+        ).alias(f"f{i}")
+        for i, t in enumerate(uniq)
+    ]
+    piv = qp.groupBy("doc_id").agg(*per_term).join(dl, "doc_id")
+    pairs = list(zip(uniq, uniq[1:]))
+    base = piv
+    cfo: list[int] = []
+    cfu: list[int] = []
+    for i, (a, b) in enumerate(pairs):
+        pa = qp.filter(F.col("token") == a).select(
+            "doc_id", F.col("pos").alias("pa")
+        )
+        pb = qp.filter(F.col("token") == b).select(
+            F.col("doc_id").alias("db"), F.col("pos").alias("pb")
+        )
+        od = (
+            pa.join(
+                pb,
+                (pa["doc_id"] == pb["db"])
+                & (F.col("pb") == F.col("pa") + 1),
+            )
+            .groupBy("doc_id")
+            .agg(F.count("*").alias(f"o{i}"))
+        )
+        uw = (
+            pa.join(
+                pb,
+                (pa["doc_id"] == pb["db"])
+                & (F.abs(F.col("pa") - F.col("pb")) < window),
+            )
+            .groupBy("doc_id")
+            .agg(F.count("*").alias(f"u{i}"))
+        )
+        cfo.append(
+            int(od.agg(F.sum(f"o{i}")).collect()[0][0] or 0)
+        )
+        cfu.append(
+            int(uw.agg(F.sum(f"u{i}")).collect()[0][0] or 0)
+        )
+        base = base.join(od, "doc_id", "left").join(uw, "doc_id", "left")
+    dcol = F.col("dl").cast("double")
+
+    def feat(count_col: F.Column, cf_x: int) -> F.Column:
+        prior = (mu * cf_x) / total  # python double == SQL double
+        return F.log(
+            (count_col.cast("double") + F.lit(prior)) / (dcol + F.lit(mu))
+        )
+
+    st = None
+    for i, t in enumerate(uniq):
+        if cf.get(t, 0) == 0:
+            continue
+        term = feat(F.col(f"f{i}"), cf[t])
+        st = term if st is None else st + term
+    so = None
+    su = None
+    for i in range(len(pairs)):
+        oc = F.coalesce(F.col(f"o{i}"), F.lit(0))
+        uc = F.coalesce(F.col(f"u{i}"), F.lit(0))
+        if cfo[i] > 0:
+            term = feat(oc, cfo[i])
+            so = term if so is None else so + term
+        if cfu[i] > 0:
+            term = feat(uc, cfu[i])
+            su = term if su is None else su + term
+    score = F.lit(lt) * (st if st is not None else F.lit(0.0))
+    if so is not None:
+        score = score + F.lit(lo) * so
+    if su is not None:
+        score = score + F.lit(lu) * su
+    out = (
+        base.select("doc_id", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    return out

@@ -453,3 +453,22 @@ def test_domain_split_no_leakage(spark):
     assert first == again
     with _pytest.raises(ValueError):
         domain_split(d, "pld", splits=[("a", 0.5), ("b", 0.4)])
+
+
+def test_sdm_rewards_phrase_order(spark):
+    from searchengine_spark.operators.positional import sdm_search
+
+    # same unigram stats, different order: doc 0 has the exact phrase
+    # "new york", doc 1 has the terms reversed and separated
+    docs = spark.createDataFrame(
+        [
+            (0, "new york is a city new york"),
+            (1, "york quite new is a city york new far apart"),
+            (2, "unrelated words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["score"] for r in
+            sdm_search(docs, ["new", "york"], k=10).collect()}
+    assert 2 not in rows
+    assert rows[0] > rows[1]  # ordered-adjacent evidence dominates
