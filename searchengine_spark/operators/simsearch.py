@@ -432,3 +432,98 @@ def more_like_this(
         .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
         .limit(k)
     )
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    m: int = 4,
+    ksub: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 2,
+    train_sample: int = 256,
+) -> DataFrame:
+    """Product-quantization ANN top-k by asymmetric distance (Jégou,
+    Douze & Schmid, TPAMI 2011 — the FAISS `PQ` index): split the
+    D-dim space into ``m`` subspaces, Lloyd-train ``ksub`` centroids
+    per subspace (the SAME deterministic train_centroids as the IVF
+    coarse quantizer, run on subvector slices), encode every vector as
+    m centroid ids (D doubles → m small ints — the memory step that
+    makes billion-vector ANN fit), and score a query by ADC: the
+    query-to-centroid distance table is computed ONCE driver-side
+    (m·ksub doubles), and each stored vector's approximate distance is
+    m table lookups summed in subspace order.
+
+    Scale shape: training is bounded driver work on an id-ordered
+    sample (the quantizer-training shape, as in ivf_topk); encoding is
+    ONE explode(m) projection joined to a BROADCAST centroid table +
+    per-(vec, subspace) argmin window (bounded: ksub rows per group);
+    scoring joins the broadcast distance table and folds the m lookups
+    in j order — deterministic doubles end to end, so the DuckDB
+    oracle replays training, codes and ADC bit-for-bit. Returns
+    (vec_id, approx_d2) ascending; recall vs brute force is a tested
+    property, not an assumption.
+    """
+    q = [float(x) for x in query_vec]
+    dim = len(q)
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    vecs = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.expr(_as_double(vec_col)).alias("v")
+    )
+    sample_rows = vecs.orderBy("vec_id").limit(train_sample).collect()
+    if len(sample_rows) < ksub:
+        raise ValueError(
+            f"pq_topk: need >= {ksub} vectors to seed, have "
+            f"{len(sample_rows)}"
+        )
+    sample = [(r["vec_id"], [float(x) for x in r["v"]]) for r in sample_rows]
+    cents_rows = []
+    dt_rows = []
+    for j in range(m):
+        sub_sample = [
+            (vid, v[j * sub:(j + 1) * sub]) for vid, v in sample
+        ]
+        cents = train_centroids(sub_sample, ksub, train_iters)
+        qj = q[j * sub:(j + 1) * sub]
+        for cid, cv in cents:
+            cents_rows.append((j, int(cid), [float(x) for x in cv]))
+            dt_rows.append((j, int(cid), _sqdist_py(qj, cv)))
+    spark = embeddings.sparkSession
+    cents_df = spark.createDataFrame(
+        cents_rows, "j int, cid bigint, cv array<double>"
+    )
+    dt_df = spark.createDataFrame(dt_rows, "j int, cid bigint, dq double")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id", "j").orderBy("d2", "cid")
+    codes = (
+        vecs.select(
+            "vec_id", "v", F.explode(F.expr(f"sequence(0, {m - 1})")).alias("j")
+        )
+        .withColumn(
+            "vsub", F.expr(f"slice(v, j * {sub} + 1, {sub})")
+        )
+        .join(F.broadcast(cents_df), "j")
+        .withColumn("d2", F.expr(_SQ_DIST.format(a="vsub", b="cv")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "j", "cid")
+    )
+    fold = (
+        "aggregate(sort_array(collect_list(struct(j, dq))), "
+        "0.0D, (acc, s) -> acc + s.dq)"
+    )
+    scored = (
+        codes.join(F.broadcast(dt_df), ["j", "cid"])
+        .groupBy("vec_id")
+        .agg(F.expr(fold).alias("approx_d2"))
+    )
+    return (
+        scored.select("vec_id", "approx_d2")
+        .orderBy(F.col("approx_d2").asc(), F.col("vec_id").asc())
+        .limit(k)
+    )

@@ -472,3 +472,39 @@ def test_sdm_rewards_phrase_order(spark):
             sdm_search(docs, ["new", "york"], k=10).collect()}
     assert 2 not in rows
     assert rows[0] > rows[1]  # ordered-adjacent evidence dominates
+
+
+def test_pq_topk_recall_vs_brute(spark, sf_dir):
+    import os
+
+    from searchengine_spark.operators.simsearch import brute_topk, pq_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0)
+        .collect()[0]["embedding"]
+    ]
+    exact = {r["vec_id"] for r in brute_topk(emb, qv, k=10).collect()}
+    approx = {r["vec_id"] for r in pq_topk(emb, qv, k=10, m=8).collect()}
+    # PQ with 8x8 codes is coarse; still must find a solid fraction of
+    # the true neighbors, including the query itself
+    assert 0 in approx
+    assert len(exact & approx) >= 5
+
+    # monotone: the returned approx distances are ascending
+    rows = pq_topk(emb, qv, k=10, m=8).collect()
+    ds = [r["approx_d2"] for r in rows]
+    assert ds == sorted(ds)
+
+
+def test_pq_validates_args(spark, sf_dir):
+    import os
+
+    import pytest as _pytest
+
+    from searchengine_spark.operators.simsearch import pq_topk
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    with _pytest.raises(ValueError):
+        pq_topk(emb, [0.0] * 63, m=4)  # 63 % 4 != 0
