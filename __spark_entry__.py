@@ -1507,6 +1507,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             m=8,
         )
 
+    def q_spam_mass(spark, sf):
+        # Gyongyi spam-mass estimate: the PageRank fraction NOT
+        # explained by rank flowing from trusted seeds — (PR - PPR)/PR
+        # from the two existing bit-reproducible rank vectors; high
+        # mass = rank earned from unendorsed (spammy) link sources
+        from searchengine_spark.operators import linkrank as LR
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        ids = docs.select(F.col("doc_id").alias("id"))
+        pr = LR.pagerank(edges, ids, n_iters=5).select(
+            F.col("id").alias("doc_id"), F.round("rank", 9).alias("pr")
+        )
+        seeds = docs.filter(F.col("doc_id") % 100 == 0).select(
+            F.col("doc_id").alias("id")
+        )
+        pp = LR.personalized_pagerank(edges, seeds, n_iters=5).select(
+            F.col("id").alias("doc_id"), F.round("rank", 9).alias("ppr")
+        )
+        return pr.join(pp, "doc_id").select(
+            "doc_id",
+            "pr",
+            "ppr",
+            F.round((F.col("pr") - F.col("ppr")) / F.col("pr"), 9).alias(
+                "spam_mass"
+            ),
+        )
+
     def q_proximity(spark, sf):
         # NEAR/3 proximity: two pruned positional scans, band join
         pp = PX.positional_postings(_docs(spark, sf))
@@ -2583,6 +2619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_split": q_domain_split,
         "sdm_topk": q_sdm,
         "pq_topk": q_pq_topk,
+        "spam_mass": q_spam_mass,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -6966,6 +7003,11 @@ SELECT src, dst, round(cos, 9) AS cos FROM cosd WHERE cos >= 0.5e0""",
         "percolate": _duck_percolate(_ALERTS),
         "textrank": _duck_textrank(n_iters=5, damping=0.85),
         "ppr": _duck_ppr(n_iters=5, damping=0.85),
+        "spam_mass": f"""
+SELECT pr.doc_id, pr.rank AS pr, pp.rank AS ppr,
+       round((pr.rank - pp.rank) / pr.rank, 9) AS spam_mass
+FROM ({_pagerank_sql()}) pr
+JOIN ({_duck_ppr(n_iters=5, damping=0.85)}) pp USING (doc_id)""",
         "weighted_sample": f"""
 WITH keyed AS (
   SELECT doc_id,

@@ -508,3 +508,28 @@ def test_pq_validates_args(spark, sf_dir):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     with _pytest.raises(ValueError):
         pq_topk(emb, [0.0] * 63, m=4)  # 63 % 4 != 0
+
+
+def test_spam_mass_seed_vs_unendorsed(spark):
+    from searchengine_spark.operators.linkrank import (
+        pagerank,
+        personalized_pagerank,
+    )
+
+    # a trusted clique (0,1,2 linking each other + seeded) and a spam
+    # farm (10..13 linking only among themselves): the farm's rank has
+    # ~no trusted endorsement -> spam mass near 1; the clique's is low
+    edges = [
+        (0, 1), (1, 2), (2, 0),
+        (10, 11), (11, 12), (12, 13), (13, 10),
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    ids = spark.createDataFrame([(i,) for i in [0, 1, 2, 10, 11, 12, 13]],
+                                "id long")
+    seeds = spark.createDataFrame([(0,)], "id long")
+    pr = {r["id"]: r["rank"] for r in pagerank(e, ids, n_iters=8).collect()}
+    pp = {r["id"]: r["rank"]
+          for r in personalized_pagerank(e, seeds, n_iters=8).collect()}
+    mass = {i: (pr[i] - pp.get(i, 0.0)) / pr[i] for i in pr}
+    assert mass[1] < 0.5  # directly endorsed by the seed
+    assert mass[12] > 0.95  # farm node: rank with zero trusted flow
