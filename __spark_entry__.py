@@ -373,6 +373,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_frame_sample(spark, sf):
         return MM.frame_sample(MM.media_table(_docs(spark, sf)))
 
+    def q_mime_census(spark, sf):
+        # magic-byte content-type census: deterministic payload fixture
+        # wraps each doc's bytes in one of 8 container signatures; the
+        # sniffer is a pure-codegen CASE over hex prefixes (headers lie,
+        # magics do not) — the routing stage in front of decode_image
+        from searchengine_spark.operators.multimodal import mime_census
+
+        sigs = [
+            "89504E470D0A1A0A", "FFD8FFE0", "474946383961",
+            "255044462D312E37", "1F8B08", "504B0304",
+            "52494646AAAAAAAA57454250", "",
+        ]
+        arr = ", ".join(f"unhex('{s}')" if s else "unhex('')" for s in sigs)
+        media = _docs(spark, sf).selectExpr(
+            "doc_id",
+            f"concat(element_at(array({arr}), CAST(doc_id % 8 + 1 AS INT)), "
+            "encode(text, 'utf-8')) AS payload",
+        )
+        return mime_census(media)
+
     def q_seen_antijoin(spark, sf):
         # J5 shape on driver tables: "candidate not in seen-set" =
         # customers that never appear as an event actor (non-empty:
@@ -2620,6 +2640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sdm_topk": q_sdm,
         "pq_topk": q_pq_topk,
         "spam_mass": q_spam_mass,
+        "mime_census": q_mime_census,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -5798,6 +5819,8 @@ SELECT shard_8, count(*) AS n_urls,
 FROM a GROUP BY shard_8"""
 
 
+_DUCK_SNIFF = __import__("searchengine_spark.operators.multimodal", fromlist=["sniff_mime_sql"]).sniff_mime_sql("payload")
+
 def _duck_ring_cte(n_shards: int, vnodes: int) -> str:
     """CTE body ``ring{n}``: the (point, shard) circle of
     operators/ring.ring_points — h60('ring!s!v') per (shard, vnode),
@@ -7415,6 +7438,21 @@ SELECT pld,
        count(*) AS n_hosts
 FROM p GROUP BY pld, blocked""",
         "ring_assign": _DUCK_RING_ASSIGN,
+        "mime_census": f"""
+WITH sigs AS (
+  SELECT ['89504E470D0A1A0A', 'FFD8FFE0', '474946383961',
+          '255044462D312E37', '1F8B08', '504B0304',
+          '52494646AAAAAAAA57454250', ''] AS a
+),
+media AS (
+  SELECT doc_id,
+         unhex(a[CAST(doc_id % 8 + 1 AS INTEGER)]) || encode(text)
+           AS payload
+  FROM documents, sigs
+)
+SELECT {_DUCK_SNIFF} AS mime, count(*) AS n_payloads,
+       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes
+FROM media GROUP BY 1""",
         "zorder_files": _duck_zorder(),
         "ring_moves": _DUCK_RING_MOVES,
         "hll_distinct": _duck_hll(8),

@@ -213,3 +213,76 @@ def frame_sample(
         .select("media_id", "payload")
         .mapInPandas(_frames, schema=FRAMES_SCHEMA)
     )
+
+
+# magic-byte signatures as hex prefixes (public file-format magics; the
+# content-sniffing step every web-scale ingest needs because HTTP
+# Content-Type headers lie). HTML detection is exact-prefix over the
+# common spellings — full WHATWG sniffing needs case-folded scans the
+# hex form can't express; documented limitation.
+_MAGIC_HEX = [
+    ("89504E470D0A1A0A", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("474946383761", "image/gif"),
+    ("474946383961", "image/gif"),
+    ("52494646", "riff"),  # refined to webp/wav below
+    ("255044462D", "application/pdf"),
+    ("1F8B", "application/gzip"),
+    ("504B0304", "application/zip"),
+    ("3C21444F4354595045", "text/html"),  # <!DOCTYPE
+    ("3C21646F6374797065", "text/html"),  # <!doctype
+    ("3C68746D6C", "text/html"),  # <html
+    ("3C48544D4C", "text/html"),  # <HTML
+    ("3C3F786D6C", "text/xml"),  # <?xml
+]
+
+
+def sniff_mime_sql(payload_col: str) -> str:
+    """Engine-portable SQL: sniffed MIME type of a binary column from
+    its leading magic bytes. Works on the HEX of the payload prefix
+    (``substring(hex(x), ...)``) because that is the one binary
+    primitive Spark SQL and DuckDB share — DuckDB has no BLOB
+    substring/slice, and hex is a bijection so prefix tests are
+    equivalent. Pure whole-stage-codegen CASE ladder — no UDF; RIFF
+    containers are refined by the format tag at bytes 9-12 (WEBP/WAVE).
+    Unknown formats report 'application/octet-stream'.
+    """
+    h = f"hex({payload_col})"
+    branches = []
+    for sig, mime in _MAGIC_HEX:
+        if mime == "riff":
+            branches.append(
+                f"WHEN substring({h}, 1, 8) = '52494646' THEN "
+                f"(CASE substring({h}, 17, 8) "
+                f"WHEN '57454250' THEN 'image/webp' "
+                f"WHEN '57415645' THEN 'audio/wav' "
+                f"ELSE 'application/riff' END)"
+            )
+        else:
+            branches.append(
+                f"WHEN substring({h}, 1, {len(sig)}) = '{sig}' "
+                f"THEN '{mime}'"
+            )
+    return (
+        "CASE " + " ".join(branches) + " ELSE 'application/octet-stream' END"
+    )
+
+
+def mime_census(
+    media: DataFrame, payload_col: str = "payload"
+) -> DataFrame:
+    """(mime, n_payloads, total_bytes) — content-type census by magic
+    bytes over an opaque binary column: the routing step in front of
+    decode_image / frame_sample (headers lie; payload magics do not).
+    One projection + one map-side-combined groupBy."""
+    return (
+        media.select(
+            F.expr(sniff_mime_sql(payload_col)).alias("mime"),
+            F.length(F.col(payload_col)).alias("nb"),
+        )
+        .groupBy("mime")
+        .agg(
+            F.count("*").alias("n_payloads"),
+            F.sum("nb").alias("total_bytes"),
+        )
+    )

@@ -533,3 +533,33 @@ def test_spam_mass_seed_vs_unendorsed(spark):
     mass = {i: (pr[i] - pp.get(i, 0.0)) / pr[i] for i in pr}
     assert mass[1] < 0.5  # directly endorsed by the seed
     assert mass[12] > 0.95  # farm node: rank with zero trusted flow
+
+
+def test_mime_sniff_golden(spark):
+    from searchengine_spark.operators.multimodal import sniff_mime_sql
+
+    cases = [
+        ("89504E470D0A1A0A00", "image/png"),
+        ("FFD8FFE100", "image/jpeg"),
+        ("474946383761AA", "image/gif"),
+        ("474946383961AA", "image/gif"),
+        ("255044462D312E34", "application/pdf"),
+        ("1F8B0800", "application/gzip"),
+        ("504B030414", "application/zip"),
+        ("52494646AAAAAAAA57454250", "image/webp"),
+        ("52494646AAAAAAAA57415645", "audio/wav"),
+        ("52494646AAAAAAAA41564920", "application/riff"),
+        ("3C21646F63747970652068746D6C3E", "text/html"),
+        ("3C68746D6C3E", "text/html"),
+        ("3C3F786D6C20", "text/xml"),
+        ("DEADBEEF", "application/octet-stream"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], "h string")
+    got = {
+        r["h"]: r["m"]
+        for r in df.selectExpr(
+            "h", f"{sniff_mime_sql('unhex(h)')} AS m"
+        ).collect()
+    }
+    for h, want in cases:
+        assert got[h] == want, (h, got[h], want)
