@@ -393,6 +393,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return mime_census(media)
 
+    def q_serp(spark, sf):
+        # END-TO-END result page, hash-checked as one query: BM25
+        # candidates -> static PageRank prior blend -> per-host site
+        # collapse -> top-10 -> snippet join. The full serving path a
+        # reference user runs, composed from the tested operators.
+        from searchengine_spark.operators import linkrank as LR
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        prior = LR.pagerank(
+            edges, docs.select(F.col("doc_id").alias("id")), n_iters=5
+        ).select(F.col("id").alias("doc_id"), "rank")
+        blended = RK.blend_with_prior(
+            docs, _BM25_TERMS, prior, k=50, lam=0.25
+        ).select("doc_id", F.round("score", 9).alias("score"))
+        hosts = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 16).cast("string"),
+                F.lit(".test"),
+            ).alias("host"),
+        )
+        page = RK.site_collapse(blended, hosts, k=10, per_host=2)
+        snips = PX.snippets(docs, _BM25_TERMS, window=5).select(
+            "doc_id", "snippet"
+        )
+        return page.join(snips, "doc_id", "left").select(
+            "doc_id", "host", "score", "snippet"
+        )
+
     def q_seen_antijoin(spark, sf):
         # J5 shape on driver tables: "candidate not in seen-set" =
         # customers that never appear as an event actor (non-empty:
@@ -2641,6 +2679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": q_pq_topk,
         "spam_mass": q_spam_mass,
         "mime_census": q_mime_census,
+        "serp": q_serp,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -7026,6 +7065,25 @@ SELECT src, dst, round(cos, 9) AS cos FROM cosd WHERE cos >= 0.5e0""",
         "percolate": _duck_percolate(_ALERTS),
         "textrank": _duck_textrank(n_iters=5, damping=0.85),
         "ppr": _duck_ppr(n_iters=5, damping=0.85),
+        "serp": f"""
+WITH bl AS ({_duck_prior_blend(_BM25_TERMS, k=50, lam=0.25)}),
+hm AS (
+  SELECT doc_id, 'h' || CAST(doc_id % 16 AS VARCHAR) || '.test' AS host
+  FROM documents
+),
+rk AS (
+  SELECT bl.doc_id, hm.host, bl.score,
+         row_number() OVER (PARTITION BY hm.host
+                            ORDER BY bl.score DESC, bl.doc_id ASC) AS r
+  FROM bl JOIN hm USING (doc_id)
+),
+page AS (
+  SELECT doc_id, host, score FROM rk WHERE r <= 2
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+),
+sn AS ({_duck_snippets(_BM25_TERMS, 5)})
+SELECT page.doc_id, page.host, page.score, sn.snippet
+FROM page LEFT JOIN sn USING (doc_id)""",
         "spam_mass": f"""
 SELECT pr.doc_id, pr.rank AS pr, pp.rank AS ppr,
        round((pr.rank - pp.rank) / pr.rank, 9) AS spam_mass
