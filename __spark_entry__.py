@@ -431,6 +431,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", "host", "score", "snippet"
         )
 
+    def q_pivoted(spark, sf):
+        # pivoted length normalization VSM (Singhal '96) — the fourth
+        # ranking family; same pruned-scan one-pivot plan
+        return _r(
+            RK.pivoted_search(_docs(spark, sf), _BM25_TERMS, k=10), "score"
+        )
+
+    def q_assortativity(spark, sf):
+        # Newman degree assortativity of the expander link graph — one
+        # division of exact int sums; web graphs are disassortative
+        from searchengine_spark.operators import graphstats as GS
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        return GS.assortativity(edges)
+
+    def q_yule_k(spark, sf):
+        # Yule's characteristic K per doc: length-robust repetitiveness
+        # from exact type-frequency sums
+        return TS.yule_k(_docs(spark, sf))
+
+    def q_assoc_rules(spark, sf):
+        # market-basket association rules over per-user event-type
+        # sets: confidence + lift from exact distinct-basket counts
+        from searchengine_spark.operators.funnel import assoc_rules
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return assoc_rules(ev, min_support=5)
+
     def q_seen_antijoin(spark, sf):
         # J5 shape on driver tables: "candidate not in seen-set" =
         # customers that never appear as an event actor (non-empty:
@@ -2680,6 +2717,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spam_mass": q_spam_mass,
         "mime_census": q_mime_census,
         "serp": q_serp,
+        "pivoted_topk": q_pivoted,
+        "assortativity": q_assortativity,
+        "yule_k": q_yule_k,
+        "assoc_rules": q_assoc_rules,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -2759,6 +2800,13 @@ _DUCK_TL = (
     "list_filter(list_transform(regexp_split_to_array(lower(text), "
     "'[^a-z0-9'']+'), t -> trim(t, ' ''')), "
     "t -> t <> '' AND length(t) <= 10000)"
+)
+
+# standalone (doc_id, token) row relation — unfiltered raw trim output;
+# wrap with the usual token <> '' / length filter at the use site
+_DUCK_TL_ROWS = (
+    "SELECT doc_id, trim(t, ' ''') AS token FROM documents, "
+    "unnest(regexp_split_to_array(lower(text), '[^a-z0-9'']+')) AS u(t)"
 )
 
 # positional postings (doc_id, pos, token), pos 0-based in the filtered
@@ -3077,6 +3125,50 @@ sc AS (
 SELECT doc_id, round(sc, 9) AS score FROM sc
 ORDER BY sc DESC, doc_id ASC LIMIT {k}"""
     )
+
+
+def _duck_pivoted(terms: list[str], k: int, s: float = 0.2) -> str:
+    """Pivoted-normalization VSM oracle — mirrors pivoted_search's
+    expression tree (double-log tf, pivot norm, ln((N+1)/df))."""
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    inlist = ", ".join(f"'{t}'" for t in uniq)
+    pivs = ", ".join(
+        f"sum(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS f{i}"
+        for i, t in enumerate(uniq)
+    )
+    norm = (
+        f"(({1.0 - s!r}e0) + {s!r}e0 * CAST(dl AS DOUBLE) "
+        f"/ (CAST((SELECT t FROM qtot) AS DOUBLE) "
+        f"/ CAST((SELECT n FROM qn) AS DOUBLE)))"
+    )
+    parts = []
+    for i, t in enumerate(uniq):
+        dfq = (
+            f"(SELECT count(DISTINCT doc_id) FROM tok2 "
+            f"WHERE token = '{t}')"
+        )
+        parts.append(
+            f"(CASE WHEN f{i} > 0 AND {dfq} > 0 THEN "
+            f"(1.0e0 + ln(1.0e0 + ln(CAST(f{i} AS DOUBLE)))) / {norm} "
+            f"* ln(CAST((SELECT n FROM qn) + 1 AS DOUBLE) "
+            f"/ CAST({dfq} AS DOUBLE)) ELSE 0.0e0 END)"
+        )
+    score = " + ".join(parts)
+    return f"""
+WITH {_DUCK_TOKENS},
+qtot AS (SELECT count(*) AS t FROM tok2),
+qdl AS (SELECT doc_id, count(*) AS dl FROM tok2 GROUP BY doc_id),
+qn AS (SELECT count(*) AS n FROM qdl),
+qpiv AS (
+  SELECT doc_id, {pivs}
+  FROM tok2 WHERE token IN ({inlist}) GROUP BY doc_id
+),
+qsc AS (
+  SELECT qpiv.doc_id, ({score}) AS sc
+  FROM qpiv JOIN qdl USING (doc_id)
+)
+SELECT doc_id, round(sc, 9) AS score FROM qsc
+ORDER BY sc DESC, doc_id ASC LIMIT {k}"""
 
 
 def _duck_rrf(
@@ -7065,6 +7157,67 @@ SELECT src, dst, round(cos, 9) AS cos FROM cosd WHERE cos >= 0.5e0""",
         "percolate": _duck_percolate(_ALERTS),
         "textrank": _duck_textrank(n_iters=5, damping=0.85),
         "ppr": _duck_ppr(n_iters=5, damping=0.85),
+        "pivoted_topk": _duck_pivoted(_BM25_TERMS, k=10),
+        "assortativity": f"""
+WITH {_DUCK_EXPANDER_E},
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY node
+),
+j AS (
+  SELECT da.d AS da, db.d AS db
+  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS m_edges,
+         CAST(sum(da * db) AS BIGINT) AS s1,
+         CAST(sum(da + db) AS BIGINT) AS s2,
+         CAST(sum(da * da + db * db) AS BIGINT) AS s3
+  FROM j
+)
+SELECT m_edges,
+       round(CASE WHEN 2 * m_edges * s3 - s2 * s2 <> 0 THEN
+         CAST(4 * m_edges * s1 - s2 * s2 AS DOUBLE)
+           / CAST(2 * m_edges * s3 - s2 * s2 AS DOUBLE)
+       END, 9) AS r
+FROM agg""",
+        "yule_k": f"""
+WITH ytok2 AS (SELECT doc_id, token FROM ({_DUCK_TL_ROWS}) yt
+               WHERE token <> '' AND length(token) <= 10000),
+ytf AS (SELECT doc_id, token, count(*) AS f FROM ytok2
+        GROUP BY doc_id, token),
+agg AS (
+  SELECT doc_id, CAST(sum(f) AS BIGINT) AS n_tokens,
+         CAST(sum(f * f) AS BIGINT) AS sf2
+  FROM ytf GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(agg.n_tokens, 0) AS n_tokens,
+       round(CASE WHEN agg.n_tokens > 0 THEN
+         10000.0e0 * CAST(agg.sf2 - agg.n_tokens AS DOUBLE)
+           / CAST(agg.n_tokens * agg.n_tokens AS DOUBLE)
+       END, 9) AS yule_k
+FROM documents d LEFT JOIN agg USING (doc_id)""",
+        "assoc_rules": """
+WITH bi AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events),
+nb AS (SELECT count(DISTINCT b) AS n FROM bi),
+supp AS (SELECT i, CAST(count(*) AS BIGINT) AS n FROM bi GROUP BY i),
+bo AS (
+  SELECT x.i AS ia, y.i AS ib, CAST(count(*) AS BIGINT) AS n_both
+  FROM bi x JOIN bi y ON x.b = y.b AND x.i <> y.i
+  GROUP BY x.i, y.i
+  HAVING count(*) >= 5
+)
+SELECT bo.ia AS antecedent, bo.ib AS consequent, n_both,
+       sa.n AS n_ante,
+       round(CAST(n_both AS DOUBLE) / CAST(sa.n AS DOUBLE), 9)
+         AS confidence,
+       round(CAST(n_both * (SELECT n FROM nb) AS DOUBLE)
+             / CAST(sa.n * sb.n AS DOUBLE), 9) AS lift
+FROM bo
+JOIN supp sa ON sa.i = bo.ia
+JOIN supp sb ON sb.i = bo.ib""",
         "serp": f"""
 WITH bl AS ({_duck_prior_blend(_BM25_TERMS, k=50, lam=0.25)}),
 hm AS (

@@ -93,3 +93,60 @@ def funnel(
             "conversion"
         ),
     )
+
+
+def assoc_rules(
+    events: DataFrame,
+    basket_col: str = "user_id",
+    item_col: str = "event_type",
+    min_support: int = 5,
+) -> DataFrame:
+    """(antecedent, consequent, n_both, n_ante, confidence, lift) —
+    one-item association rules over per-basket item SETS (the Agrawal
+    et al. 1993 market-basket statistics, here over behavioral event
+    types: "users who did X also did Y"). confidence = P(Y|X),
+    lift = P(Y|X)/P(Y) — lift > 1 is genuine association, ≈ 1 is
+    popularity coincidence. Rules are emitted in both directions for
+    pairs co-occurring in ≥ min_support baskets.
+
+    Exactness: supports are distinct-basket counts (int64); confidence
+    and lift are fixed-shape ratios of exact ints. Plan: ONE distinct
+    (basket, item) projection, a per-basket self-join on item-distinct
+    rows (fan-out bounded by the item-type cardinality squared, not by
+    events), and broadcast-sized per-item support dims.
+    """
+    bi = events.select(
+        F.col(basket_col).alias("b"), F.col(item_col).alias("i")
+    ).distinct()
+    n_baskets = bi.select("b").distinct().count()
+    supp = bi.groupBy("i").agg(F.count("*").alias("n"))
+    x = bi.select("b", F.col("i").alias("ia"))
+    y = bi.select(F.col("b").alias("b2"), F.col("i").alias("ib"))
+    both = (
+        x.join(y, (x["b"] == y["b2"]) & (F.col("ia") != F.col("ib")))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= min_support)
+    )
+    out = (
+        both.join(
+            F.broadcast(supp.select(F.col("i").alias("ia"),
+                                    F.col("n").alias("n_ante"))), "ia"
+        )
+        .join(
+            F.broadcast(supp.select(F.col("i").alias("ib"),
+                                    F.col("n").alias("n_cons"))), "ib"
+        )
+    )
+    conf = F.col("n_both").cast("double") / F.col("n_ante").cast("double")
+    lift = (F.col("n_both") * F.lit(int(n_baskets))).cast("double") / (
+        F.col("n_ante") * F.col("n_cons")
+    ).cast("double")
+    return out.select(
+        F.col("ia").alias("antecedent"),
+        F.col("ib").alias("consequent"),
+        "n_both",
+        "n_ante",
+        F.round(conf, 9).alias("confidence"),
+        F.round(lift, 9).alias("lift"),
+    )

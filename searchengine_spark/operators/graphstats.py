@@ -720,3 +720,52 @@ def k_truss(
     raise RuntimeError(
         f"k_truss did not converge within {max_iters} iterations"
     )
+
+
+def assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """One row (m_edges, r) — Newman (2002) degree assortativity of
+    the undirected graph: the Pearson correlation of degrees across
+    edges. The web is famously DISassortative (hubs link to leaves,
+    r < 0); a crawl segment turning assortative is a link-farm signal
+    (farms wire high-degree nodes to each other), complementing the
+    k_truss/degree_tail alarms.
+
+    Exactness: with S1 = Σ_e j·k, S2 = Σ_e (j+k), S3 = Σ_e (j²+k²)
+    over edge-end degrees (all exact int64 — degree ≤ 2^31 keeps every
+    product well inside the 63-bit range at any web scale),
+
+      r = (4·M·S1 − S2²) / (2·M·S3 − S2²)
+
+    is ONE division of two exact integers — bit-reproducible anywhere.
+    Plan: the canonical-edge degree join + one aggregate; no window.
+    A regular graph (denominator 0) reports NULL r.
+    """
+    e = _canonical_edges(edges, src, dst)
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    j = (
+        e.join(deg.withColumnRenamed("node", "a"), "a")
+        .withColumnRenamed("d", "da")
+        .join(deg.withColumnRenamed("node", "b"), "b")
+        .withColumnRenamed("d", "db")
+    )
+    agg = j.agg(
+        F.count(F.lit(1)).alias("m_edges"),
+        F.sum(F.col("da") * F.col("db")).alias("s1"),
+        F.sum(F.col("da") + F.col("db")).alias("s2"),
+        F.sum(
+            F.col("da") * F.col("da") + F.col("db") * F.col("db")
+        ).alias("s3"),
+    )
+    num = 4 * F.col("m_edges") * F.col("s1") - F.col("s2") * F.col("s2")
+    den = 2 * F.col("m_edges") * F.col("s3") - F.col("s2") * F.col("s2")
+    return agg.select(
+        "m_edges",
+        F.round(
+            F.when(den != 0, num.cast("double") / den.cast("double")), 9
+        ).alias("r"),
+    )

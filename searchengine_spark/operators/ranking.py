@@ -567,6 +567,85 @@ def lmjm_search(
     )
 
 
+def pivoted_search(
+    documents: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    s: float = 0.2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k docs by pivoted length normalization VSM (Singhal, Buckley
+    & Mitra, SIGIR 1996) — the fourth ranking family beside BM25, the
+    LM smoothers and DFR PL2, and the one that introduced the pivot
+    idea BM25's b-normalization popularized:
+
+      w(t, d) = (1 + ln(1 + ln(tf))) / ((1-s) + s·dl/avgdl)
+                · ln((N+1)/df_t)
+
+    summed over query terms (qtf = 1 per unique term). Same plan as
+    the family: token-IN pruned scan, ONE groupBy(doc_id) pivot,
+    query-ordered sum; N/avgdl/df are exact-count constants; zero-df
+    terms drop (no candidate can match them).
+    """
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    toks = doc_tokens(documents, id_col, text_col).filter(F.col("n_terms") > 0)
+    if not uniq:
+        return documents.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    stats = toks.agg(
+        F.count("*").alias("n"), F.sum("n_terms").alias("total")
+    ).collect()[0]
+    n_docs, total = int(stats["n"] or 0), int(stats["total"] or 0)
+    if n_docs == 0:
+        return documents.sparkSession.createDataFrame(
+            [], "doc_id long, score double"
+        )
+    ex = toks.select(
+        "doc_id", "n_terms", F.explode("tokens").alias("token")
+    ).filter(F.col("token").isin(uniq))
+    df_t = {
+        r["token"]: int(r["df"])
+        for r in ex.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .collect()
+    }
+    per_term = [
+        F.coalesce(
+            F.sum(F.when(F.col("token") == t, F.lit(1)).otherwise(F.lit(0))),
+            F.lit(0),
+        ).alias(f"f{i}")
+        for i, t in enumerate(uniq)
+    ]
+    piv = ex.groupBy("doc_id").agg(F.first("n_terms").alias("dl"), *per_term)
+    norm = (
+        f"(({1.0 - s!r}D) + {s!r}D * CAST(dl AS DOUBLE) "
+        f"/ (CAST({total} AS DOUBLE) / CAST({n_docs} AS DOUBLE)))"
+    )
+    parts = []
+    for i, t in enumerate(uniq):
+        if df_t.get(t, 0) == 0:
+            continue
+        idf = (
+            f"ln(CAST({n_docs + 1} AS DOUBLE) "
+            f"/ CAST({df_t[t]} AS DOUBLE))"
+        )
+        parts.append(
+            f"(CASE WHEN f{i} > 0 THEN "
+            f"(1.0D + ln(1.0D + ln(CAST(f{i} AS DOUBLE)))) / {norm} "
+            f"* {idf} ELSE 0.0D END)"
+        )
+    score = " + ".join(parts) if parts else "0.0D"
+    return (
+        piv.selectExpr("doc_id", f"({score}) AS score")
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
 # ---- DFR PL2 ranking --------------------------------------------------
 
 

@@ -1004,3 +1004,52 @@ def zipf_fit(
         "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx)"
         " / n, 9) AS intercept",
     )
+
+
+def yule_k(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_tokens, yule_k) — Yule's characteristic K (Yule
+    1944), the classic repetitiveness/lexical-diversity statistic:
+
+      K = 10^4 · (Σ_t tf_t² − N) / N²
+
+    (the Σ m²·V(m) form collapses to Σ tf² over types). Length-robust
+    unlike type-token ratio, which is why stylometry and quality
+    filtering still use it: boilerplate and keyword-stuffed pages
+    score high K, diverse prose low. Complements repetition_stats
+    (n-gram repeats) with a type-frequency-shape signal.
+
+    Exactness: tf and N are int64; Σ tf² stays int64 (a doc of 10^6
+    tokens of one type is 10^12 ≪ 2^63); K is one division of exact
+    ints scaled by the exact 10^4. Plan: ONE (doc, token) groupBy +
+    one per-doc agg — word-count shape. Empty docs report NULL K.
+    """
+    toks = tokens_sql(text_col)
+    tf = (
+        documents.selectExpr(
+            f"{id_col} AS doc_id", f"explode({toks}) AS token"
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("f"))
+    )
+    agg = tf.groupBy("doc_id").agg(
+        F.sum("f").alias("n_tokens"),
+        F.sum(F.col("f") * F.col("f")).alias("sf2"),
+    )
+    base = documents.selectExpr(f"{id_col} AS doc_id").join(
+        agg, "doc_id", "left"
+    )
+    n = F.col("n_tokens")
+    k = (
+        F.lit(10000.0)
+        * (F.col("sf2") - n).cast("double")
+        / (n * n).cast("double")
+    )
+    return base.select(
+        "doc_id",
+        F.coalesce(n, F.lit(0)).cast("long").alias("n_tokens"),
+        F.round(F.when(n > 0, k), 9).alias("yule_k"),
+    )

@@ -563,3 +563,81 @@ def test_mime_sniff_golden(spark):
     }
     for h, want in cases:
         assert got[h] == want, (h, got[h], want)
+
+
+def test_assortativity_star_and_regular(spark):
+    from searchengine_spark.operators.graphstats import assortativity
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], "src long, dst long"
+    )
+    r = assortativity(star).collect()[0]
+    assert r["m_edges"] == 5
+    assert r["r"] == -1.0  # hub-leaf edges only: perfectly disassortative
+    cycle = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], "src long, dst long"
+    )
+    r2 = assortativity(cycle).collect()[0]
+    assert r2["r"] is None  # regular graph: zero variance -> NULL
+
+
+def test_yule_k_golden(spark):
+    from searchengine_spark.operators.textstats import yule_k
+
+    docs = spark.createDataFrame(
+        [(0, "a a a a"), (1, "a b c d"), (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in yule_k(docs).collect()}
+    assert got[0]["yule_k"] == 7500.0  # 1e4*(16-4)/16
+    assert got[1]["yule_k"] == 0.0
+    assert got[2]["n_tokens"] == 0 and got[2]["yule_k"] is None
+
+
+def test_assoc_rules_golden(spark):
+    from searchengine_spark.operators.funnel import assoc_rules
+
+    # 4 baskets: {x,y} x3, {x} x1 -> conf(x->y)=3/4, conf(y->x)=1,
+    # lift = (3*4)/(4*3) = 1.0
+    rows = []
+    for b in range(3):
+        rows += [(b, "x"), (b, "y"), (b, "x")]  # dup x collapses
+    rows += [(3, "x")]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string")
+    got = {
+        (r["antecedent"], r["consequent"]): r
+        for r in assoc_rules(ev, min_support=2).collect()
+    }
+    assert got[("x", "y")]["n_both"] == 3
+    assert got[("x", "y")]["confidence"] == 0.75
+    assert got[("y", "x")]["confidence"] == 1.0
+    assert got[("x", "y")]["lift"] == 1.0
+
+
+def test_pivoted_matches_reference_arithmetic(spark):
+    import math
+
+    from searchengine_spark.operators.ranking import pivoted_search
+
+    docs = spark.createDataFrame(
+        [(0, "apple banana apple"), (1, "banana cherry"), (2, "cherry date")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r["score"] for r in
+            pivoted_search(docs, ["apple", "banana"], k=10).collect()}
+    n, total, s = 3, 7, 0.2
+    avgdl = total / n
+    df = {"apple": 1, "banana": 2}
+
+    def w(tf, dl, t):
+        if tf == 0:
+            return 0.0
+        return (
+            (1 + math.log(1 + math.log(tf)))
+            / ((1 - s) + s * dl / avgdl)
+            * math.log((n + 1) / df[t])
+        )
+
+    assert abs(rows[0] - (w(2, 3, "apple") + w(1, 3, "banana"))) < 1e-9
+    assert abs(rows[1] - w(1, 2, "banana")) < 1e-9
+    assert 2 not in rows
