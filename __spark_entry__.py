@@ -468,6 +468,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
         return assoc_rules(ev, min_support=5)
 
+    def q_rich_club(spark, sf):
+        # rich-club coefficient at degree thresholds over the expander
+        # link graph — hub-elite density beside assortativity
+        from searchengine_spark.operators import graphstats as GS
+
+        docs = _docs(spark, sf)
+        n = docs.count()
+        dsts = F.array(
+            (F.col("doc_id") * 2 + 1) % n,
+            (F.col("doc_id") * 3 + 7) % n,
+            (F.col("doc_id") * 5 + 11) % n,
+        )
+        edges = docs.select(
+            F.col("doc_id").alias("src"), F.explode(dsts).alias("dst")
+        )
+        return GS.rich_club(edges, ks=[4, 6, 8, 10])
+
+    def q_fielded(spark, sf):
+        # fielded search: lang:en filter pruning the postings BEFORE
+        # the DNF evaluation (field predicate -> semi-join -> pushdown)
+        docs = _docs(spark, sf)
+        en = docs.filter(F.col("lang") == "en").select("doc_id")
+        pruned = _postings(spark, sf).join(F.broadcast(en), "doc_id",
+                                           "left_semi")
+        return _r(Q.rank_topk(Q.dnf_query(pruned, _DNF), 5), "tf_idf")
+
     def q_seen_antijoin(spark, sf):
         # J5 shape on driver tables: "candidate not in seen-set" =
         # customers that never appear as an event actor (non-empty:
@@ -2721,6 +2747,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assortativity": q_assortativity,
         "yule_k": q_yule_k,
         "assoc_rules": q_assoc_rules,
+        "rich_club": q_rich_club,
+        "fielded_query": q_fielded,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -7199,6 +7227,58 @@ SELECT d.doc_id,
            / CAST(agg.n_tokens * agg.n_tokens AS DOUBLE)
        END, 9) AS yule_k
 FROM documents d LEFT JOIN agg USING (doc_id)""",
+        "rich_club": f"""
+WITH {_DUCK_EXPANDER_E},
+deg AS (
+  SELECT node, count(*) AS d FROM (
+    SELECT a AS node FROM e UNION ALL SELECT b FROM e
+  ) GROUP BY node
+),
+clubs AS (
+  SELECT CAST(4 AS BIGINT) AS k,
+         (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE d > 4)
+           AS n_nodes,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM e JOIN deg da ON da.node = e.a
+                 JOIN deg db ON db.node = e.b
+          WHERE da.d > 4 AND db.d > 4) AS n_edges
+  UNION ALL
+  SELECT CAST(6 AS BIGINT) AS k,
+         (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE d > 6)
+           AS n_nodes,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM e JOIN deg da ON da.node = e.a
+                 JOIN deg db ON db.node = e.b
+          WHERE da.d > 6 AND db.d > 6) AS n_edges
+  UNION ALL
+  SELECT CAST(8 AS BIGINT) AS k,
+         (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE d > 8)
+           AS n_nodes,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM e JOIN deg da ON da.node = e.a
+                 JOIN deg db ON db.node = e.b
+          WHERE da.d > 8 AND db.d > 8) AS n_edges
+  UNION ALL
+  SELECT CAST(10 AS BIGINT) AS k,
+         (SELECT CAST(count(*) AS BIGINT) FROM deg WHERE d > 10)
+           AS n_nodes,
+         (SELECT CAST(count(*) AS BIGINT)
+          FROM e JOIN deg da ON da.node = e.a
+                 JOIN deg db ON db.node = e.b
+          WHERE da.d > 10 AND db.d > 10) AS n_edges
+)
+SELECT k, n_nodes, n_edges,
+       round(CASE WHEN n_nodes >= 2 THEN
+         CAST(2 * n_edges AS DOUBLE)
+           / CAST(n_nodes * (n_nodes - 1) AS DOUBLE) END, 9) AS phi
+FROM clubs""",
+        "fielded_query": f"""
+SELECT doc_id, round(tf_idf, 9) AS tf_idf FROM (
+  {_DUCK_DNF_PREFIX}
+  SELECT doc_id, tf_idf FROM firstwin WHERE rn = 1
+) t
+WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')
+ORDER BY tf_idf ASC, doc_id ASC LIMIT 5""",
         "assoc_rules": """
 WITH bi AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events),
 nb AS (SELECT count(DISTINCT b) AS n FROM bi),

@@ -769,3 +769,57 @@ def assortativity(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataF
             F.when(den != 0, num.cast("double") / den.cast("double")), 9
         ).alias("r"),
     )
+
+
+def rich_club(
+    edges: DataFrame,
+    ks: list[int] = (4, 6, 8, 10),
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """(k, n_nodes, n_edges, phi) — rich-club coefficient (Zhou &
+    Mondragon 2004): the edge density among nodes of degree > k, for
+    each threshold in ``ks``. Hubs wiring preferentially to each other
+    (phi ≈ 1 at high k) is the "core elite" structure; combined with
+    assortativity it separates an organic hub layer from a wired farm.
+
+    Exactness: for each k the club size, internal edge count and
+    phi = 2e/(n(n-1)) are exact ints + one division. Plan: ONE degree
+    table, then per threshold a broadcast-semi-joined edge count —
+    |ks| passes over the (already canonical) edge list, no windows.
+    Clubs with < 2 members report NULL phi.
+    """
+    e = _canonical_edges(edges, src, dst).persist()
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .persist()
+    )
+    spark = edges.sparkSession
+    out = None
+    for k in ks:
+        club = deg.filter(F.col("d") > k).select("node")
+        n_nodes = club.count()
+        n_edges = (
+            e.join(club.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(club.withColumnRenamed("node", "b"), "b", "left_semi")
+            .count()
+        )
+        row = spark.createDataFrame(
+            [(k, n_nodes, n_edges)],
+            "k long, n_nodes long, n_edges long",
+        )
+        out = row if out is None else out.unionByName(row)
+    e.unpersist()
+    deg.unpersist()
+    # phi in ENGINE arithmetic (same rounding as the oracle's round())
+    return out.selectExpr(
+        "k",
+        "n_nodes",
+        "n_edges",
+        "round(CASE WHEN n_nodes >= 2 THEN "
+        "CAST(2 * n_edges AS DOUBLE) / CAST(n_nodes * (n_nodes - 1) "
+        "AS DOUBLE) END, 9) AS phi",
+    )

@@ -641,3 +641,19 @@ def test_pivoted_matches_reference_arithmetic(spark):
     assert abs(rows[0] - (w(2, 3, "apple") + w(1, 3, "banana"))) < 1e-9
     assert abs(rows[1] - w(1, 2, "banana")) < 1e-9
     assert 2 not in rows
+
+
+def test_rich_club_clique_plus_leaves(spark):
+    from searchengine_spark.operators.graphstats import rich_club
+
+    # 4-clique (degrees 3 + leaves) with a leaf hanging off each
+    # member: members have degree 4, leaves degree 1
+    clique = [(i, j) for i in range(4) for j in range(i + 1, 4)]
+    leaves = [(i, 10 + i) for i in range(4)]
+    e = spark.createDataFrame(clique + leaves, "src long, dst long")
+    got = {r["k"]: r for r in rich_club(e, ks=[0, 3]).collect()}
+    # k=0 club = everyone: 8 nodes, 10 edges
+    assert got[0]["n_nodes"] == 8 and got[0]["n_edges"] == 10
+    # k=3 club = the 4 clique members only, fully wired: phi = 1
+    assert got[3]["n_nodes"] == 4 and got[3]["n_edges"] == 6
+    assert got[3]["phi"] == 1.0
