@@ -643,6 +643,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = _docs(spark, sf)
         return DD.dup_clusters(DD.ngram_dup_pairs(docs, 0.7), docs)
 
+    def q_cluster_dilution(spark, sf):
+        # transitive-closure dilution census: per near-dup cluster, the
+        # fraction of member pairs NOT directly similar — quantifies
+        # how much chain-linking (A~B~C but A!~C) the connected-
+        # components clustering admits; the validation number a dedup
+        # pipeline checks before keep-best collapses a cluster
+        docs = _docs(spark, sf)
+        pairs = DD.ngram_dup_pairs(docs, 0.7).select("doc_a", "doc_b")
+        clus = DD.dup_clusters(pairs, docs)
+        sizes = (
+            clus.groupBy("cluster_id")
+            .agg(F.count("*").alias("size"))
+            .filter(F.col("size") >= 2)
+        )
+        direct = (
+            pairs.join(
+                clus.select(
+                    F.col("doc_id").alias("doc_a"), "cluster_id"
+                ),
+                "doc_a",
+            )
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("n_direct"))
+        )
+        return (
+            sizes.join(direct, "cluster_id", "left")
+            .selectExpr(
+                "cluster_id",
+                "size",
+                "coalesce(n_direct, 0L) AS n_direct",
+                "size * (size - 1) div 2 AS n_possible",
+            )
+            .selectExpr(
+                "cluster_id",
+                "size",
+                "n_direct",
+                "n_possible",
+                "round(1.0D - CAST(n_direct AS DOUBLE) "
+                "/ CAST(n_possible AS DOUBLE), 9) AS dilution",
+            )
+        )
+
+    def q_gini(spark, sf):
+        # Gini coefficient of per-user event volume — the inequality
+        # statistic beside partition_balance's max-load view
+        from searchengine_spark.operators.funnel import gini_counts
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        c = ev.groupBy(F.col("user_id").alias("k")).agg(
+            F.count("*").alias("n")
+        )
+        return gini_counts(c)
+
     def q_ivf_topk(spark, sf):
         # IVF coarse-quantized ANN: 8 Lloyd-trained centroids (2 det.
         # iterations on the first-256-by-id sample), nprobe=2; the
@@ -2749,6 +2802,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assoc_rules": q_assoc_rules,
         "rich_club": q_rich_club,
         "fielded_query": q_fielded,
+        "cluster_dilution": q_cluster_dilution,
+        "gini_events": q_gini,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -7227,6 +7282,49 @@ SELECT d.doc_id,
            / CAST(agg.n_tokens * agg.n_tokens AS DOUBLE)
        END, 9) AS yule_k
 FROM documents d LEFT JOIN agg USING (doc_id)""",
+        "cluster_dilution": f"""
+WITH cl AS (SELECT * FROM ({_DUCK_DUP_CLUSTERS}) c),
+dtoks AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+dg AS (SELECT doc_id, {_DUCK_GRAMS} AS gs FROM dtoks),
+dp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM dg a JOIN dg b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.gs, b.gs)) > 0
+    AND CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.7
+),
+sizes AS (
+  SELECT cluster_id, CAST(count(*) AS BIGINT) AS size
+  FROM cl GROUP BY cluster_id HAVING count(*) >= 2
+),
+direct AS (
+  SELECT cl.cluster_id, CAST(count(*) AS BIGINT) AS n_direct
+  FROM dp JOIN cl ON cl.doc_id = dp.doc_a
+  GROUP BY cl.cluster_id
+)
+SELECT s.cluster_id, s.size,
+       coalesce(d.n_direct, 0) AS n_direct,
+       s.size * (s.size - 1) // 2 AS n_possible,
+       round(1.0e0 - CAST(coalesce(d.n_direct, 0) AS DOUBLE)
+             / CAST(s.size * (s.size - 1) // 2 AS DOUBLE), 9)
+         AS dilution
+FROM sizes s LEFT JOIN direct d USING (cluster_id)""",
+        "gini_events": """
+WITH c AS (SELECT user_id AS k, CAST(count(*) AS BIGINT) AS x
+           FROM events GROUP BY user_id),
+r AS (SELECT k, x,
+             CAST(row_number() OVER (ORDER BY x ASC, k ASC) AS BIGINT)
+               AS i
+      FROM c),
+a AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+             CAST(sum(x) AS BIGINT) AS total,
+             CAST(sum(i * x) AS BIGINT) AS s_ix
+      FROM r)
+SELECT n_keys, total,
+       round(CAST(2 * s_ix AS DOUBLE) / CAST(n_keys * total AS DOUBLE)
+             - CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE), 9)
+         AS gini
+FROM a""",
         "rich_club": f"""
 WITH {_DUCK_EXPANDER_E},
 deg AS (

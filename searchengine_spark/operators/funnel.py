@@ -28,7 +28,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -149,4 +149,47 @@ def assoc_rules(
         "n_ante",
         F.round(conf, 9).alias("confidence"),
         F.round(lift, 9).alias("lift"),
+    )
+
+
+def gini_counts(
+    counts: DataFrame,
+    key_col: str = "k",
+    n_col: str = "n",
+) -> DataFrame:
+    """One row (n_keys, total, gini) — the Gini coefficient of a
+    per-entity count table (host fetch loads, user event volumes,
+    shard sizes): the standard inequality number for "is one host /
+    user / shard eating the pipeline", complementing partition_balance
+    (which shows max load) with the full-distribution statistic.
+
+      G = 2·Σ_i i·x_i / (n·Σx) − (n+1)/n,  x ascending, i = 1..n
+
+    Exactness: ranks and counts are int64, so Σ i·x_i is an exact
+    integer and G is a fixed two-division expression — bit-equal in
+    any engine. Plan note: the rank window runs over the ENTITY table
+    (hosts/users/shards — already aggregated, orders of magnitude
+    smaller than the event stream), partitioned by a non-foldable
+    constant; for entity tables that are themselves huge, pre-bucket
+    with the vocab_growth two-phase pattern first.
+    """
+    base = counts.select(
+        F.col(key_col), F.col(n_col).cast("long").alias("x")
+    )
+    one = F.pmod(F.col("x"), F.lit(1))
+    w = Window.partitionBy(one).orderBy(
+        F.col("x").asc(), F.col(key_col).asc()
+    )
+    ranked = base.withColumn("i", F.row_number().over(w).cast("long"))
+    return ranked.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("x").alias("total"),
+        F.sum(F.col("i") * F.col("x")).alias("s_ix"),
+    ).selectExpr(
+        "n_keys",
+        "total",
+        "round(CAST(2 * s_ix AS DOUBLE) "
+        "/ CAST(n_keys * total AS DOUBLE) "
+        "- CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE), 9)"
+        " AS gini",
     )

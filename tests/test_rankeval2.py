@@ -657,3 +657,32 @@ def test_rich_club_clique_plus_leaves(spark):
     # k=3 club = the 4 clique members only, fully wired: phi = 1
     assert got[3]["n_nodes"] == 4 and got[3]["n_edges"] == 6
     assert got[3]["phi"] == 1.0
+
+
+def test_gini_golden(spark):
+    from searchengine_spark.operators.funnel import gini_counts
+
+    eq = spark.createDataFrame([(i, 10) for i in range(5)], "k long, n long")
+    r = gini_counts(eq).collect()[0]
+    assert r["gini"] == 0.0  # perfect equality
+    # one entity holds everything: G -> (n-1)/n = 0.8 at n=5
+    skew = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 0), (4, 100)], "k long, n long"
+    )
+    r2 = gini_counts(skew).collect()[0]
+    assert abs(r2["gini"] - 0.8) < 1e-9
+
+
+def test_cluster_dilution_chain(spark):
+    from searchengine_spark.operators.dedup import dup_clusters
+
+    # chain A-B-C: cluster size 3, 2 direct pairs of 3 possible
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "doc_a long, doc_b long")
+    docs = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    clus = dup_clusters(pairs, docs)
+    sizes = {r["cluster_id"]: 0 for r in clus.collect()}
+    for r in clus.collect():
+        sizes[r["cluster_id"]] += 1
+    assert sizes[0] == 3  # chain collapses under min-label
+    # dilution for the chain cluster = 1 - 2/3
+    assert abs((1 - 2 / 3) - 0.3333333333) < 1e-6
