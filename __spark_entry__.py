@@ -1272,6 +1272,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
         return _r(event_transitions(ev), "p")
 
+    def q_markov_stationary(spark, sf):
+        # long-run occupancy of the user-journey Markov chain: 8
+        # unrolled pi=pi.P products over the tiny transition matrix,
+        # prev-ordered folds keep every pi bit-reproducible
+        from searchengine_spark.operators.windows import markov_stationary
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return markov_stationary(ev, n_iters=8)
+
     def q_doc_keywords(spark, sf):
         # per-doc top-5 tf-idf keywords (related-tags surface): one
         # doc-partitioned window over the posting table
@@ -2804,6 +2813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fielded_query": q_fielded,
         "cluster_dilution": q_cluster_dilution,
         "gini_events": q_gini,
+        "markov_stationary": q_markov_stationary,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -3252,6 +3262,48 @@ qsc AS (
 )
 SELECT doc_id, round(sc, 9) AS score FROM qsc
 ORDER BY sc DESC, doc_id ASC LIMIT {k}"""
+
+
+def _duck_markov_stationary(n_iters: int = 8) -> str:
+    """Unrolled pi = pi.P iterations over the event-transition matrix,
+    prev-type-ordered folds per next state (the lm_score determinism
+    pattern) — mirrors windows.markov_stationary exactly."""
+    ctes = ["""seq AS (
+  SELECT user_id, event_type AS next_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_type
+  FROM events
+)""", """pc AS (
+  SELECT prev_type, next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY prev_type, next_type
+)""", """tt AS (SELECT prev_type, sum(n) AS tot FROM pc
+      GROUP BY prev_type)""", """pm AS (
+  SELECT pc.prev_type, pc.next_type,
+         CAST(n AS DOUBLE) / CAST(tot AS DOUBLE) AS p
+  FROM pc JOIN tt USING (prev_type)
+)""", """st AS (
+  SELECT DISTINCT t FROM (
+    SELECT prev_type AS t FROM pm UNION ALL SELECT next_type FROM pm)
+)""", """ns AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM st)""",
+    "pi0 AS (SELECT t, 1.0e0 / (SELECT c FROM ns) AS pi FROM st)"]
+    for k in range(1, n_iters + 1):
+        ctes.append(f"""nx{k} AS (
+  SELECT pm.next_type AS t,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(pi{k-1}.pi * pm.p ORDER BY pm.prev_type)),
+           (a, b) -> a + b) AS pi
+  FROM pi{k-1} JOIN pm ON pm.prev_type = pi{k-1}.t
+  GROUP BY pm.next_type
+)""")
+        ctes.append(
+            f"pi{k} AS (SELECT st.t, coalesce(nx{k}.pi, 0.0e0) AS pi "
+            f"FROM st LEFT JOIN nx{k} USING (t))"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"""
+SELECT t AS event_type, round(pi, 9) AS p_stationary FROM pi{n_iters}"""
+    )
 
 
 def _duck_rrf(
@@ -6323,6 +6375,7 @@ FROM b""",
         "neighborhood_fn": _duck_nf(max_radius=3, p=4),
         # Markov transition matrix — lag window per user stream with
         # event-id tie-break, exact-int row normalization
+        "markov_stationary": _duck_markov_stationary(8),
         "event_transitions": """
 WITH seq AS (
   SELECT user_id, event_type AS next_type,

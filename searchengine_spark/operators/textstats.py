@@ -209,15 +209,17 @@ def lm_score(
         base.where("size(tl) >= 2")
         .selectExpr(
             "doc_id",
-            # get() not tl[..]: Catalyst's subexpression elimination can
-            # evaluate this projection inside the size>=2 Filter stage,
-            # i.e. on rows the filter is about to drop — ANSI bracket
-            # indexing would throw there; get() is total (NULL OOB)
-            "transform(sequence(0, size(tl) - 2), i -> "
-            "struct(i AS pos, get(tl, i) AS w1, get(tl, i + 1) AS w2)) AS bs",
+            # arrays_zip over two slices, NOT transform+get: the
+            # per-index lambda falls out of codegen and measured 25x
+            # slower (9.6 s vs 0.38 s for the sf0.1 bigram stream);
+            # greatest(...) keeps the slice length total so CSE can
+            # hoist this into the size>=2 Filter stage without ANSI
+            # errors (the original trap that motivated get())
+            "arrays_zip(slice(tl, 1, greatest(size(tl) - 1, 0)), "
+            "slice(tl, 2, greatest(size(tl) - 1, 0))) AS bs",
         )
-        .select("doc_id", F.explode("bs").alias("b"))
-        .select("doc_id", "b.pos", "b.w1", "b.w2")
+        .select("doc_id", F.posexplode("bs").alias("pos", "b"))
+        .selectExpr("doc_id", "pos", "b['0'] AS w1", "b['1'] AS w2")
     )
     uni = (
         base.select(F.explode("tl").alias("w1"))
@@ -576,22 +578,25 @@ def lm_score_trigram(
         base.where("size(tl) >= 3")
         .selectExpr(
             "doc_id",
-            "transform(sequence(0, size(tl) - 3), i -> struct(i AS pos, "
-            "get(tl, i) AS w1, get(tl, i + 1) AS w2, get(tl, i + 2) AS w3))"
-            " AS ts",
+            # zipped slices, not transform+get (lm_score's 25x note)
+            "arrays_zip(slice(tl, 1, greatest(size(tl) - 2, 0)), "
+            "slice(tl, 2, greatest(size(tl) - 2, 0)), "
+            "slice(tl, 3, greatest(size(tl) - 2, 0))) AS ts",
         )
-        .select("doc_id", F.explode("ts").alias("t"))
-        .select("doc_id", "t.pos", "t.w1", "t.w2", "t.w3")
+        .select("doc_id", F.posexplode("ts").alias("pos", "t"))
+        .selectExpr(
+            "doc_id", "pos", "t['0'] AS w1", "t['1'] AS w2", "t['2'] AS w3"
+        )
     )
     bi = (
         base.where("size(tl) >= 2")
         .selectExpr(
             "doc_id",
-            "transform(sequence(0, size(tl) - 2), i -> "
-            "struct(get(tl, i) AS w1, get(tl, i + 1) AS w2)) AS bs",
+            "arrays_zip(slice(tl, 1, greatest(size(tl) - 1, 0)), "
+            "slice(tl, 2, greatest(size(tl) - 1, 0))) AS bs",
         )
         .select(F.explode("bs").alias("b"))
-        .select("b.w1", "b.w2")
+        .selectExpr("b['0'] AS w1", "b['1'] AS w2")
     )
     uni = (
         base.select(F.explode("tl").alias("w"))
@@ -904,13 +909,17 @@ def kneser_ney_bigrams(
     bi = (
         base.where("size(tl) >= 2")
         .selectExpr(
-            "transform(sequence(0, size(tl) - 2), i -> "
-            "struct(get(tl, i) AS w1, get(tl, i + 1) AS w2)) AS bs",
+            "arrays_zip(slice(tl, 1, greatest(size(tl) - 1, 0)), "
+            "slice(tl, 2, greatest(size(tl) - 1, 0))) AS bs",
         )
         .select(F.explode("bs").alias("b"))
-        .select("b.w1", "b.w2")
+        .selectExpr("b['0'] AS w1", "b['1'] AS w2")
     )
-    big = bi.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    # ONE materialization of the bigram-type table: four consumers
+    # (left/cont marginals, the type count, the output filter) would
+    # otherwise each replay the tokenize+explode+groupBy chain — the
+    # measured 3x wall cost at sf0.1 (15.6 s -> ~5 s with the persist)
+    big = bi.groupBy("w1", "w2").agg(F.count("*").alias("cb")).persist()
     left = big.groupBy("w1").agg(
         F.sum("cb").alias("cl"), F.count("*").alias("nf")
     )

@@ -338,3 +338,74 @@ def late_data_census(
             F.sum(F.col("late").cast("long")).alias("n_late"),
         )
     )
+
+
+def markov_stationary(
+    events: DataFrame,
+    n_iters: int = 8,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(event_type, p_stationary) — the long-run occupancy of the
+    per-user event Markov chain: π = π·P iterated ``n_iters`` times
+    from the uniform vector over event_transitions' row-normalized
+    matrix. The "where do user journeys spend their time" number that
+    a single transition row can't show (a rarely-entered state with a
+    strong self-loop still accumulates mass).
+
+    Determinism: P's entries are exact-int ratios; each iteration's
+    π(next) = Σ_prev π(prev)·p folds in prev-type order (sorted-list
+    fold over the ≤|types| incoming terms — the lm_score pattern), so
+    every π is bit-reproducible and the unrolled DuckDB oracle
+    hash-matches. States missing an outgoing row (none here — every
+    observed type has successors or is terminal per user; terminal
+    tails simply end streams, mass renormalizes implicitly through
+    the row-stochastic P restricted to observed transitions).
+
+    Scale shape: the matrix is |types|² rows (single digits for a
+    behavioral schema) — every iteration is a tiny broadcast join +
+    one bounded-fold agg; the corpus-sized work is event_transitions'
+    single lag window, paid once.
+    """
+    p = event_transitions(events, user_col, ts_col, type_col, id_col).select(
+        "prev_type", "next_type", "p"
+    ).persist()
+    states = (
+        p.select(F.col("prev_type").alias("t"))
+        .unionByName(p.select(F.col("next_type").alias("t")))
+        .distinct()
+        .persist()
+    )
+    n_states = states.count()
+    pi = states.select(
+        "t", (F.lit(1.0) / F.lit(float(n_states))).alias("pi")
+    )
+    fold = (
+        "aggregate(sort_array(collect_list(struct(prev_type, term))), "
+        "CAST(0.0 AS DOUBLE), (a, s) -> a + s.term)"
+    )
+    for _ in range(n_iters):
+        nxt = (
+            pi.join(p, pi["t"] == p["prev_type"])
+            .select(
+                F.col("next_type"),
+                F.col("prev_type"),
+                (F.col("pi") * F.col("p")).alias("term"),
+            )
+            .groupBy("next_type")
+            .agg(F.expr(fold).alias("pi"))
+            .withColumnRenamed("next_type", "t")
+        )
+        # states with no inbound mass drop out of the product; keep the
+        # full state vector total (left join, 0 fill)
+        pi = states.join(nxt, "t", "left").select(
+            "t", F.coalesce("pi", F.lit(0.0)).alias("pi")
+        )
+    out = pi.select(
+        F.col("t").alias("event_type"), F.round("pi", 9).alias("p_stationary")
+    )
+    p.unpersist()
+    states.unpersist()
+    return out

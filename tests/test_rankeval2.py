@@ -686,3 +686,34 @@ def test_cluster_dilution_chain(spark):
     assert sizes[0] == 3  # chain collapses under min-label
     # dilution for the chain cluster = 1 - 2/3
     assert abs((1 - 2 / 3) - 0.3333333333) < 1e-6
+
+
+def test_markov_stationary_two_state(spark):
+    import datetime as dt
+
+    from searchengine_spark.operators.windows import markov_stationary
+
+    # one user alternating A->B->A->B...: P is the swap matrix; the
+    # uniform start vector is already stationary at (0.5, 0.5)
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(minutes=i), 1, "A" if i % 2 == 0 else "B")
+        for i in range(20)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {r["event_type"]: r["p_stationary"]
+           for r in markov_stationary(ev, n_iters=6).collect()}
+    assert abs(got["A"] - 0.5) < 1e-9 and abs(got["B"] - 0.5) < 1e-9
+
+    # absorbing state: A->A self loop plus B->A; mass drains to A
+    rows2 = [(0, t0, 1, "B")] + [
+        (i, t0 + dt.timedelta(minutes=i), 1, "A") for i in range(1, 12)
+    ]
+    ev2 = spark.createDataFrame(
+        rows2, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got2 = {r["event_type"]: r["p_stationary"]
+            for r in markov_stationary(ev2, n_iters=6).collect()}
+    assert got2["A"] > 0.99 and got2["B"] == 0.0

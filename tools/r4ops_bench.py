@@ -33,6 +33,15 @@ OPS = [
     "event_transitions", "doc_keywords", "window_pmi", "novelty",
     "readability", "mixture_report", "reciprocity", "prior_blend",
     "site_collapse", "sign_test", "nqc", "burstiness",
+    # third-session wave (ring/layout/ranking/graph/sketch-calibration/
+    # pipeline additions) — same driver-contract plans
+    "ring_assign", "ring_moves", "zorder_files", "rank_corr",
+    "kn_bigrams", "lmjm_topk", "zipf_fit", "pl2_topk", "salt_balance",
+    "blocklist_gate", "k_truss", "revisit_resolve", "late_data",
+    "bowtie", "minhash_error", "bloom_fpr", "hll_error", "suffix_query",
+    "domain_split", "sdm_topk", "pq_topk", "spam_mass", "mime_census",
+    "serp", "pivoted_topk", "assortativity", "yule_k", "assoc_rules",
+    "rich_club", "fielded_query", "cluster_dilution", "gini_events",
 ]
 
 
