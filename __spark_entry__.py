@@ -1281,6 +1281,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
         return markov_stationary(ev, n_iters=8)
 
+    def q_colloc_g2(spark, sf):
+        # Dunning log-likelihood collocations (the G2 original use
+        # case) — frequency-weighted evidence beside colloc_pmi
+        return _r(PX.collocations_g2(_docs(spark, sf), min_count=5), "g2")
+
+    def q_active_users(spark, sf):
+        # DAU/WAU/MAU + stickiness: one distinct (user, day)
+        # projection, trailing ranges as day-dim joins, exact counts
+        from searchengine_spark.operators.windows import active_users
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return active_users(ev)
+
+    def q_funnel_latency(spark, sf):
+        # time-to-convert quantiles for the view->click->purchase
+        # funnel (same pseudo-users as q_funnel): exact two-phase
+        # histogram rank selection over integer-second latencies
+        from searchengine_spark.operators.funnel import funnel_latency
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet")).select(
+            (F.col("event_id") % 200).alias("user_id"), "ts", "event_type"
+        )
+        return funnel_latency(ev, ["view", "click", "purchase"])
+
     def q_doc_keywords(spark, sf):
         # per-doc top-5 tf-idf keywords (related-tags surface): one
         # doc-partitioned window over the posting table
@@ -2814,6 +2838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_dilution": q_cluster_dilution,
         "gini_events": q_gini,
         "markov_stationary": q_markov_stationary,
+        "colloc_g2": q_colloc_g2,
+        "active_users": q_active_users,
+        "funnel_latency": q_funnel_latency,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -6376,6 +6403,105 @@ FROM b""",
         # Markov transition matrix — lag window per user stream with
         # event-id tie-break, exact-int row normalization
         "markov_stationary": _duck_markov_stationary(8),
+        "funnel_latency": """
+WITH ev AS (
+  SELECT event_id % 200 AS user_id, ts, event_type FROM events
+),
+s1 AS (SELECT user_id, min(ts) AS t0 FROM ev
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT ev.user_id, min(ev.ts) AS t FROM ev JOIN s1 USING (user_id)
+       WHERE ev.event_type = 'click' AND ev.ts > s1.t0
+       GROUP BY ev.user_id),
+s3 AS (SELECT ev.user_id, min(ev.ts) AS t FROM ev JOIN s2 USING (user_id)
+       WHERE ev.event_type = 'purchase' AND ev.ts > s2.t
+       GROUP BY ev.user_id),
+lat AS (
+  SELECT (epoch_us(s3.t) - epoch_us(s1.t0)) // 1000000 AS v
+  FROM s1 JOIN s3 USING (user_id)
+),
+r AS (SELECT v, CAST(row_number() OVER (ORDER BY v) AS BIGINT) AS rn
+      FROM lat),
+cnt AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lat)
+  SELECT 0.25e0 AS p,
+         (SELECT CAST(v AS DOUBLE) FROM r WHERE rn =
+           least(greatest(1, CAST(ceil(0.25e0 * (SELECT c FROM cnt))
+                              AS BIGINT)), (SELECT c FROM cnt)))
+           AS latency_s,
+         (SELECT c FROM cnt) AS n_converted
+  UNION ALL
+  SELECT 0.5e0 AS p,
+         (SELECT CAST(v AS DOUBLE) FROM r WHERE rn =
+           least(greatest(1, CAST(ceil(0.5e0 * (SELECT c FROM cnt))
+                              AS BIGINT)), (SELECT c FROM cnt)))
+           AS latency_s,
+         (SELECT c FROM cnt) AS n_converted
+  UNION ALL
+  SELECT 0.9e0 AS p,
+         (SELECT CAST(v AS DOUBLE) FROM r WHERE rn =
+           least(greatest(1, CAST(ceil(0.9e0 * (SELECT c FROM cnt))
+                              AS BIGINT)), (SELECT c FROM cnt)))
+           AS latency_s,
+         (SELECT c FROM cnt) AS n_converted""",
+        "colloc_g2": f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+bi AS (
+  SELECT unnest(list_transform(range(len(tl) - 1),
+         i -> struct_pack(a := tl[i + 1], b := tl[i + 2])),
+         recursive := true)
+  FROM toks WHERE len(tl) >= 2
+),
+cab AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM bi
+        GROUP BY a, b),
+ra AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS r_a FROM cab GROUP BY a),
+cb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS c_b FROM cab GROUP BY b),
+bt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS s FROM cab),
+cells AS (
+  SELECT cab.a, cab.b, n_ab,
+         n_ab AS k11, r_a - n_ab AS k12, c_b - n_ab AS k21,
+         (SELECT s FROM bt) - r_a - c_b + n_ab AS k22,
+         r_a, c_b, (SELECT s FROM bt) AS bt
+  FROM cab JOIN ra USING (a) JOIN cb USING (b)
+  WHERE n_ab >= 5
+)
+SELECT a, b, n_ab,
+  round(2.0e0 * (
+    (CASE WHEN k11 > 0 THEN CAST(k11 AS DOUBLE) * ln(CAST(k11 AS DOUBLE)
+      * CAST(bt AS DOUBLE) / (CAST(r_a AS DOUBLE) * CAST(c_b AS DOUBLE)))
+      ELSE 0.0e0 END)
+    + (CASE WHEN k12 > 0 THEN CAST(k12 AS DOUBLE) * ln(CAST(k12 AS DOUBLE)
+      * CAST(bt AS DOUBLE) / (CAST(r_a AS DOUBLE)
+      * CAST((bt - c_b) AS DOUBLE))) ELSE 0.0e0 END)
+    + (CASE WHEN k21 > 0 THEN CAST(k21 AS DOUBLE) * ln(CAST(k21 AS DOUBLE)
+      * CAST(bt AS DOUBLE) / (CAST((bt - r_a) AS DOUBLE)
+      * CAST(c_b AS DOUBLE))) ELSE 0.0e0 END)
+    + (CASE WHEN k22 > 0 THEN CAST(k22 AS DOUBLE) * ln(CAST(k22 AS DOUBLE)
+      * CAST(bt AS DOUBLE) / (CAST((bt - r_a) AS DOUBLE)
+      * CAST((bt - c_b) AS DOUBLE))) ELSE 0.0e0 END)
+  ), 9) AS g2
+FROM cells""",
+        "active_users": """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u,
+         epoch_us(ts) // 86400000000 AS day
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM ud),
+dau AS (SELECT day, CAST(count(DISTINCT u) AS BIGINT) AS dau
+        FROM ud GROUP BY day),
+wau AS (
+  SELECT d.day, CAST(count(DISTINCT ud.u) AS BIGINT) AS wau
+  FROM days d JOIN ud ON ud.day <= d.day AND ud.day > d.day - 7
+  GROUP BY d.day
+),
+mau AS (
+  SELECT d.day, CAST(count(DISTINCT ud.u) AS BIGINT) AS mau
+  FROM days d JOIN ud ON ud.day <= d.day AND ud.day > d.day - 30
+  GROUP BY d.day
+)
+SELECT dau.day, dau.dau, wau.wau, mau.mau,
+       round(CAST(dau.dau AS DOUBLE) / CAST(mau.mau AS DOUBLE), 9)
+         AS stickiness
+FROM dau JOIN wau USING (day) JOIN mau USING (day)""",
         "event_transitions": """
 WITH seq AS (
   SELECT user_id, event_type AS next_type,

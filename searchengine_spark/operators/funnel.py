@@ -193,3 +193,62 @@ def gini_counts(
         "- CAST(n_keys + 1 AS DOUBLE) / CAST(n_keys AS DOUBLE), 9)"
         " AS gini",
     )
+
+
+def funnel_latency(
+    events: DataFrame,
+    steps: list[str],
+    ps: list[float] = (0.25, 0.5, 0.9),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(p, latency_s, n_converted) — time-to-convert quantiles: for
+    users completing the whole ordered funnel (the same
+    earliest-valid-progression semantics as funnel()), the exact
+    p-quantiles of last-step-minus-first-step in integer seconds.
+    Conversion RATE (funnel) says how many; this says how long — the
+    second number every activation dashboard needs.
+
+    Exactness: per-user step times are the funnel's deterministic
+    min-ts chain; latency is timestampdiff seconds (int64,
+    TIMESTAMP_NTZ-safe); the quantile is exact_quantiles' bounded
+    two-phase histogram rank selection — no global sort. n_converted
+    replicates on each row (the driver's hash covers it once per p).
+    """
+    if not steps or len(steps) < 2:
+        raise ValueError("funnel_latency needs >= 2 steps")
+    u = F.col(user_col).alias("user")
+    first = (
+        events.where(F.col(type_col) == steps[0])
+        .select(u, F.col(ts_col))
+        .groupBy("user")
+        .agg(F.min(ts_col).alias("t0"))
+        .localCheckpoint(eager=True)
+    )
+    cur = first.select("user", F.col("t0").alias("t"))
+    for s in steps[1:]:
+        cur = (
+            events.where(F.col(type_col) == s)
+            .select(u, F.col(ts_col).alias("t"))
+            .join(cur.withColumnRenamed("t", "prev_t"), "user")
+            .where(F.col("t") > F.col("prev_t"))
+            .groupBy("user")
+            .agg(F.min("t").alias("t"))
+            .localCheckpoint(eager=True)
+        )
+    lat = first.join(cur, "user").selectExpr(
+        # microsecond diff then integer-divide: SECOND-granularity
+        # timestampdiff and DuckDB date_diff('second') disagree by one
+        # on fractional timestamps (floor-of-delta vs boundary count)
+        "timestampdiff(MICROSECOND, t0, t) div 1000000 AS lat"
+    )
+    n_conv = lat.count()
+    from searchengine_spark.operators.quantiles import exact_quantiles
+
+    q = exact_quantiles(lat, "lat", list(ps), bucket_width=86400.0)
+    return q.selectExpr(
+        "p",
+        "value AS latency_s",
+        f"CAST({n_conv} AS BIGINT) AS n_converted",
+    )

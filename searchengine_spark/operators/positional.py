@@ -806,3 +806,88 @@ def sdm_search(
         .limit(k)
     )
     return out
+
+
+def collocations_g2(
+    documents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """(a, b, n_ab, g2) — adjacent-bigram log-likelihood-ratio
+    collocations (Dunning 1993 — the paper's original application):
+    the 2×2 contingency test over bigram slots,
+
+      G² = 2 Σ_cells k·ln(k·B / (row·col)),   0·ln0 = 0
+
+    with k11 = c(a,b) and marginals from the bigram table itself
+    (R_a = c(a,·), C_b = c(·,b), B = total bigrams). Versus
+    collocations' PMI: PMI over-ranks rare pairs (one co-occurrence of
+    two hapaxes maxes it); G² is frequency-weighted evidence, which is
+    why Dunning proposed it for exactly this job. min_count trims the
+    output, not the statistics.
+
+    Exactness: all eight cell/marginal inputs are int64 from ONE
+    map-side-combined bigram agg + two marginal aggs OF that table
+    (occurrence rows touched once); each ln argument is a fixed
+    (k·B)/(row·col) double expression, summed cell order k11,k12,k21,
+    k22 — bit-parity with the oracle.
+    """
+    toks = doc_tokens(documents, id_col, text_col)
+    bi = (
+        toks.filter(F.col("n_terms") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "arrays_zip(slice(tokens, 1, size(tokens) - 1),"
+                    " slice(tokens, 2, size(tokens) - 1))"
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+    )
+    c_ab = bi.groupBy("a", "b").agg(F.count("*").alias("n_ab")).persist()
+    ra = c_ab.groupBy("a").agg(F.sum("n_ab").alias("r_a"))
+    cb = c_ab.groupBy("b").agg(F.sum("n_ab").alias("c_b"))
+    btot = int(
+        c_ab.agg(F.sum("n_ab").alias("s")).collect()[0]["s"] or 0
+    )
+    cells = (
+        c_ab.filter(F.col("n_ab") >= min_count)
+        .join(F.broadcast(ra), "a")
+        .join(F.broadcast(cb), "b")
+        .selectExpr(
+            "a",
+            "b",
+            "n_ab",
+            "n_ab AS k11",
+            "r_a - n_ab AS k12",
+            "c_b - n_ab AS k21",
+            f"{btot}L - r_a - c_b + n_ab AS k22",
+            "r_a",
+            "c_b",
+        )
+    )
+    B = f"CAST({btot} AS DOUBLE)"
+
+    def term(k: str, row: str, col: str) -> str:
+        return (
+            f"(CASE WHEN {k} > 0 THEN CAST({k} AS DOUBLE) * "
+            f"ln(CAST({k} AS DOUBLE) * {B} "
+            f"/ (CAST({row} AS DOUBLE) * CAST({col} AS DOUBLE))) "
+            f"ELSE 0.0D END)"
+        )
+
+    g2 = (
+        "2.0D * ("
+        + " + ".join(
+            [
+                term("k11", "r_a", "c_b"),
+                term("k12", "r_a", f"({btot}L - c_b)"),
+                term("k21", f"({btot}L - r_a)", "c_b"),
+                term("k22", f"({btot}L - r_a)", f"({btot}L - c_b)"),
+            ]
+        )
+        + ")"
+    )
+    return cells.selectExpr("a", "b", "n_ab", f"round({g2}, 9) AS g2")

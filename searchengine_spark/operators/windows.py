@@ -409,3 +409,62 @@ def markov_stationary(
     p.unpersist()
     states.unpersist()
     return out
+
+
+def active_users(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    wau_days: int = 7,
+    mau_days: int = 30,
+) -> DataFrame:
+    """(day, dau, wau, mau, stickiness) — the product-analytics
+    activity surface per calendar day: distinct actives that day, in
+    the trailing ``wau_days``, in the trailing ``mau_days``, and the
+    DAU/MAU stickiness ratio. Days are exact int epoch-days
+    (timestampdiff — TIMESTAMP_NTZ-safe, no timezone arithmetic).
+
+    Scale shape: the event stream collapses to ONE distinct
+    (user, day) projection immediately (everything after runs on the
+    activity table, bounded by users x days, not events); trailing
+    windows are a range join of the tiny day dimension against the
+    activity table (a distinct-count over a range window, which
+    window functions cannot express) + one groupBy per horizon. All
+    counts exact ints; stickiness is the one division.
+    """
+    ud = (
+        events.selectExpr(
+            f"{user_col} AS u",
+            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+            f"00:00:00', {ts_col}) div 86400000000 AS day",
+        )
+        .distinct()
+        .persist()
+    )
+    days = ud.select("day").distinct()
+    dau = ud.groupBy("day").agg(F.countDistinct("u").alias("dau"))
+
+    def trailing(n: int, name: str) -> DataFrame:
+        return (
+            days.join(
+                ud.select(F.col("u"), F.col("day").alias("d2")),
+                (F.col("d2") <= F.col("day"))
+                & (F.col("d2") > F.col("day") - n),
+            )
+            .groupBy("day")
+            .agg(F.countDistinct("u").alias(name))
+        )
+
+    out = (
+        dau.join(trailing(wau_days, "wau"), "day")
+        .join(trailing(mau_days, "mau"), "day")
+        .selectExpr(
+            "day",
+            "dau",
+            "wau",
+            "mau",
+            "round(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE), 9)"
+            " AS stickiness",
+        )
+    )
+    return out

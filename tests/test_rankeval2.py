@@ -717,3 +717,54 @@ def test_markov_stationary_two_state(spark):
     got2 = {r["event_type"]: r["p_stationary"]
             for r in markov_stationary(ev2, n_iters=6).collect()}
     assert got2["A"] > 0.99 and got2["B"] == 0.0
+
+
+def test_funnel_latency_golden(spark):
+    import datetime as dt
+
+    from searchengine_spark.operators.funnel import funnel_latency
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(u, mins, typ):
+        return (u, t0 + dt.timedelta(minutes=mins), typ)
+
+    rows = [
+        # user 1 converts in 120s; user 2 in 600s; user 3 never clicks
+        ev(1, 0, "view"), ev(1, 1, "click"), ev(1, 2, "purchase"),
+        ev(2, 0, "view"), ev(2, 5, "click"), ev(2, 10, "purchase"),
+        ev(3, 0, "view"),
+        # user 4: purchase BEFORE click -> not a valid progression
+        ev(4, 0, "view"), ev(4, 2, "purchase"), ev(4, 3, "click"),
+    ]
+    evts = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = {r["p"]: r for r in funnel_latency(
+        evts, ["view", "click", "purchase"], ps=[0.5, 1.0]
+    ).collect()}
+    assert got[0.5]["n_converted"] == 2
+    assert got[0.5]["latency_s"] == 120.0
+    assert got[1.0]["latency_s"] == 600.0
+
+
+def test_active_users_golden(spark):
+    import datetime as dt
+
+    from searchengine_spark.operators.windows import active_users
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    # users 0..4 active day 0; user 0 also active day 8 (outside WAU
+    # of day 8? no: day 8 window [2..8] excludes day 0)
+    for u in range(5):
+        rows.append((u, t0))
+    rows.append((0, t0 + dt.timedelta(days=8)))
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {r["day"]: r for r in active_users(ev).collect()}
+    d0 = int(t0.replace(tzinfo=dt.timezone.utc).timestamp()) // 86400
+    assert got[d0]["dau"] == 5 and got[d0]["wau"] == 5
+    assert got[d0 + 8]["dau"] == 1
+    assert got[d0 + 8]["wau"] == 1  # day-0 actives fell out of the week
+    assert got[d0 + 8]["mau"] == 5  # still inside the 30-day window
+    assert abs(got[d0 + 8]["stickiness"] - 0.2) < 1e-9
