@@ -1305,6 +1305,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return funnel_latency(ev, ["view", "click", "purchase"])
 
+    def q_lsh_curve(spark, sf):
+        # banding s-curve on real pairs: P(capture) = 1-(1-J^2)^32 via
+        # integer-exponent multiply/square chains (no libm pow)
+        return DD.lsh_capture_curve(_docs(spark, sf), threshold=0.5)
+
+    def q_session_paths(spark, sf):
+        # top clickstream paths per gap-session (event types joined in
+        # (ts, id) order) — the whole-journey census behind funnels
+        from searchengine_spark.operators.funnel import session_paths
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return session_paths(ev, gap_minutes=30, min_count=3)
+
+    def q_packing_waste(spark, sf):
+        # why sequence packing exists, as ints: concat-and-chunk seqs
+        # vs naive per-doc padding seqs, per shard
+        return TD.packing_waste(_docs(spark, sf), seq_len=512)
+
+    def q_crawl_delay(spark, sf):
+        # Crawl-delay directive census from raw robots bodies: first
+        # integer wins, absent/malformed -> 1 s; max_qps feeds the
+        # politeness token bucket
+        from searchengine_spark.functions.robots import crawl_delay_census
+
+        d = F.col("doc_id")
+        bodies = _docs(spark, sf).filter(d % 3 != 2).select(
+            F.concat(F.lit("h"), (d % 16).cast("string"),
+                     F.lit(".test")).alias("host"),
+            F.when(
+                d % 5 == 0, F.lit("User-agent: *\nDisallow: /tmp\n")
+            )
+            .when(d % 7 == 0, F.lit("User-agent: *\nCrawl-delay: fast\n"))
+            .otherwise(
+                F.concat(
+                    F.lit("User-agent: *\nCrawl-delay: "),
+                    (d % 9).cast("string"),
+                    F.lit("\nDisallow: /private\n"),
+                )
+            )
+            .alias("body"),
+        )
+        return crawl_delay_census(bodies)
+
+    def q_bom_census(spark, sf):
+        # Unicode BOM sniffing census (utf-8/16/32 hints from leading
+        # bytes; utf-32-le tested before utf-16-le — the classic
+        # ordering bug) over a deterministic BOM-wrapped fixture
+        from searchengine_spark.operators.multimodal import sniff_bom_sql
+
+        media = _docs(spark, sf).selectExpr(
+            "concat(element_at(array(unhex('EFBBBF'), unhex('FFFE'), "
+            "unhex('FEFF'), unhex('FFFE0000'), unhex('')), "
+            "CAST(doc_id % 5 + 1 AS INT)), encode(text, 'utf-8')) "
+            "AS payload"
+        )
+        return (
+            media.selectExpr(f"{sniff_bom_sql('payload')} AS bom")
+            .groupBy("bom")
+            .agg(F.count("*").alias("n_payloads"))
+        )
+
     def q_doc_keywords(spark, sf):
         # per-doc top-5 tf-idf keywords (related-tags surface): one
         # doc-partitioned window over the posting table
@@ -2841,6 +2902,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "colloc_g2": q_colloc_g2,
         "active_users": q_active_users,
         "funnel_latency": q_funnel_latency,
+        "lsh_curve": q_lsh_curve,
+        "session_paths": q_session_paths,
+        "packing_waste": q_packing_waste,
+        "crawl_delay": q_crawl_delay,
+        "bom_census": q_bom_census,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -6442,6 +6508,101 @@ cnt AS (SELECT CAST(count(*) AS BIGINT) AS c FROM lat)
                               AS BIGINT)), (SELECT c FROM cnt)))
            AS latency_s,
          (SELECT c FROM cnt) AS n_converted""",
+        "lsh_curve": f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
+g AS (SELECT doc_id, {_DUCK_GRAMS} AS gs FROM toks),
+pr AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+           / len(list_distinct(list_concat(a.gs, b.gs))) AS j
+  FROM g a JOIN g b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.gs, b.gs)) > 0
+    AND CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.gs, b.gs))) >= 0.5
+)
+SELECT doc_a, doc_b, round(j, 9) AS j,
+       round(1.0e0 - ((((((1.0e0 - (j * j)) * (1.0e0 - (j * j))) * ((1.0e0 - (j * j)) * (1.0e0 - (j * j)))) * (((1.0e0 - (j * j)) * (1.0e0 - (j * j))) * ((1.0e0 - (j * j)) * (1.0e0 - (j * j))))) * ((((1.0e0 - (j * j)) * (1.0e0 - (j * j))) * ((1.0e0 - (j * j)) * (1.0e0 - (j * j)))) * (((1.0e0 - (j * j)) * (1.0e0 - (j * j))) * ((1.0e0 - (j * j)) * (1.0e0 - (j * j)))))) * (((((1.0e0 - (j * j)) * (1.0e0 - (j * j))) * ((1.0e0 - (j * j)) * (1.0e0 - (j * j)))) * (((1.0e0 - (j * j)) * (1.0e0 - (j * j))) * ((1.0e0 - (j * j)) * (1.0e0 - (j * j))))) * ((((1.0e0 - (j * j)) * (1.0e0 - (j * j))) * ((1.0e0 - (j * j)) * (1.0e0 - (j * j)))) * (((1.0e0 - (j * j)) * (1.0e0 - (j * j))) * ((1.0e0 - (j * j)) * (1.0e0 - (j * j))))))), 9) AS p_capture
+FROM pr""",
+        "session_paths": """
+WITH m AS (
+  SELECT user_id AS u, ts AS t, event_id AS i, event_type AS y,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_t
+  FROM events
+),
+mk AS (
+  SELECT u, t, i, y,
+         CASE WHEN prev_t IS NULL
+                   OR epoch_us(t) - epoch_us(prev_t) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM m
+),
+sg AS (
+  SELECT u, t, i, y,
+         sum(new_sess) OVER (PARTITION BY u ORDER BY t, i
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS sess
+  FROM mk
+),
+pth AS (
+  SELECT u, sess, string_agg(y, '>' ORDER BY t, i) AS path
+  FROM sg GROUP BY u, sess
+)
+SELECT path, count(*) AS n_sessions
+FROM pth GROUP BY path HAVING count(*) >= 3""",
+        "packing_waste": f"""
+WITH pd AS (
+  SELECT source AS shard,
+         greatest(len({_DUCK_TL}), 0) AS n_tokens
+  FROM documents
+),
+a AS (
+  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(CAST(ceil(n_tokens / 512.0) AS BIGINT)) AS BIGINT)
+           AS padded_seqs
+  FROM pd GROUP BY shard
+)
+SELECT shard, n_docs, total_tokens,
+       CAST(ceil(total_tokens / 512.0) AS BIGINT) AS concat_seqs,
+       padded_seqs,
+       padded_seqs - CAST(ceil(total_tokens / 512.0) AS BIGINT)
+         AS seqs_saved
+FROM a""",
+        "bom_census": """
+WITH media AS (
+  SELECT unhex(['EFBBBF', 'FFFE', 'FEFF', 'FFFE0000',
+                ''][CAST(doc_id % 5 + 1 AS INTEGER)])
+           || encode(text) AS payload
+  FROM documents
+)
+SELECT CASE WHEN substring(hex(payload), 1, 8) = 'FFFE0000' THEN 'utf-32-le' WHEN substring(hex(payload), 1, 8) = '0000FEFF' THEN 'utf-32-be' WHEN substring(hex(payload), 1, 6) = 'EFBBBF' THEN 'utf-8-bom' WHEN substring(hex(payload), 1, 4) = 'FFFE' THEN 'utf-16-le' WHEN substring(hex(payload), 1, 4) = 'FEFF' THEN 'utf-16-be' ELSE 'none' END AS bom, count(*) AS n_payloads
+FROM media GROUP BY 1""",
+        "crawl_delay": """
+WITH bodies AS (
+  SELECT 'h' || CAST(doc_id % 16 AS VARCHAR) || '.test' AS host,
+         CASE WHEN doc_id % 5 = 0
+              THEN 'User-agent: *' || chr(10) || 'Disallow: /tmp'
+                   || chr(10)
+              WHEN doc_id % 7 = 0
+              THEN 'User-agent: *' || chr(10) || 'Crawl-delay: fast'
+                   || chr(10)
+              ELSE 'User-agent: *' || chr(10) || 'Crawl-delay: '
+                   || CAST(doc_id % 9 AS VARCHAR) || chr(10)
+                   || 'Disallow: /private' || chr(10)
+         END AS body
+  FROM documents WHERE doc_id % 3 <> 2
+),
+p AS (
+  SELECT host,
+         greatest(coalesce(try_cast(regexp_extract(body,
+           '(?i)crawl-delay:\s*([0-9]+)', 1) AS BIGINT), 1), 1)
+           AS crawl_delay_s
+  FROM bodies
+)
+SELECT host, crawl_delay_s,
+       round(1.0e0 / CAST(crawl_delay_s AS DOUBLE), 9) AS max_qps
+FROM p""",
         "colloc_g2": f"""
 WITH toks AS (SELECT doc_id, {_DUCK_TL} AS tl FROM documents),
 bi AS (

@@ -165,3 +165,27 @@ def rules_fixture(urls: DataFrame, url_col: str = "url") -> DataFrame:
     return hosts.selectExpr("host", f"explode({rules_arr}) AS r").selectExpr(
         "host", "r.allow AS allow", "r.prefix AS prefix"
     )
+
+
+def crawl_delay_census(robots_txt: DataFrame, host_col: str = "host",
+                       body_col: str = "body") -> DataFrame:
+    """(host, crawl_delay_s, max_qps) — the de-facto Crawl-delay
+    directive (not in RFC 9309, honored by most polite crawlers; the
+    politeness scheduler's per-host token-bucket rate input) extracted
+    from raw robots.txt bodies: the FIRST 'Crawl-delay: <seconds>'
+    line wins (integer seconds; malformed or absent values report the
+    1-second default), and max_qps = 1/delay is the token-bucket
+    refill rate windows.fetch_schedule consumes.
+
+    One regexp projection + the division — zero shuffle; parsing runs
+    where the fetch landed the body.
+    """
+    d = (
+        "coalesce(try_cast(regexp_extract(" + body_col + ", "
+        "'(?i)crawl-delay:\\\\s*([0-9]+)', 1) AS BIGINT), 1L)"
+    )
+    return robots_txt.selectExpr(
+        f"{host_col} AS host",
+        f"greatest({d}, 1L) AS crawl_delay_s",
+        f"round(1.0D / CAST(greatest({d}, 1L) AS DOUBLE), 9) AS max_qps",
+    )

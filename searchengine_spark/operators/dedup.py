@@ -865,3 +865,49 @@ def minhash_error(
             " AS abs_err",
         )
     )
+
+
+def lsh_capture_curve(
+    documents: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    rows_per_band: int = 2,
+    bands: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, j, p_capture) — the banding s-curve evaluated on
+    real pairs: for every exact near-dup pair, the probability MinHash
+    LSH with ``bands`` bands of ``rows_per_band`` rows proposes it,
+
+      P(J) = 1 − (1 − J^r)^b
+
+    (the standard banding analysis, e.g. Mining of Massive Datasets
+    §3.4). This is the design table for minhash_lsh_pairs' parameters:
+    read the smallest p_capture in the output and you know the miss
+    risk the current (r, b) leaves at your threshold — measured
+    against YOUR corpus's pair distribution, not a textbook grid.
+
+    Determinism: J is the exact-int Jaccard ratio; J^r and (…)^b are
+    INTEGER exponents evaluated as explicit multiply/square chains
+    (no pow() — libm pow is not bit-parity across engines), so the
+    curve hash-matches. Only power-of-two b is supported (square
+    chain); r is small and unrolled.
+    """
+    if bands & (bands - 1) != 0:
+        raise ValueError(f"bands must be a power of two, got {bands}")
+    if rows_per_band < 1:
+        raise ValueError("rows_per_band must be >= 1")
+    pairs = ngram_dup_pairs(documents, threshold, n, id_col, text_col)
+    jr = " * ".join(["j"] * rows_per_band)
+    x = f"(1.0D - ({jr}))"
+    import math
+
+    for _ in range(int(math.log2(bands))):
+        x = f"({x} * {x})"
+    return pairs.selectExpr(
+        "doc_a",
+        "doc_b",
+        "round(j, 9) AS j",
+        f"round(1.0D - {x}, 9) AS p_capture",
+    )

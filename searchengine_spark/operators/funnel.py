@@ -252,3 +252,73 @@ def funnel_latency(
         "value AS latency_s",
         f"CAST({n_conv} AS BIGINT) AS n_converted",
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    min_count: int = 3,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(path, n_sessions) — the top navigation paths: per user session
+    (gap-based sessionization, ``gap_minutes`` of silence ends a
+    session) the ordered event-type sequence joined with '>', counted
+    across sessions. The classic clickstream path-mining census the
+    funnel/transition operators summarize but never show whole.
+
+    Determinism: session boundaries come from exact microsecond gap
+    comparisons; within a session the path orders by (ts, event_id)
+    (id totalises equal timestamps); the census is exact counts.
+
+    Scale shape: ONE user-partitioned lag window for boundaries + one
+    (user, session) collect_list (bounded by a session's length — gap
+    sessionization caps it in practice; a pathological no-gap user is
+    one group, same bound as any sessionizer) + one map-side-combined
+    path count.
+    """
+    us = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap_us = gap_minutes * 60 * 1000000
+    marked = (
+        events.select(
+            F.col(user_col).alias("u"),
+            F.col(ts_col).alias("t"),
+            F.col(id_col).alias("i"),
+            F.col(type_col).alias("y"),
+        )
+        .withColumn("prev_t", F.lag("t").over(
+            Window.partitionBy("u").orderBy("t", "i")
+        ))
+        .withColumn(
+            "new_sess",
+            F.when(
+                F.col("prev_t").isNull()
+                | (
+                    F.expr("timestampdiff(MICROSECOND, prev_t, t)")
+                    > F.lit(gap_us)
+                ),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "sess",
+            F.sum("new_sess").over(
+                Window.partitionBy("u")
+                .orderBy("t", "i")
+                .rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    paths = marked.groupBy("u", "sess").agg(
+        F.expr(
+            "array_join(transform(sort_array(collect_list("
+            "struct(t, i, y))), s -> s.y), '>')"
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .filter(F.col("n_sessions") >= min_count)
+    )

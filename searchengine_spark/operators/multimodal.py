@@ -286,3 +286,23 @@ def mime_census(
             F.sum("nb").alias("total_bytes"),
         )
     )
+
+
+def sniff_bom_sql(payload_col: str) -> str:
+    """Engine-portable SQL: Unicode BOM / encoding hint from leading
+    bytes ('utf-8-bom', 'utf-16-le', 'utf-16-be', 'utf-32-le',
+    'utf-32-be', or 'none') — the charset-detection front half of the
+    text-decode stage (the reference decodes JSON as utf-8 and skips
+    failures; a WARC pipeline must sniff first). Same hex-prefix CASE
+    technique as sniff_mime_sql, and the same reason: hex is the one
+    shared binary primitive. UTF-32 LE is tested before UTF-16 LE
+    (FF FE 00 00 vs FF FE — the classic ordering bug)."""
+    h = f"hex({payload_col})"
+    return (
+        f"CASE WHEN substring({h}, 1, 8) = 'FFFE0000' THEN 'utf-32-le' "
+        f"WHEN substring({h}, 1, 8) = '0000FEFF' THEN 'utf-32-be' "
+        f"WHEN substring({h}, 1, 6) = 'EFBBBF' THEN 'utf-8-bom' "
+        f"WHEN substring({h}, 1, 4) = 'FFFE' THEN 'utf-16-le' "
+        f"WHEN substring({h}, 1, 4) = 'FEFF' THEN 'utf-16-be' "
+        f"ELSE 'none' END"
+    )

@@ -670,3 +670,49 @@ def novelty_scores(
             " AS novelty",
         )
     )
+
+
+def packing_waste(
+    documents: DataFrame,
+    seq_len: int = 512,
+    shard_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(shard, n_docs, total_tokens, concat_seqs, padded_seqs,
+    seqs_saved) — WHY sequence packing exists, as exact integers: the
+    concat-and-chunk layout (pack_sequences) needs
+    ceil(total/seq_len) sequences per shard, while the naive
+    one-doc-per-sequence-block padding layout needs
+    Σ ceil(doc_len/seq_len); the difference is the training compute
+    the packer saves. Pure aggregation over per-doc token counts —
+    one projection + one groupBy(shard), no window (the packer itself
+    needs the offsets; the WASTE census does not).
+    """
+    toks = tokens_sql(text_col)
+    per_doc = documents.selectExpr(
+        f"{shard_col} AS shard",
+        f"size({toks}) AS n_tokens",
+    ).withColumn("n_tokens", F.greatest(F.col("n_tokens"), F.lit(0)))
+    return (
+        per_doc.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(
+                F.expr(
+                    f"CAST(ceil(n_tokens / {seq_len}.0) AS BIGINT)"
+                )
+            ).alias("padded_seqs"),
+        )
+        .selectExpr(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            f"CAST(ceil(total_tokens / {seq_len}.0) AS BIGINT)"
+            " AS concat_seqs",
+            "padded_seqs",
+            f"padded_seqs - CAST(ceil(total_tokens / {seq_len}.0) AS BIGINT)"
+            " AS seqs_saved",
+        )
+    )

@@ -768,3 +768,84 @@ def test_active_users_golden(spark):
     assert got[d0 + 8]["wau"] == 1  # day-0 actives fell out of the week
     assert got[d0 + 8]["mau"] == 5  # still inside the 30-day window
     assert abs(got[d0 + 8]["stickiness"] - 0.2) < 1e-9
+
+
+def test_session_paths_golden(spark):
+    import datetime as dt
+
+    from searchengine_spark.operators.funnel import session_paths
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    # 3 users with identical two-session behavior: A>B then (gap) C
+    for u in range(3):
+        for mins, typ in ((0, "A"), (5, "B"), (120, "C")):
+            rows.append((eid, u, t0 + dt.timedelta(minutes=mins), typ))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    got = {r["path"]: r["n_sessions"]
+           for r in session_paths(ev, 30, min_count=2).collect()}
+    assert got == {"A>B": 3, "C": 3}
+
+
+def test_packing_waste_golden(spark):
+    from searchengine_spark.operators.traindata import packing_waste
+
+    docs = spark.createDataFrame(
+        [(0, "s1", "a " * 300), (1, "s1", "b " * 300), (2, "s1", "c " * 100)],
+        "doc_id long, source string, text string",
+    )
+    r = {x["shard"]: x for x in packing_waste(docs, seq_len=512).collect()}
+    s = r["s1"]
+    assert s["total_tokens"] == 700
+    assert s["concat_seqs"] == 2  # ceil(700/512)
+    assert s["padded_seqs"] == 3  # 1 + 1 + 1
+    assert s["seqs_saved"] == 1
+
+
+def test_lsh_curve_monotone(spark):
+    from searchengine_spark.operators.dedup import lsh_capture_curve
+
+    import pytest as _pytest
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = lsh_capture_curve(docs, threshold=0.4).collect()
+    by_j = sorted(rows, key=lambda r: r["j"])
+    ps = [r["p_capture"] for r in by_j]
+    assert ps == sorted(ps)  # s-curve is monotone in J
+    exact = [r for r in rows if r["j"] == 1.0]
+    assert exact and exact[0]["p_capture"] == 1.0
+    with _pytest.raises(ValueError):
+        lsh_capture_curve(docs, bands=33)
+
+
+def test_crawl_delay_parsing(spark):
+    from searchengine_spark.functions.robots import crawl_delay_census
+
+    bodies = spark.createDataFrame(
+        [
+            ("a", "User-agent: *\nCrawl-delay: 7\nDisallow: /x"),
+            ("b", "user-agent: *\ncrawl-DELAY:   12\n"),
+            ("c", "User-agent: *\nDisallow: /"),
+            ("d", "Crawl-delay: fast\n"),
+            ("e", "Crawl-delay: 0\n"),
+        ],
+        "host string, body string",
+    )
+    got = {r["host"]: (r["crawl_delay_s"], r["max_qps"])
+           for r in crawl_delay_census(bodies).collect()}
+    assert got["a"] == (7, round(1 / 7, 9))
+    assert got["b"][0] == 12  # case-insensitive, whitespace-tolerant
+    assert got["c"][0] == 1  # absent -> default
+    assert got["d"][0] == 1  # malformed -> default
+    assert got["e"][0] == 1  # zero clamps to 1
