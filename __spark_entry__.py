@@ -745,6 +745,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "tf",
         )
 
+    def q_stem_collapse(spark, sf):
+        # the conflation table behind the stemmed index: which surface
+        # forms collapse to one stem (n_forms >= 2) and how much term
+        # mass each class carries — open-vocab Porter UDF Spark-side,
+        # generated closed-vocab CASE in the oracle (tf_stem's split)
+        from searchengine_spark.functions.text import stem_tokens_udf
+
+        # graft deterministic morphological packs onto the corpus —
+        # the 31-token synthetic vocabulary has no natural conflations
+        docs = _docs(spark, sf).selectExpr(
+            "doc_id",
+            "concat(text, ' ', CASE doc_id % 3 "
+            "WHEN 0 THEN 'merge merges merged merging' "
+            "WHEN 1 THEN 'query queries queried' "
+            "ELSE 'connect connection connects' END) AS text",
+        )
+        toks = TF.doc_tokens(docs, stem=False).filter(
+            F.col("n_terms") > 0
+        )
+        occ = toks.select(
+            F.explode("tokens").alias("token")
+        ).withColumn(
+            "stem", F.explode(stem_tokens_udf(F.array(F.col("token"))))
+        )
+        per_form = occ.groupBy("stem", "token").agg(
+            F.count("*").alias("n")
+        )
+        return (
+            per_form.groupBy("stem")
+            .agg(
+                F.countDistinct("token").alias("n_forms"),
+                F.sum("n").alias("n_occ"),
+            )
+            .filter(F.col("n_forms") >= 2)
+        )
+
     def q_json_ingest(spark, sf):
         # S1/S2/P2 round-trip: materialize the documents table as a JSON
         # corpus directory, re-ingest it through the schema-on-read
@@ -2907,6 +2943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packing_waste": q_packing_waste,
         "crawl_delay": q_crawl_delay,
         "bom_census": q_bom_census,
+        "stem_collapse": q_stem_collapse,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -4375,6 +4412,12 @@ _DUCK_TOKENS_LEMMA = _DUCK_TOKENS.replace(
 # CASE generated from the normative pycore stemmer; the Spark side runs
 # the real open-vocabulary UDF. Open-vocab correctness (words outside
 # this list) is pytest's job: tests/test_stemmer.py golden + parity.
+_STEM_EXTRA_VOCAB = [
+    "merge", "merges", "merged", "merging",
+    "query", "queries", "queried",
+    "connect", "connection", "connects",
+]
+
 FIXTURE_VOCAB = [
     "a", "agg", "batch", "big", "column", "customer", "data", "dup",
     "fast", "filter", "group", "hash", "join", "key", "line", "merge",
@@ -6578,6 +6621,29 @@ WITH media AS (
 )
 SELECT CASE WHEN substring(hex(payload), 1, 8) = 'FFFE0000' THEN 'utf-32-le' WHEN substring(hex(payload), 1, 8) = '0000FEFF' THEN 'utf-32-be' WHEN substring(hex(payload), 1, 6) = 'EFBBBF' THEN 'utf-8-bom' WHEN substring(hex(payload), 1, 4) = 'FFFE' THEN 'utf-16-le' WHEN substring(hex(payload), 1, 4) = 'FEFF' THEN 'utf-16-be' ELSE 'none' END AS bom, count(*) AS n_payloads
 FROM media GROUP BY 1""",
+        "stem_collapse": f"""
+WITH sdoc AS (
+  SELECT doc_id,
+         text || ' ' || CASE doc_id % 3
+           WHEN 0 THEN 'merge merges merged merging'
+           WHEN 1 THEN 'query queries queried'
+           ELSE 'connect connection connects' END AS text
+  FROM documents
+),
+stok AS (
+  SELECT doc_id, trim(t, ' ' || chr(39)) AS token FROM sdoc,
+       unnest(regexp_split_to_array(lower(text),
+              '[^a-z0-9' || chr(39) || ']+')) AS u(t)
+),
+stok2 AS (
+  SELECT token, {stem_case_sql("token", FIXTURE_VOCAB + _STEM_EXTRA_VOCAB)} AS stem
+  FROM stok WHERE token <> '' AND length(token) <= 10000
+),
+pf AS (SELECT stem, token, count(*) AS n FROM stok2
+       GROUP BY stem, token)
+SELECT stem, CAST(count(DISTINCT token) AS BIGINT) AS n_forms,
+       CAST(sum(n) AS BIGINT) AS n_occ
+FROM pf GROUP BY stem HAVING count(DISTINCT token) >= 2""",
         "crawl_delay": """
 WITH bodies AS (
   SELECT 'h' || CAST(doc_id % 16 AS VARCHAR) || '.test' AS host,

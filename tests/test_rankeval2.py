@@ -849,3 +849,16 @@ def test_crawl_delay_parsing(spark):
     assert got["c"][0] == 1  # absent -> default
     assert got["d"][0] == 1  # malformed -> default
     assert got["e"][0] == 1  # zero clamps to 1
+
+
+def test_stem_collapse_conflation(spark):
+    import __spark_entry__ as entrymod
+
+    rows = entrymod.queries()["stem_collapse"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_stem = {r["stem"]: r for r in rows}
+    # the grafted packs conflate: merge/merges/merged/merging -> merg
+    assert by_stem["merg"]["n_forms"] == 4
+    assert by_stem["queri"]["n_forms"] == 3
+    assert all(r["n_occ"] >= r["n_forms"] for r in rows)
