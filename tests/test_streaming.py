@@ -251,3 +251,120 @@ def test_stream_crawl_restarts_after_transient_failure(spark, tmp_path, monkeypa
     assert last == 2 and not fail_once["armed"]  # failure really fired
 
     assert FR.crawl_order(io_b) == FR.crawl_order(io_a)
+
+
+def test_late_data_census_bounds_real_watermark_drops(spark, tmp_path):
+    """Bridge the batch late_data_census to REAL Structured Streaming
+    semantics: replay a disordered log through a file-source stream
+    with a watermark, and check the census's row-granular late count
+    is a conservative upper bound on what SS actually dropped (the
+    per-batch watermark can only be lower than the per-row one)."""
+    import datetime as dt
+    import os as _os
+    import time as _time
+
+    from searchengine_spark.operators.windows import late_data_census
+
+    t0 = dt.datetime(2026, 1, 2)
+    delay_s, window_s = 3600, 3600
+    # event times over ~6 hours; arrival order = bounded-jitter shuffle
+    n = 120
+    rows = []
+    deep = {17, 43, 71}  # stragglers arriving ~4.5 h of event time late
+    for i in range(n):
+        jitter = ((i * 7919) % 21) - 10  # displacement <= 10
+        arrival = i + (90 if i in deep else jitter)
+        rows.append((arrival * 1000 + i, t0 + dt.timedelta(minutes=3 * i)))
+    rows.sort()  # arrival order
+    caps = spark.createDataFrame(rows, "arrival long, ts timestamp")
+    census = {
+        r["window_start"]: r
+        for r in late_data_census(
+            caps, delay_s, window_s, order_col="arrival"
+        ).collect()
+    }
+    batch_counts = {
+        int(t0.replace(tzinfo=dt.timezone.utc).timestamp() + 0) // window_s
+        * window_s: 0
+    }
+    batch_counts = {}
+    for _, ts in rows:
+        w = (
+            int(ts.replace(tzinfo=dt.timezone.utc).timestamp())
+            // window_s
+            * window_s
+        )
+        batch_counts[w] = batch_counts.get(w, 0) + 1
+
+    # stream the log in 6 arrival-order files + a far-future sentinel
+    # (flushes every real window past the final watermark)
+    d = str(tmp_path / "late_stream")
+    _os.makedirs(d, exist_ok=True)
+    chunks = [rows[j * 20:(j + 1) * 20] for j in range(6)]
+    for j, chunk in enumerate(chunks):
+        pdf = spark.createDataFrame(chunk, "arrival long, ts timestamp")
+        pdf.coalesce(1).write.mode("overwrite").parquet(f"{d}/f{j}")
+        _time.sleep(0.05)
+    # TWO sentinels: the watermark advances at the END of a batch and
+    # append-mode state flushes on the NEXT one, so the second
+    # sentinel batch is what actually emits the finalized windows
+    for si, days in ((9, 30), (10, 31)):
+        sentinel = spark.createDataFrame(
+            [(10**9 + si, t0 + dt.timedelta(days=days))],
+            "arrival long, ts timestamp",
+        )
+        sentinel.coalesce(1).write.mode("overwrite").parquet(f"{d}/f{si}")
+    # one flat dir of part files, mtime-ordered like the writes
+    flat = str(tmp_path / "flat")
+    _os.makedirs(flat, exist_ok=True)
+    import glob as _glob
+    import shutil as _shutil
+
+    k = 0
+    for j in list(range(6)) + [9, 10]:
+        for f in sorted(_glob.glob(f"{d}/f{j}/*.parquet")):
+            dst = f"{flat}/part-{k:03d}.parquet"
+            _shutil.copy(f, dst)
+            _os.utime(dst, (1700000000 + k, 1700000000 + k))
+            k += 1
+
+    stream = (
+        spark.readStream.schema("arrival long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(flat)
+        .withWatermark("ts", f"{delay_s} seconds")
+        .groupBy(F.window("ts", f"{window_s} seconds").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    qname = "late_bridge"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        ss = {
+            int(r["w"]["start"].replace(
+                tzinfo=dt.timezone.utc).timestamp()): r["n"]
+            for r in spark.sql(f"SELECT * FROM {qname}").collect()
+        }
+    finally:
+        q.stop()
+
+    total_dropped = 0
+    for w, bc in batch_counts.items():
+        got = ss.get(w, 0)
+        assert got <= bc
+        total_dropped += bc - got
+        late_bound = census.get(w)
+        if late_bound is not None:
+            # census is row-granular (watermark advances per row); SS
+            # advances per batch -> SS can only drop FEWER
+            assert bc - got <= late_bound["n_late"]
+    census_total = sum(r["n_late"] for r in census.values())
+    assert total_dropped <= census_total
+    # the deep stragglers make the bound non-vacuous: SS really drops
+    assert total_dropped >= 1
