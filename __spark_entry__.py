@@ -1402,6 +1402,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(F.count("*").alias("n_payloads"))
         )
 
+    def q_burst_mad(spark, sf):
+        # robust burst detection: hours > k MADs from the per-type
+        # MEDIAN rate — spikes can't mask each other the way they
+        # inflate a z-score's sigma; exact ints end to end
+        from searchengine_spark.operators.windows import burst_windows_mad
+
+        ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
+        return burst_windows_mad(ev, k=3)
+
     def q_doc_keywords(spark, sf):
         # per-doc top-5 tf-idf keywords (related-tags surface): one
         # doc-partitioned window over the posting table
@@ -2944,6 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delay": q_crawl_delay,
         "bom_census": q_bom_census,
         "stem_collapse": q_stem_collapse,
+        "burst_mad": q_burst_mad,
         "burstiness": q_burstiness,
         "modularity": q_modularity,
         "pmi_expand": q_pmi_expand,
@@ -6644,6 +6654,47 @@ pf AS (SELECT stem, token, count(*) AS n FROM stok2
 SELECT stem, CAST(count(DISTINCT token) AS BIGINT) AS n_forms,
        CAST(sum(n) AS BIGINT) AS n_occ
 FROM pf GROUP BY stem HAVING count(DISTINCT token) >= 2""",
+        "burst_mad": """
+WITH counts AS (
+  SELECT event_type,
+         (epoch_us(ts) // 3600000000) * 3600 AS ws,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, (epoch_us(ts) // 3600000000) * 3600
+),
+wm AS (
+  SELECT event_type, ws, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n ASC, ws ASC) AS rk,
+         count(*) OVER (PARTITION BY event_type) AS cnt
+  FROM counts
+),
+med AS (
+  SELECT event_type,
+         max(CASE WHEN rk = CAST(ceil(cnt / 2.0) AS BIGINT)
+                  THEN n END) AS med
+  FROM wm GROUP BY event_type
+),
+dev AS (
+  SELECT wm.event_type, wm.ws, wm.n, wm.cnt, med.med,
+         abs(wm.n - med.med) AS dev
+  FROM wm JOIN med USING (event_type)
+),
+dm AS (
+  SELECT event_type, ws, n, cnt, med, dev,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY dev ASC, ws ASC) AS drk
+  FROM dev
+),
+mad AS (
+  SELECT event_type,
+         max(CASE WHEN drk = CAST(ceil(cnt / 2.0) AS BIGINT)
+                  THEN dev END) AS mad
+  FROM dm GROUP BY event_type
+)
+SELECT d.event_type, d.ws AS window_start, d.n AS n_events,
+       d.med, mad.mad
+FROM dev d JOIN mad USING (event_type)
+WHERE d.dev > 3 * mad.mad""",
         "crawl_delay": """
 WITH bodies AS (
   SELECT 'h' || CAST(doc_id % 16 AS VARCHAR) || '.test' AS host,

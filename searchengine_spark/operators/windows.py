@@ -468,3 +468,76 @@ def active_users(
         )
     )
     return out
+
+
+def burst_windows_mad(
+    events: DataFrame,
+    k: int = 3,
+    window_seconds: int = 3600,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(event_type, window_start, n_events, med, mad) — hours whose
+    event count sits more than ``k`` median-absolute-deviations from
+    the per-type median: the ROBUST sibling of burst_windows' z-scores
+    (a single huge spike inflates a mean/σ enough to mask the next
+    spike; medians don't move). Everything is an exact integer: counts,
+    the lower-median (rank ⌈n/2⌉ order statistic) and the integer MAD,
+    so the flag |x − med| > k·mad is bit-exact arithmetic with no
+    float in sight.
+
+    Scale shape: one (type, hour) count agg, then two rank windows
+    PER TYPE over the bounded hour table (hours-per-type is bounded by
+    the time span — 720 rows for a 30-day month — never by events).
+    mad = 0 (constant-rate types) flags only exact deviations > 0·k,
+    i.e. any change; callers wanting quieter output filter mad > 0.
+    """
+    hour = (
+        f"(timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 "
+        f"00:00:00', {ts_col}) div {window_seconds * 1000000})"
+        f" * {window_seconds}"
+    )
+    counts = (
+        events.selectExpr(f"{type_col} AS event_type", f"{hour} AS ws")
+        .groupBy("event_type", "ws")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = Window.partitionBy("event_type").orderBy(
+        F.col("n").asc(), F.col("ws").asc()
+    )
+    wc = Window.partitionBy("event_type")
+    with_med = (
+        counts.withColumn("rk", F.row_number().over(wt))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .withColumn(
+            "med",
+            F.max(
+                F.when(
+                    F.col("rk") == F.ceil(F.col("cnt") / 2), F.col("n")
+                )
+            ).over(wc),
+        )
+        .withColumn("dev", F.abs(F.col("n") - F.col("med")))
+    )
+    wd = Window.partitionBy("event_type").orderBy(
+        F.col("dev").asc(), F.col("ws").asc()
+    )
+    flagged = (
+        with_med.withColumn("drk", F.row_number().over(wd))
+        .withColumn(
+            "mad",
+            F.max(
+                F.when(
+                    F.col("drk") == F.ceil(F.col("cnt") / 2), F.col("dev")
+                )
+            ).over(wc),
+        )
+        .filter(F.col("dev") > F.lit(k) * F.col("mad"))
+    )
+    return flagged.select(
+        "event_type",
+        F.col("ws").alias("window_start"),
+        F.col("n").alias("n_events"),
+        "med",
+        "mad",
+    )

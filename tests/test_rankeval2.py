@@ -862,3 +862,32 @@ def test_stem_collapse_conflation(spark):
     assert by_stem["merg"]["n_forms"] == 4
     assert by_stem["queri"]["n_forms"] == 3
     assert all(r["n_occ"] >= r["n_forms"] for r in rows)
+
+
+def test_burst_mad_flags_spike_not_masked(spark):
+    import datetime as dt
+
+    from searchengine_spark.operators.windows import burst_windows_mad
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    # type A: steady 5/hour for 20 hours, except hour 7 with 50 events
+    # and hour 13 with 40 — the second spike must ALSO flag (medians
+    # don't get dragged by the first one)
+    for h in range(20):
+        burst = 50 if h == 7 else (40 if h == 13 else 5)
+        for _ in range(burst):
+            rows.append((eid, t0 + dt.timedelta(hours=h, minutes=1), "A"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string"
+    )
+    got = {r["window_start"]: r for r in burst_windows_mad(ev, k=3).collect()}
+    h7 = int((t0 + dt.timedelta(hours=7)).replace(
+        tzinfo=dt.timezone.utc).timestamp()) // 3600 * 3600
+    h13 = h7 + 6 * 3600
+    assert h7 in got and got[h7]["n_events"] == 50
+    assert h13 in got and got[h13]["n_events"] == 40
+    assert got[h7]["med"] == 5 and got[h7]["mad"] == 0
+    assert len(got) == 2  # steady hours never flag
