@@ -1813,11 +1813,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # explode+broadcast argmin, ADC = j-ordered fold of lookups
         from searchengine_spark.operators import simsearch as SS
 
-        return SS.pq_topk(
-            spark.read.parquet(os.path.join(sf, "embeddings.parquet")),
-            _query_vec(spark, sf),
-            k=10,
-            m=8,
+        return _r(
+            SS.pq_topk(
+                spark.read.parquet(os.path.join(sf, "embeddings.parquet")),
+                _query_vec(spark, sf),
+                k=10,
+                m=8,
+            ),
+            "approx_d2",
         )
 
     def q_spam_mass(spark, sf):
@@ -6848,7 +6851,8 @@ g AS MATERIALIZED (
 f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
 per AS (
   SELECT g.doc_id, count(*) AS n_grams,
-         sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS n_novel
+         CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
   FROM g JOIN f USING (gram) GROUP BY g.doc_id
 )
 SELECT t.doc_id, coalesce(n_grams, 0) AS n_grams,
@@ -7035,13 +7039,13 @@ outdeg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY src),
 ih AS (SELECT d, count(*) AS cnt FROM indeg WHERE d >= 2 GROUP BY d),
 oh AS (SELECT d, count(*) AS cnt FROM outdeg WHERE d >= 2 GROUP BY d),
 ia AS (
-  SELECT coalesce(sum(cnt), 0) AS n_tail,
+  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_tail,
          coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
            list(CAST(cnt AS DOUBLE) * ln(CAST(d AS DOUBLE) / 2.0e0)
                 ORDER BY d)), (a, b) -> a + b), 0.0e0) AS s
   FROM ih),
 oa AS (
-  SELECT coalesce(sum(cnt), 0) AS n_tail,
+  SELECT CAST(coalesce(sum(cnt), 0) AS BIGINT) AS n_tail,
          coalesce(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
            list(CAST(cnt AS DOUBLE) * ln(CAST(d AS DOUBLE) / 2.0e0)
                 ORDER BY d)), (a, b) -> a + b), 0.0e0) AS s
@@ -7411,7 +7415,7 @@ pr AS MATERIALIZED (
 ),
 cab AS (SELECT a, b, count(*) AS n_ab FROM pr GROUP BY a, b),
 bo AS (
-  SELECT term, assoc, sum(n_ab) AS n_ab FROM (
+  SELECT term, assoc, CAST(sum(n_ab) AS BIGINT) AS n_ab FROM (
     SELECT a AS term, b AS assoc, n_ab FROM cab
     WHERE a IN ('spark', 'window', 'dup')
     UNION ALL
@@ -7442,7 +7446,7 @@ SELECT term, assoc, n_ab, round(pmi, 9) AS pmi FROM rk WHERE r <= 5""",
         "anchor_entropy": f"""
 {_DUCK_ANCHOR_POSTINGS_CTE},
 tot AS (
-  SELECT target_url, sum(weight) AS tw, count(*) AS n_terms
+  SELECT target_url, CAST(sum(weight) AS BIGINT) AS tw, count(*) AS n_terms
   FROM ap GROUP BY target_url
 ),
 he AS (
@@ -7550,7 +7554,7 @@ WITH {_DUCK_TOKENS},
 per AS (SELECT doc_id, token, count(*) AS f FROM tok2 GROUP BY doc_id, token),
 r AS (
   SELECT token, count(*) AS df,
-         sum(CASE WHEN f >= 2 THEN 1 ELSE 0 END) AS df2
+         CAST(sum(CASE WHEN f >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS df2
   FROM per GROUP BY token
 )
 SELECT token, df, df2,
@@ -8458,10 +8462,10 @@ salted AS (
 ka AS (SELECT p, count(*) AS n FROM keyed GROUP BY p),
 sa AS (SELECT p, count(*) AS n FROM salted GROUP BY p)
 SELECT 'keyed' AS scheme, count(*) AS n_parts_used, max(n) AS max_load,
-       min(n) AS min_load, sum(n) AS total_keys FROM ka
+       min(n) AS min_load, CAST(sum(n) AS BIGINT) AS total_keys FROM ka
 UNION ALL
 SELECT 'salted' AS scheme, count(*) AS n_parts_used, max(n) AS max_load,
-       min(n) AS min_load, sum(n) AS total_keys FROM sa""",
+       min(n) AS min_load, CAST(sum(n) AS BIGINT) AS total_keys FROM sa""",
         "zipf_fit": f"""
 WITH {_DUCK_TOKENS},
 freq AS (SELECT token, count(*) AS c FROM tok2 GROUP BY token),
