@@ -974,6 +974,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         w = RK.bm25_table(_docs(spark, sf))
         return _r(RK.bm25_search(w, _BM25_TERMS, k=10), "score")
 
+    def q_mmr_rerank(spark, sf):
+        # MMR diversified re-rank (Carbonell & Goldstein 1998) of the
+        # BM25 top-10 page: greedy argmax lam*rel - (1-lam)*max-cosine
+        # -to-selected, run inside ONE bounded applyInPandas group
+        # executing pycore/mmr.py verbatim; the oracle unrolls the k=5
+        # greedy steps as per-step argmax CTEs (the bpe_train /
+        # markov_stationary pattern) over the same raw BM25 relevance
+        # and raw tf-idf doc vectors, with token-ordered cosine folds
+        page = RK.bm25_search(
+            RK.bm25_table(_docs(spark, sf)), _BM25_TERMS, k=10
+        )
+        return _r(
+            RK.diversify_mmr(page, _postings(spark, sf), lam=0.5, k=5),
+            "mmr_score",
+        )
+
     def q_anf(spark, sf):
         # HyperANF: per-node |ball(v, 3)| estimate via iterated HLL
         # register max-merges (order-free exact ints; the one float is
@@ -2887,6 +2903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "pack_sequences": q_pack_sequences,
         "bm25": q_bm25,
+        "mmr_rerank": q_mmr_rerank,
         "rrf_topk": q_rrf,
         "surt_keys": q_surt_keys,
         "cdx_range": q_cdx_range,
@@ -3158,6 +3175,88 @@ scored AS (
 )
 SELECT doc_id, round(sc, 9) AS score FROM scored
 ORDER BY sc DESC, doc_id ASC LIMIT {k}"""
+
+
+def _duck_mmr_sql(
+    terms: list[str], k_page: int = 10, k_sel: int = 5, lam: float = 0.5
+) -> str:
+    """MMR oracle — the k_sel-step greedy loop unrolled as per-step
+    argmax CTEs (same pattern as bpe_train / markov_stationary).
+    Relevance is the RAW BM25 pivot score (bm25_search's expression
+    tree before rounding); doc vectors are the raw tf-idf postings;
+    cosine folds token-ordered exactly as pycore/mmr.cosine (Python
+    left-assoc sum from 0.0), so every double matches the Spark side's
+    pycore arithmetic bit-for-bit before the final shared round(,9)."""
+    uniq = list(dict.fromkeys(t.lower() for t in terms))
+    case = " + ".join(
+        f"coalesce(max(CASE WHEN token = '{t}' THEN w END), 0.0e0)"
+        for t in uniq
+    )
+    inlist = ", ".join(f"'{t}'" for t in uniq)
+    c1 = 1.0 - lam
+    parts = [
+        f"""WITH {_DUCK_BM25_WTS},
+scored AS MATERIALIZED (
+  SELECT doc_id, {case} AS sc
+  FROM wts WHERE token IN ({inlist}) GROUP BY doc_id
+),
+page AS MATERIALIZED (
+  SELECT doc_id, sc FROM scored ORDER BY sc DESC, doc_id ASC LIMIT {k_page}
+),
+v AS MATERIALIZED (
+  SELECT p.doc_id, po.token, po.tf_idf AS w
+  FROM postings po JOIN page p USING (doc_id)
+),
+nrm AS MATERIALIZED (
+  SELECT doc_id,
+         sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list(w * w ORDER BY token)), (a, b) -> a + b)) AS n
+  FROM v GROUP BY doc_id
+),
+cosp AS MATERIALIZED (
+  SELECT da, db, CASE WHEN na.n = 0.0e0 OR nb.n = 0.0e0 THEN 0.0e0
+                      ELSE dot / (na.n * nb.n) END AS c
+  FROM (
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             list(a.w * b.w ORDER BY a.token)), (x, y) -> x + y) AS dot
+    FROM v a JOIN v b ON a.token = b.token AND a.doc_id <> b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  ) d JOIN nrm na ON na.doc_id = d.da JOIN nrm nb ON nb.doc_id = d.db
+),
+pick1 AS (
+  SELECT doc_id, CAST(0 AS BIGINT) AS rank,
+         {lam!r} * sc - {c1!r} * 0.0e0 AS ms
+  FROM page ORDER BY {lam!r} * sc - {c1!r} * 0.0e0 DESC, doc_id ASC LIMIT 1
+),
+sel1 AS (SELECT doc_id FROM pick1)"""
+    ]
+    for i in range(2, k_sel + 1):
+        parts.append(
+            f""",
+cand{i} AS (
+  SELECT p.doc_id, {lam!r} * p.sc - {c1!r} * coalesce(mx.m, 0.0e0) AS ms
+  FROM page p
+  LEFT JOIN (
+    SELECT da AS doc_id, max(c) AS m FROM cosp
+    WHERE db IN (SELECT doc_id FROM sel{i - 1}) GROUP BY da
+  ) mx ON mx.doc_id = p.doc_id
+  WHERE p.doc_id NOT IN (SELECT doc_id FROM sel{i - 1})
+),
+pick{i} AS (
+  SELECT doc_id, CAST({i - 1} AS BIGINT) AS rank, ms
+  FROM cand{i} ORDER BY ms DESC, doc_id ASC LIMIT 1
+),
+sel{i} AS (
+  SELECT doc_id FROM sel{i - 1} UNION ALL SELECT doc_id FROM pick{i}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f'SELECT rank, doc_id, round(ms, 9) AS mmr_score FROM pick{i}'
+        for i in range(1, k_sel + 1)
+    )
+    parts.append("\n" + union)
+    return "".join(parts)
 
 
 def _duck_qlm(terms: list[str], k: int, mu: float) -> str:
@@ -7361,6 +7460,7 @@ FROM eb LEFT JOIN per_doc USING (doc_id)""",
         "pii_scrub": _DUCK_PII_SCRUB,
         "pack_sequences": _DUCK_PACK_SEQUENCES,
         "bm25": _duck_bm25(_BM25_TERMS, k=10),
+        "mmr_rerank": _duck_mmr_sql(_BM25_TERMS),
         "rrf_topk": _duck_rrf(_BM25_TERMS, k=10, k_rrf=60, n_cand=50),
         "prior_blend": _duck_prior_blend(_BM25_TERMS, k=10, lam=0.25,
                                          n_cand=50),

@@ -626,6 +626,7 @@ def semdedup(
     vec_col: str = "embedding",
     train_iters: int = 2,
     train_sample: int = 256,
+    max_cluster_factor: float | None = 8.0,
 ) -> DataFrame:
     """(vec_id, cid, pruned) — SemDedup (Abbas et al. 2023): cluster the
     embedding space with the IVF coarse quantizer (simsearch.
@@ -647,13 +648,43 @@ def semdedup(
     ≪ √N; at 10^10 embeddings that is n_centroids ~ 10^5-10^6, each
     cluster a few thousand rows, so the quadratic term is per-task-local
     and tiny). The global-LSH alternative for unclustered spaces is
-    embedding_dup_pairs."""
+    embedding_dup_pairs.
+
+    That sizing contract is ENFORCED, not just documented: with
+    max_cluster_factor set (default 8.0), the assignment is
+    materialized (eager localCheckpoint, so the check and the result
+    share one pass) and max |cluster| is checked against
+    factor * ceil(N / n_centroids). A violation raises ValueError
+    naming the offending cluster size and the n_centroids needed —
+    an under-provisioned quantizer fails fast instead of silently
+    going quadratic. Pass max_cluster_factor=None to opt out."""
+    import math
+
     from searchengine_spark.operators.simsearch import ivf_assignments
 
     assigned = ivf_assignments(
         embeddings, n_centroids, id_col=id_col, vec_col=vec_col,
         train_iters=train_iters, train_sample=train_sample,
     )
+    if max_cluster_factor is not None:
+        assigned = assigned.localCheckpoint(eager=True)
+        stats = assigned.groupBy("cid").count().agg(
+            F.max("count").alias("mx"), F.sum("count").alias("n")
+        ).first()
+        if stats["mx"] is not None:
+            bound = max_cluster_factor * math.ceil(
+                stats["n"] / n_centroids
+            )
+            if stats["mx"] > bound:
+                raise ValueError(
+                    f"semdedup cluster-size contract violated: max "
+                    f"|cluster| = {stats['mx']} > {bound:.0f} "
+                    f"(= {max_cluster_factor} * ceil(N/n_centroids), "
+                    f"N={stats['n']}, n_centroids={n_centroids}). The "
+                    f"within-cluster pair join would go quadratic; "
+                    f"raise n_centroids (~N/1000 at deployment scale) "
+                    f"or pass max_cluster_factor=None to override."
+                )
     vecs = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.expr(f"transform({vec_col}, x -> CAST(x AS double))").alias("v"),

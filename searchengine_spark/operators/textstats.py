@@ -320,7 +320,15 @@ def vocab_growth(
     bucket_tot = per_doc.groupBy("b").agg(
         F.sum("n_tokens").alias("bt"), F.sum("new_types").alias("bv")
     )
-    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    # bounded bucket table (one row per bucket); the constant
+    # non-foldable key silences the partition-less WindowExec
+    # warning so a REAL unbounded global window stays visible
+    # in the logs
+    wb = (
+        Window.partitionBy(F.pmod(F.col("b"), F.lit(1)))
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     bucket_pre = bucket_tot.select(
         "b",
         F.coalesce(F.sum("bt").over(wb), F.lit(0)).alias("pre_t"),

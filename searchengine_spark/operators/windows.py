@@ -303,7 +303,15 @@ def late_data_census(
         f" {ts_col}) div 1000000 AS sec",
     ).withColumn("b", (F.col("oid") / bucket).cast("bigint"))
     bucket_max = e.groupBy("b").agg(F.max("sec").alias("bm"))
-    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    # bounded bucket table (one row per bucket); the constant
+    # non-foldable key silences the partition-less WindowExec
+    # warning so a REAL unbounded global window stays visible
+    # in the logs
+    wb = (
+        Window.partitionBy(F.pmod(F.col("b"), F.lit(1)))
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     bucket_pre = bucket_max.select(
         "b",
         F.coalesce(F.max("bm").over(wb), F.lit(neg_inf)).alias("pre_m"),

@@ -115,3 +115,21 @@ def test_soft404_gate(spark):
     assert got[1][0] == 1 and got[1][1] is False   # length guard holds
     assert got[2] == (0, False)
     assert got[3] == (0, False)
+
+
+def test_semdedup_cluster_size_contract_raises(spark):
+    # degenerate space: every vector identical -> the quantizer
+    # collapses all N into one cluster; with n_centroids=32 the bound
+    # factor*ceil(N/32) is far below N, so the quadratic-pair guard
+    # must fail fast instead of silently joining N^2 rows
+    import pytest
+
+    rows = [(i, [1.0] * 8) for i in range(64)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="cluster-size contract"):
+        semdedup(df, threshold=0.9, n_centroids=32).collect()
+    # explicit opt-out restores the old unchecked behavior
+    out = semdedup(
+        df, threshold=0.9, n_centroids=32, max_cluster_factor=None
+    ).collect()
+    assert len(out) == 64

@@ -91,12 +91,11 @@ def _spark_type_ok(spark_t: str, arrow_t: str) -> bool:
     return allowed is not None and arrow_t in allowed
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
-    spark = get_spark(
-        "strict-audit", master="local[8]", shuffle_partitions=16
-    )
+def run_audit(spark, sf_dir, only=None, log=print):
+    """Run the strict contract audit; returns (n_checked, fails).
+
+    Reused verbatim by tests/test_contract_strict.py so float/typing
+    drift can never reach a driver red without failing CI first."""
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
@@ -105,10 +104,9 @@ def main() -> int:
 
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     if only is not None:
-        missing = only - set(qs)
+        missing = set(only) - set(qs)
         if missing:
-            print("unknown query names:", sorted(missing))
-            return 2
+            raise KeyError(f"unknown query names: {sorted(missing)}")
         qs = {k: v for k, v in qs.items() if k in only}
 
     fails: list[str] = []
@@ -126,7 +124,7 @@ def main() -> int:
             otypes = {c: str(tbl.schema.field(c).type) for c in ocols}
             orows = con.execute(oracles[name]).fetchall()
         except Exception as e:  # noqa: BLE001
-            print(f"{name:24s} ERROR {type(e).__name__}: {e}")
+            log(f"{name:24s} ERROR {type(e).__name__}: {e}")
             fails.append(name)
             continue
         n_checked += 1
@@ -148,13 +146,27 @@ def main() -> int:
             d2 = sorted(sb - sa)[:2]
             problems.append(f"values spark-only={d1} duck-only={d2}")
         status = "STRICT-OK" if not problems else "MISMATCH"
-        print(f"{name:24s} {status} rows={len(a)}/{len(b)}")
+        log(f"{name:24s} {status} rows={len(a)}/{len(b)}")
         for p in problems:
-            print(f"    {p}")
+            log(f"    {p}")
         if problems:
             fails.append(name)
+    return n_checked, fails
 
-    spark.stop()
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
+    spark = get_spark(
+        "strict-audit", master="local[8]", shuffle_partitions=16
+    )
+    try:
+        n_checked, fails = run_audit(spark, sf_dir, only=only)
+    except KeyError as e:
+        print(e)
+        return 2
+    finally:
+        spark.stop()
     print(f"\nchecked={n_checked} fails={len(fails)}")
     if fails:
         print("FAILED:", fails)
