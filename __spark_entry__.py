@@ -2179,6 +2179,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = spark.read.parquet(os.path.join(sf, "events.parquet"))
         n = ev.count()
         jm = 2 * max(1, n // 25) + 1
+        # the `event_id % 1048576` low bits make `arrival` injective
+        # ONLY while event_id < 2^20 (and n small enough that the
+        # jitter stride never collides); past that, duplicate arrival
+        # keys make the running-max watermark order ambiguous and the
+        # Spark and DuckDB replays could silently diverge — fail loud
+        # instead (the oracle documents the same bound at its jitter
+        # formula). Raise the modulus in BOTH places to go bigger.
+        max_id = ev.agg(F.max("event_id")).first()[0] or 0
+        if max_id >= 1048576:
+            raise ValueError(
+                f"late_data arrival-key injectivity bound exceeded: "
+                f"max(event_id) = {max_id} >= 2^20; enlarge the low-"
+                f"bits modulus in q_late_data AND its oracle"
+            )
         caps = ev.selectExpr(
             f"((event_id + (event_id * 7919) % {jm}) * 1048576"
             " + event_id % 1048576) AS arrival",
@@ -3305,10 +3319,16 @@ def _duck_lmjm(terms: list[str], k: int, lam: float) -> str:
         for i, t in enumerate(uniq)
     )
     c1 = 1.0 - lam
+    # zero-cf guard mirrors lmjm_search: a query term absent from the
+    # corpus is DROPPED on the Spark side, so the oracle contributes
+    # literal 0.0 for it instead of ln(0) = -inf (x + 0.0 == x keeps
+    # hash parity; same pattern as _duck_sdm's feat())
     score = " + ".join(
+        f"CASE WHEN coalesce((SELECT c FROM qcf WHERE token = '{t}'), 0) = 0 "
+        f"THEN 0.0e0 ELSE "
         f"ln({c1!r} * CAST(f{i} AS DOUBLE) / CAST(dl AS DOUBLE) + "
         f"{lam!r} * coalesce((SELECT c FROM qcf WHERE token = '{t}'), 0) "
-        f"/ (SELECT t FROM qtot))"
+        f"/ (SELECT t FROM qtot)) END"
         for i, t in enumerate(uniq)
     )
     return f"""
@@ -8292,6 +8312,9 @@ cls AS (
 )
 SELECT component, count(*) AS n_nodes FROM cls GROUP BY component""",
         "late_data": """
+-- arrival-key injectivity bound: the `% 1048576` low bits are unique
+-- only while event_id < 2^20 (the Spark side ASSERTS this before
+-- running); enlarge the modulus in both engines together
 WITH e0 AS (
   SELECT event_id, epoch_us(ts) // 1000000 AS sec FROM events
 ),

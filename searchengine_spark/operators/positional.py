@@ -714,14 +714,19 @@ def sdm_search(
     spark = documents.sparkSession
     if not uniq:
         return spark.createDataFrame([], "doc_id long, score double")
-    pp = positional_postings(documents, id_col, text_col).persist()
+    # eager localCheckpoints, not persist: the returned DataFrame
+    # references pp/qp lazily after this function exits, so an
+    # unpersist here would force recompute and a bare persist
+    # leaks executor storage across a 200-query sweep; checkpoint
+    # blocks are ContextCleaner-collected once the result is
+    # dropped
+    pp = positional_postings(documents, id_col, text_col).localCheckpoint(eager=True)
     dl = pp.groupBy("doc_id").agg(F.count("*").alias("dl"))
     total = dl.agg(F.sum("dl")).collect()[0][0]
     total = int(total or 0)
     if total == 0:
-        pp.unpersist()
         return spark.createDataFrame([], "doc_id long, score double")
-    qp = pp.filter(F.col("token").isin(uniq)).persist()
+    qp = pp.filter(F.col("token").isin(uniq)).localCheckpoint(eager=True)
     cf = {
         r["token"]: int(r["c"])
         for r in qp.groupBy("token").agg(F.count("*").alias("c")).collect()
@@ -846,7 +851,12 @@ def collocations_g2(
         )
         .select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
     )
-    c_ab = bi.groupBy("a", "b").agg(F.count("*").alias("n_ab")).persist()
+    # localCheckpoint for the same leak-free reuse as sdm_search
+    c_ab = (
+        bi.groupBy("a", "b")
+        .agg(F.count("*").alias("n_ab"))
+        .localCheckpoint(eager=True)
+    )
     ra = c_ab.groupBy("a").agg(F.sum("n_ab").alias("r_a"))
     cb = c_ab.groupBy("b").agg(F.sum("n_ab").alias("c_b"))
     btot = int(

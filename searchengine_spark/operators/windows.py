@@ -377,14 +377,21 @@ def markov_stationary(
     one bounded-fold agg; the corpus-sized work is event_transitions'
     single lag window, paid once.
     """
+    # eager localCheckpoint (not persist): the returned DataFrame is
+    # lazy and references p/states ~n_iters times each — a persist
+    # released before the caller collects would recompute the corpus-
+    # scale transition window every reference. Checkpointing the TINY
+    # matrix pays the corpus pass exactly once; the blocks are
+    # ContextCleaner-collected when the result is dropped (k_core's
+    # loop pattern).
     p = event_transitions(events, user_col, ts_col, type_col, id_col).select(
         "prev_type", "next_type", "p"
-    ).persist()
+    ).localCheckpoint(eager=True)
     states = (
         p.select(F.col("prev_type").alias("t"))
         .unionByName(p.select(F.col("next_type").alias("t")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     n_states = states.count()
     pi = states.select(
@@ -414,8 +421,6 @@ def markov_stationary(
     out = pi.select(
         F.col("t").alias("event_type"), F.round("pi", 9).alias("p_stationary")
     )
-    p.unpersist()
-    states.unpersist()
     return out
 
 
@@ -447,7 +452,10 @@ def active_users(
             f"00:00:00', {ts_col}) div 86400000000 AS day",
         )
         .distinct()
-        .persist()
+        # localCheckpoint, not persist: the result references ud three
+        # times lazily; checkpoint blocks free themselves when the
+        # caller drops the result
+        .localCheckpoint(eager=True)
     )
     days = ud.select("day").distinct()
     dau = ud.groupBy("day").agg(F.countDistinct("u").alias("dau"))

@@ -129,6 +129,9 @@ def test_rank_corr_bounded_pair_join(spark, sf_dir):
     # the limits compile to TakeOrderedAndProject, never a global sort
     plan = _plan(out)
     assert plan.count("TakeOrdered") >= 2
-    assert "Sort [" not in plan or "TakeOrdered" in plan
+    # no global Sort operator anywhere: the only ordering allowed is
+    # inside TakeOrderedAndProject nodes (a bare "Sort [" line would be
+    # a corpus-wide sort regression)
+    assert plan.count("Sort [") == 0, plan
     r = out.collect()[0]
     assert r["n_common"] >= 0
