@@ -4,8 +4,12 @@
 built end-to-end from sf0.001 documents (SURVEY.md §7 Phase 1 slice).
 
 ``queries()`` / ``oracle_sql()`` — one named query per implemented
-operator of SURVEY.md §2 + §2.11 (47 queries as of round 3), EVERY one
+operator of SURVEY.md §2 + §2.11 (203 queries as of round 5), EVERY one
 with a DuckDB-equivalent ANSI-SQL oracle — the rows-only set is empty.
+The driver hashes TYPED values byte-exactly: CAST any DuckDB ``sum()``
+that reaches a result column to BIGINT (HUGEINT hash-mismatches a
+value-equal Spark BIGINT), and round(,9) every double on BOTH sides
+(tools/strict_audit.py is the local reproduction of that gate).
 Float columns are rounded to 9 decimals on BOTH sides so the driver's
 value-hash compares bit-stable doubles (all underlying arithmetic is
 int-ratio division, ln, and products — identical IEEE754 in both

@@ -148,6 +148,30 @@ class CrawlConfig:
     # a count is a single driver round-trip).
     prefetch_in_round: bool = True
 
+    # ---- batch the prefetch submissions (default ON): queue every
+    # hot-intermediate count during plan building and submit them all
+    # at once when planning finishes, instead of submitting inside
+    # _hot(). On a wide cluster the giant rounds' concurrent prefetch
+    # jobs peg every core, CPU-starving the driver's own Catalyst
+    # analysis (measured: the plan-building marks inflate ~10x in the
+    # giant round when submissions interleave with planning); deferring
+    # the submissions keeps planning on a quiet JVM and the executors
+    # then materialize the same chain at full width. Only consulted
+    # when prefetch_in_round is on.
+    batch_prefetch: bool = True
+
+    # ---- giant-round prefetch cutoff: when the carried QUEUED count
+    # exceeds this, the round skips prefetch submissions entirely. The
+    # prefetch's value is filling idle executors while the driver
+    # plans; on an executor-bound giant round (the 10^10-frontier
+    # steady state) there is no idle to fill — the extra jobs race the
+    # frontier write for the same lazy localCheckpoints and
+    # double-compute them (measured at 64k pages / 32 cores: 70 s/round
+    # without prefetch vs 82 s batched / 105 s interleaved with it).
+    # Small driver-bound rounds (the ramp, the 2k-page bench) keep the
+    # overlap win. None = never skip.
+    prefetch_max_queued: int | None = 16384
+
     # ---- per-round metrics: full (counts per stage) or light (only the
     # queued-remaining count needed for loop control) — the bench path
     light_metrics: bool = False

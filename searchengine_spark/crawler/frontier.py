@@ -319,12 +319,37 @@ def _run_round_body(
     if cfg.leaf_plans_in_round:
         _quiet_unpersist_warning(spark)
 
+    _pending_prefetch: list = []
+    # giant-round cutoff (cfg.prefetch_max_queued): executor-bound
+    # rounds skip prefetch — nothing is idle during planning, and the
+    # extra jobs double-compute the lazy checkpoints against the
+    # frontier write
+    _do_prefetch = cfg.prefetch_in_round and (
+        cfg.prefetch_max_queued is None
+        or prev_queued is None
+        or prev_queued <= cfg.prefetch_max_queued
+    )
+
+    def _submit_prefetch(action) -> None:
+        # cfg.batch_prefetch: queue during planning, flush after — the
+        # giant rounds' concurrent prefetch jobs otherwise CPU-starve
+        # the driver's own Catalyst analysis on a saturated box
+        if cfg.batch_prefetch:
+            _pending_prefetch.append(action)
+        else:
+            _stage_pool.submit(action)
+
+    def _flush_prefetch() -> None:
+        for action in _pending_prefetch:
+            _stage_pool.submit(action)
+        _pending_prefetch.clear()
+
     def _hot(df: DataFrame, warm: bool = False) -> DataFrame:
         if not cfg.leaf_plans_in_round:
             df = df.persist()
             _round_caches.append((df, None))
-            if warm and cfg.prefetch_in_round:
-                _stage_pool.submit(df.count)
+            if warm and _do_prefetch:
+                _submit_prefetch(df.count)
             return df
         out = df.localCheckpoint(eager=False)
         jrdd = out._jdf.queryExecution().analyzed().rdd()
@@ -336,8 +361,8 @@ def _run_round_body(
         # RDD count on the leaf (NOT Dataset.count): no throwaway SQL
         # plan, one stage, and no orphaned SQLMetrics accumulators for
         # late task-end events to trip over after the Dataset is GC'd.
-        if warm and cfg.prefetch_in_round:
-            _stage_pool.submit(jrdd.count)
+        if warm and _do_prefetch:
+            _submit_prefetch(jrdd.count)
         return out
 
     # batch-proportional partition width for the round's light
@@ -545,6 +570,7 @@ def _run_round_body(
     # append-mode snapshots: each round writes only its DELTA (Iceberg
     # append-files shape — a round is O(new rows), never O(table))
     _mark("plans")
+    _flush_prefetch()  # planning done — executors get the queued chain
     if profile:
         batch.count()
         _mark("mat:batch")
