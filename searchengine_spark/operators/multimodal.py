@@ -68,8 +68,9 @@ def decode_image(payload: bytes):
     baseline JPEG via pycore.jpeg (ITU-T T.81 subset: SOF0, 4:4:4 /
     4:2:0 / 4:2:2, restart markers), so the pixel path is REAL and
     tested in this container for the two dominant web formats; other
-    formats fall through to PIL when importable, else raise (webp/gif
-    et al. — environment constraint)."""
+    formats fall through to PIL when importable, else raise (webp et
+    al. — environment constraint); GIF87a/89a decodes via pycore.gif
+    (pure-Python LZW, interlace, transparency)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from searchengine_spark.pycore.png import decode_png
 
@@ -78,12 +79,17 @@ def decode_image(payload: bytes):
         from searchengine_spark.pycore.jpeg import decode_jpeg
 
         return decode_jpeg(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from searchengine_spark.pycore.gif import decode_gif
+
+        return decode_gif(payload)
     if not _HAS_PIL:
         raise NotImplementedError(
-            "non-PNG/JPEG image decode requires PIL; container ships "
-            "without codecs — PNG (pycore.png) and baseline JPEG "
-            "(pycore.jpeg) decode natively; byte-level features "
-            "(byte_histogram_features) are the codec-free path"
+            "non-PNG/JPEG/GIF image decode requires PIL; container "
+            "ships without codecs — PNG (pycore.png), baseline JPEG "
+            "(pycore.jpeg) and GIF (pycore.gif) decode natively; "
+            "byte-level features (byte_histogram_features) are the "
+            "codec-free path"
         )
     import io
 
